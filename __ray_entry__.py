@@ -3,14 +3,31 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init``/``ray.shutdown`` here or in the library code these
+callables use — the driver owns the Ray session.
+
+Engine-tokenization SQL parity notes (SURVEY §2.2):
+
+- M3 segmentation = ``[A-Za-z0-9]+|[\\x{4e00}-\\x{9fa5}]`` token regex;
+- M4 transform: letter-led tokens get the reference's literal
+  "uppercase fold" ``A-Z -> chr(c-0x20)`` (= ``translate`` onto
+  ``!"#$%&'()*+,-./0123456789:``), digit-led tokens are dropped,
+  CJK-led pass through;
+- M5 stop filter (build side only) over the fixed 50-term list;
+- A5 doc ids over the derived transcripts (conv_id = ``source``) =
+  ``row_number() OVER (ORDER BY source, doc_id) - 1`` on the FULL
+  table, then the ``length(text) >= 10`` prep filter;
+- the SQL-checkable index is built with ``dedup_enabled=False``:
+  simhash-equality dedup (A3) has false positives (distinct texts,
+  same 64-bit fingerprint) that SQL cannot reproduce — dedup is gated
+  by the pytest oracles and the ``exact_dedup`` entry instead;
+- BM25: ``idf = ln(1+(N-df+0.5)/(df+0.5))``, k1=1.2, b=0.75,
+  conjunctive; rank order quantizes scores to 1e-9, ties by doc_id;
+  reported ``score_u = floor(score * 1e6)`` so float jitter cannot
+  break the value-hash.
 """
 
 from __future__ import annotations
@@ -20,25 +37,262 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derived transcripts
+    -> resumable sharded index build -> actor-pool BM25 top-k."""
+    from searchenginesimple_ray.pipelines import driverops
+    return driverops.flagship_entry("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from searchenginesimple_ray.pipelines import driverops as d
+    return {
+        # full-text engine pipeline (SURVEY §2: M2-M5, G1-G2, A3, A5, A8, G8)
+        "term_df": d.q_term_df,
+        "term_tf": d.q_term_tf,
+        "transcript_prep": d.q_transcript_prep,
+        "ts_doc_len": d.q_ts_doc_len,
+        "bm25_topk": d.q_bm25_topk,
+        "ref_cosine_topk": d.q_ref_cosine_topk,        # rows-only (quirk scorer)
+        # training-data suite: dedup family
+        "exact_dedup": d.q_exact_dedup,
+        "minhash_pairs": d.q_minhash_pairs,            # rows-only (LSH)
+        "ngram_jaccard_pairs": d.q_ngram_jaccard,      # rows-only (LSH-style)
+        "simhash_fingerprints": d.q_simhash_fingerprints,  # rows-only
+        "embedding_near_dup": d.q_embedding_near_dup,  # rows-only (LSH recall)
+        # similarity search
+        "ann_topk": d.q_ann_topk,
+        "ivf_topk": d.q_ivf_topk,                      # rows-only (approximate)
+        # text analysis
+        "doc_token_stats": d.q_doc_token_stats,
+        "quality_counts": d.q_quality_counts,
+        "lang_hist": d.q_lang_hist,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- SQL
+
+_FOLD_SRC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_FOLD_DST = "!\"#$%&''()*+,-./0123456789:"   # chr(0x21)..chr(0x3a), ' doubled
+
+
+def _stoplist_sql() -> str:
+    from searchenginesimple_ray.config import DEFAULT_STOP_WORDS
+    return ", ".join(f"'{w}'" for w in DEFAULT_STOP_WORDS)
+
+
+def _tokenize_cte(src: str) -> str:
+    """CTE chain: ``src``(doc_id, text) -> ``kept``(doc_id, term)."""
+    return f"""
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+             '[A-Za-z0-9]+|[\\x{{4e00}}-\\x{{9fa5}}]')) AS tok
+  FROM {src}
+),
+terms0 AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(tok, '^[A-Za-z]')
+              THEN translate(tok, '{_FOLD_SRC}', '{_FOLD_DST}')
+              WHEN regexp_matches(tok, '^[\\x{{4e00}}-\\x{{9fa5}}]') THEN tok
+              ELSE NULL END AS term
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, term FROM terms0
+  WHERE term IS NOT NULL AND term NOT IN ({_stoplist_sql()})
+)"""
+
+
+# derived transcripts + prep + exact dedup over the documents table
+def _ts_prep_cte() -> str:
+    return f"""
+full_docs AS (
+  SELECT source AS conv_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+             AS turn_idx,
+         row_number() OVER (ORDER BY source, doc_id) - 1 AS ts_doc_id,
+         text
+  FROM documents
+),
+prep AS (
+  SELECT ts_doc_id AS doc_id, conv_id, turn_idx, text FROM full_docs
+  WHERE length(text) >= 10
+),
+{_tokenize_cte('prep')},
+ddt AS (
+  SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY doc_id, term
+),
+stats AS (
+  SELECT doc_id, sum(tf) AS doc_len FROM ddt GROUP BY doc_id
+)"""
+
+
+def _bm25_values() -> str:
+    """VALUES rows (query_id, term, qtf) for the flagship query set,
+    tokenized with the engine's own query tokenizer."""
+    from searchenginesimple_ray.pipelines.driverops import FLAGSHIP_QUERIES
+    from searchenginesimple_ray.pipelines.query import bm25_query_terms
+    rows = []
+    for qid, q in enumerate(FLAGSHIP_QUERIES):
+        for term, qtf in bm25_query_terms(q):
+            esc = term.replace("'", "''")
+            rows.append(f"({qid}, '{esc}', {qtf})")
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from searchenginesimple_ray.functions.textstats import LANG_MARKERS
+    stop = _stoplist_sql()
+
+    def markers(lang):
+        return ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS[lang]))
+
+    g4 = "greatest(v_de, v_en, v_es, v_fr)"
+    return {
+        "term_df": f"""
+WITH {_tokenize_cte('documents')}
+SELECT term, count(DISTINCT doc_id) AS df FROM kept GROUP BY term
+""",
+        "term_tf": f"""
+WITH {_tokenize_cte('documents')}
+SELECT term, count(*) AS total_tf FROM kept GROUP BY term
+""",
+        "transcript_prep": """
+WITH full_docs AS (
+  SELECT source AS conv_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+             AS turn_idx,
+         row_number() OVER (ORDER BY source, doc_id) - 1 AS ts_doc_id,
+         text
+  FROM documents
+)
+SELECT ts_doc_id AS doc_id, conv_id, turn_idx, text FROM full_docs
+WHERE length(text) >= 10
+""",
+        "ts_doc_len": f"""
+WITH {_ts_prep_cte()}
+SELECT doc_id, doc_len FROM stats
+""",
+        "bm25_topk": f"""
+WITH {_ts_prep_cte()},
+gstats AS (
+  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM stats
+),
+df AS (
+  SELECT term, count(*) AS df FROM ddt GROUP BY term
+),
+q(query_id, term, qtf) AS (VALUES {_bm25_values()}),
+qv AS (SELECT q.* FROM q JOIN df USING (term)),
+qsz AS (SELECT query_id, count(*) AS n_terms FROM qv GROUP BY query_id),
+matches AS (
+  SELECT qv.query_id, ddt.doc_id, qv.qtf, ddt.tf, df.df, stats.doc_len
+  FROM qv
+  JOIN ddt USING (term)
+  JOIN df USING (term)
+  JOIN stats ON ddt.doc_id = stats.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id,
+         sum(qtf * ln(1 + (g.n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * doc_len / g.avgdl)))
+             AS score,
+         count(*) AS n_matched
+  FROM matches, gstats g
+  GROUP BY query_id, doc_id, g.n_docs, g.avgdl
+),
+conj AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s JOIN qsz USING (query_id)
+  WHERE s.n_matched = qsz.n_terms
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id) AS rn
+  FROM conj
+)
+SELECT query_id, rn - 1 AS rank, doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_u
+FROM ranked WHERE rn <= 10
+""",
+        "exact_dedup": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS cosine
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, vec_id) AS rn
+  FROM s
+)
+SELECT query_id, rn - 1 AS rank, vec_id FROM ranked WHERE rn <= 10
+""",
+        "doc_token_stats": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+           AS n_bpe_tokens,
+       length(text) AS n_text_chars
+FROM documents
+""",
+        "quality_counts": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN lower(tok) IN ({stop}) THEN 1 ELSE 0 END)
+             AS n_stop_tokens
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(tk.n_tokens, 0) AS n_tokens,
+       len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct_chars,
+       coalesce(tk.n_stop_tokens, 0) AS n_stop_tokens
+FROM documents d LEFT JOIN tk ON d.doc_id = tk.doc_id
+""",
+        "lang_hist": f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '\\S+'))) AS tok
+  FROM documents
+),
+v0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN tok IN ({markers('de')}) THEN 1 ELSE 0 END) AS v_de,
+         sum(CASE WHEN tok IN ({markers('en')}) THEN 1 ELSE 0 END) AS v_en,
+         sum(CASE WHEN tok IN ({markers('es')}) THEN 1 ELSE 0 END) AS v_es,
+         sum(CASE WHEN tok IN ({markers('fr')}) THEN 1 ELSE 0 END) AS v_fr
+  FROM toks GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.text,
+         coalesce(v0.v_de, 0) AS v_de, coalesce(v0.v_en, 0) AS v_en,
+         coalesce(v0.v_es, 0) AS v_es, coalesce(v0.v_fr, 0) AS v_fr,
+         length(regexp_replace(d.text, '[^\\x{{4e00}}-\\x{{9fa5}}]', '', 'g'))
+             AS n_cjk
+  FROM documents d LEFT JOIN v0 ON d.doc_id = v0.doc_id
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN n_cjk > 0 AND 4 * n_cjk >= length(text) THEN 'zh'
+              WHEN {g4} = 0 THEN 'und'
+              WHEN v_de = {g4} THEN 'de'
+              WHEN v_en = {g4} THEN 'en'
+              WHEN v_es = {g4} THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM base
+)
+SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+""",
+    }

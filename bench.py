@@ -1,0 +1,206 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+- default: full suite over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+  with ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32).
+  Headline = index build over the deterministic synthetic transcript
+  corpus sized to the sf (FIXTURES.md bench scale) + the 100-query BM25
+  set; the training-data ops run over the sf tables.
+- ``--scaling``: runs the headline index build twice in FRESH processes
+  (num_cpus=8 then num_cpus=32) on the SAME corpus and reports both
+  throughputs + scaling efficiency = T32 / (4 * T8)  (BASELINE.md
+  protocol — the sandbox substitute for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/sesr_bench"
+
+
+def _sf_value(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_corpus(sf: float) -> tuple[str, int]:
+    """Deterministic transcript corpus sized to the sf (~6M turns/sf)."""
+    from searchenginesimple_ray.sources.transcripts import (
+        generate_transcripts, transcripts_files)
+    n_convs = max(200, int(600_000 * sf))   # ~10 turns/conv => ~6M*sf turns
+    out = os.path.join(BENCH_ROOT, f"corpus_{n_convs}")
+    generate_transcripts(out, n_convs=n_convs, seed=42, n_files=32)
+    import pyarrow.parquet as pq
+    n_turns = sum(pq.read_metadata(f).num_rows
+                  for f in transcripts_files(out))
+    return out, n_turns
+
+
+def run_index_build(corpus_dir: str, tag: str) -> tuple[float, dict]:
+    from searchenginesimple_ray.config import EngineConfig
+    from searchenginesimple_ray.pipelines.index_build import build_index
+    from searchenginesimple_ray.sources.transcripts import transcripts_files
+    out = os.path.join(BENCH_ROOT, f"index_{tag}")
+    shutil.rmtree(out, ignore_errors=True)   # cold build: no lineage skip
+    cfg = EngineConfig(num_input_buckets=8, num_doc_shards=8)
+    t0 = time.perf_counter()
+    res = build_index(transcripts_files(corpus_dir), out, cfg)
+    dt = time.perf_counter() - t0
+    return dt, {"out": out, "n_docs": res.n_docs,
+                "n_docs_raw": res.n_docs_raw, "n_terms": res.n_terms}
+
+
+def run_queries(index_dir: str) -> dict:
+    import numpy as np
+
+    from searchenginesimple_ray.pipelines.query import QueryEngine
+    from searchenginesimple_ray.sources.transcripts import generate_queries
+    qs = generate_queries()
+    eng = QueryEngine(index_dir, num_actors=8)
+    try:
+        eng.bm25_topk(qs[0])                      # warm actors
+        lat = []
+        t0 = time.perf_counter()
+        for q in qs:
+            s = time.perf_counter()
+            eng.bm25_topk(q)
+            lat.append(time.perf_counter() - s)
+        wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        eng.batch(qs, scorer="bm25")
+        batch_wall = time.perf_counter() - t0
+    finally:
+        eng.shutdown()
+    lat = np.array(lat)
+    return {"bm25_p50_ms": float(np.percentile(lat, 50) * 1e3),
+            "bm25_p95_ms": float(np.percentile(lat, 95) * 1e3),
+            "bm25_qps_serial": len(lat) / wall,
+            "bm25_qps_batch": len(lat) / batch_wall}
+
+
+def run_ops_suite(sf_dir: str) -> dict:
+    """Training-data ops over the shared sf tables (seconds each)."""
+    from searchenginesimple_ray.pipelines import driverops as d
+    out = {}
+    for name, fn in [("term_df", d.q_term_df),
+                     ("exact_dedup", d.q_exact_dedup),
+                     ("minhash_pairs", d.q_minhash_pairs),
+                     ("ngram_jaccard_pairs", d.q_ngram_jaccard),
+                     ("simhash_fingerprints", d.q_simhash_fingerprints),
+                     ("ann_topk", d.q_ann_topk),
+                     ("ivf_topk", d.q_ivf_topk),
+                     ("embedding_near_dup", d.q_embedding_near_dup),
+                     ("lang_hist", d.q_lang_hist),
+                     ("doc_token_stats", d.q_doc_token_stats)]:
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _scale_child(num_cpus: int, corpus_dir: str) -> dict:
+    """Run ONE cold index build in this (fresh) process; print JSON."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+
+    from searchenginesimple_ray.sources.transcripts import transcripts_files
+    n_turns = sum(pq.read_metadata(f).num_rows
+                  for f in transcripts_files(corpus_dir))
+    dt, _ = run_index_build(corpus_dir, f"scale_{num_cpus}")
+    ray.shutdown()
+    return {"num_cpus": num_cpus, "build_sec": dt,
+            "turns_per_sec": n_turns / dt, "n_turns": n_turns}
+
+
+def scaling_main():
+    sf = _sf_value(SF_DIR)
+    # generate the corpus once (no ray needed for generation)
+    corpus_dir, n_turns = _bench_corpus(sf)
+    results = []
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--_scale_child", str(cpus), corpus_dir],
+            capture_output=True, text=True, cwd=REPO)
+        line = [ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    t8, t32 = results[0]["turns_per_sec"], results[1]["turns_per_sec"]
+    eff = t32 / (4 * t8)
+    print(json.dumps({
+        "metric": "index_build_scaling_efficiency",
+        "value": round(eff, 4), "unit": "ratio",
+        "sf": sf, "n_turns": n_turns,
+        "throughput_at_8": round(t8, 1), "throughput_at_32": round(t32, 1),
+        "build_sec_at_8": round(results[0]["build_sec"], 2),
+        "build_sec_at_32": round(results[1]["build_sec"], 2),
+        "queries": {"build@8cpus": round(results[0]["build_sec"], 2),
+                    "build@32cpus": round(results[1]["build_sec"], 2)},
+        "num_cpus": 32,
+    }))
+
+
+def main():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    sf = _sf_value(SF_DIR)
+    timings: dict[str, float] = {}
+
+    corpus_dir, n_turns = _bench_corpus(sf)
+    build_sec, build_info = run_index_build(corpus_dir, "main")
+    timings["index_build"] = round(build_sec, 3)
+
+    qstats = run_queries(build_info["out"])
+    timings["bm25_100_queries_batch"] = round(
+        100.0 / qstats["bm25_qps_batch"], 3)
+
+    ops = run_ops_suite(SF_DIR)
+    timings.update(ops)
+
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "headline_total_sec", "value": round(total, 3),
+        "unit": "sec", "queries": timings, "sf": sf, "num_cpus": NUM_CPUS,
+        "index_build_turns_per_sec": round(n_turns / build_sec, 1),
+        "n_turns": n_turns, "n_docs": build_info["n_docs"],
+        "bm25_p50_ms": round(qstats["bm25_p50_ms"], 2),
+        "bm25_p95_ms": round(qstats["bm25_p95_ms"], 2),
+        "bm25_qps_batch": round(qstats["bm25_qps_batch"], 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--_scale_child" in sys.argv:
+        i = sys.argv.index("--_scale_child")
+        print(json.dumps(_scale_child(int(sys.argv[i + 1]), sys.argv[i + 2])))
+    elif "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -1,0 +1,164 @@
+"""Hash functions with exact reference parity.
+
+- ``fnv1a32`` / ``ihash`` / ``shard_of_term``: FNV-1a 32-bit and the
+  reference's non-negative zone hash (`include/helper/ihsah.hpp:8-27`;
+  zone sharding call sites `include/Dictionary/Dictionary.hpp:102,113`).
+- ``jenkins64``: Bob Jenkins' public-domain lookup3 ``hashlittle2``
+  composed as ``(pc << 32) | pb`` with seed 0, exactly as the
+  reference's simhash hasher (`include/simhash/jenkins.h:98-103`).
+- ``hamming64`` / ``simhash_is_equal``: popcount distance and the
+  threshold test (`include/simhash/Simhasher.hpp:109-151`).
+- ``simhash_bands``: split a 64-bit simhash into ``num_bands`` equal
+  bit-bands (pigeonhole: two hashes within hamming<=3 share at least
+  one of 4 bands — used by the banded near-dup shuffle, SURVEY §2.4 A4).
+
+All functions are pure Python/numpy reimplementations from the public
+algorithms — no code is copied from the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U32 = 0xFFFFFFFF
+
+
+def fnv1a32(key: str | bytes) -> int:
+    """FNV-1a 32-bit (parity with `ihsah.hpp:8-18`)."""
+    if isinstance(key, str):
+        key = key.encode("utf-8")
+    h = 2166136261
+    for b in key:
+        h ^= b
+        h = (h * 16777619) & _U32
+    return h
+
+
+def ihash(key: str | bytes) -> int:
+    """Non-negative variant (`ihsah.hpp:21-27`): fnv1a32 & 0x7fffffff."""
+    return fnv1a32(key) & 0x7FFFFFFF
+
+
+def shard_of_term(term: str, num_shards: int) -> int:
+    """Zone sharding `iHash::Hash(tok) % zone` (`Dictionary.hpp:102,113`)."""
+    return ihash(term) % num_shards
+
+
+def fnv1a32_array(terms, num_shards: int | None = None) -> np.ndarray:
+    """Vectorized-ish FNV-1a over an array of strings.
+
+    Hashes each *unique* value once (Zipf-distributed term columns make
+    uniques ≪ rows), then gathers.  Returns uint32 hashes, or int32
+    shards when ``num_shards`` is given.
+    """
+    arr = np.asarray(terms, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    if num_shards is None:
+        vals = np.fromiter((fnv1a32(u) for u in uniq), dtype=np.uint32, count=len(uniq))
+        return vals[inv]
+    vals = np.fromiter(
+        ((fnv1a32(u) & 0x7FFFFFFF) % num_shards for u in uniq),
+        dtype=np.int32,
+        count=len(uniq),
+    )
+    return vals[inv]
+
+
+def _rot(x: int, k: int) -> int:
+    return ((x << k) | (x >> (32 - k))) & _U32
+
+
+def _mix(a: int, b: int, c: int):
+    a = (a - c) & _U32; a ^= _rot(c, 4);  c = (c + b) & _U32
+    b = (b - a) & _U32; b ^= _rot(a, 6);  a = (a + c) & _U32
+    c = (c - b) & _U32; c ^= _rot(b, 8);  b = (b + a) & _U32
+    a = (a - c) & _U32; a ^= _rot(c, 16); c = (c + b) & _U32
+    b = (b - a) & _U32; b ^= _rot(a, 19); a = (a + c) & _U32
+    c = (c - b) & _U32; c ^= _rot(b, 4);  b = (b + a) & _U32
+    return a, b, c
+
+
+def _final(a: int, b: int, c: int):
+    c ^= b; c = (c - _rot(b, 14)) & _U32
+    a ^= c; a = (a - _rot(c, 11)) & _U32
+    b ^= a; b = (b - _rot(a, 25)) & _U32
+    c ^= b; c = (c - _rot(b, 16)) & _U32
+    a ^= c; a = (a - _rot(c, 4)) & _U32
+    b ^= a; b = (b - _rot(a, 14)) & _U32
+    c ^= b; c = (c - _rot(b, 24)) & _U32
+    return a, b, c
+
+
+def hashlittle2(data: bytes, pc: int = 0, pb: int = 0) -> tuple[int, int]:
+    """lookup3 ``hashlittle2`` (Bob Jenkins, public domain, little-endian
+    logical behaviour).  Returns ``(pc, pb)`` — *pc is better mixed*.
+    """
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + pc) & _U32
+    c = (c + pb) & _U32
+
+    off = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[off:off + 4], "little")) & _U32
+        b = (b + int.from_bytes(data[off + 4:off + 8], "little")) & _U32
+        c = (c + int.from_bytes(data[off + 8:off + 12], "little")) & _U32
+        a, b, c = _mix(a, b, c)
+        off += 12
+        length -= 12
+
+    # tail: the reference's byte-at-a-time switch (jenkins.h hashlittle2,
+    # k8[] branch) — equivalent across alignment branches.
+    tail = data[off:off + length]
+    if length == 0:
+        return c, b  # original: "case 0: return" without final()
+    for i, byte in enumerate(tail):
+        shift = (i % 4) * 8
+        v = byte << shift
+        if i < 4:
+            a = (a + v) & _U32
+        elif i < 8:
+            b = (b + v) & _U32
+        else:
+            c = (c + v) & _U32
+    a, b, c = _final(a, b, c)
+    return c, b
+
+
+def jenkins64(key: str | bytes, seed: int = 0) -> int:
+    """64-bit jenkins as the reference composes it (`jenkins.h:98-103`):
+    ``a = seed>>32, b = seed&0xffffffff; hashlittle2 -> (a<<32)|b``.
+    """
+    if isinstance(key, str):
+        key = key.encode("utf-8")
+    pc, pb = hashlittle2(key, (seed >> 32) & _U32, seed & _U32)
+    return (pc << 32) | pb
+
+
+def hamming64(lhs, rhs):
+    """Popcount of xor — scalar ints or numpy uint64 arrays."""
+    x = np.bitwise_xor(np.asarray(lhs, dtype=np.uint64), np.asarray(rhs, dtype=np.uint64))
+    # numpy >=1.26 lacks a popcount ufunc for uint64 in some builds; use bytes view
+    b = x.reshape(-1).view(np.uint8).reshape(-1, 8)
+    cnt = np.unpackbits(b, axis=1).sum(axis=1)
+    return cnt.reshape(np.shape(x)) if np.ndim(x) else int(cnt[0])
+
+
+def simhash_is_equal(lhs: int, rhs: int, n: int = 3) -> bool:
+    """`Simhasher::isEqual` (`Simhasher.hpp:109-151`): hamming <= n."""
+    return int(hamming64(lhs, rhs)) <= n
+
+
+def simhash_bands(hashes, num_bands: int = 4) -> np.ndarray:
+    """Split uint64 simhashes into ``num_bands`` equal bit bands.
+
+    Returns an array of shape (n, num_bands) of uint64 band values.
+    With 4 bands of 16 bits, any pair with hamming distance <= 3 must
+    agree on at least one band (pigeonhole over 64 bits).
+    """
+    h = np.asarray(hashes, dtype=np.uint64).reshape(-1)
+    width = 64 // num_bands
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((len(h), num_bands), dtype=np.uint64)
+    for i in range(num_bands):
+        out[:, i] = (h >> np.uint64(i * width)) & mask
+    return out

@@ -1,0 +1,85 @@
+"""MinHash / shingling / SimHash-free near-dup kernels for the
+training-data dedup suite (MinHash+LSH, n-gram Jaccard).
+
+Vectorized numpy: shingle hashes once per doc, then ``num_perm``
+universal-hash permutations ``(a*x + b) mod p`` over the shingle-hash
+set (Broder 1997; LSH banding per Leskovec/Rajaraman/Ullman, "Mining
+of Massive Datasets" ch.3).  Deterministic: permutation parameters are
+derived from a fixed seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE_P = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+def _permutations(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-char shingle hashes (uint32) of the lowercased text."""
+    s = text.lower()
+    if len(s) < k:
+        s = s + " " * (k - len(s))
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    n = data.size
+    if n < k:
+        return np.zeros(1, dtype=np.uint64)
+    # polynomial hash of each k-byte window, vectorized via stride tricks
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    base = np.uint64(257)
+    powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    hashes = (win * powers).sum(axis=1, dtype=np.uint64) & _MAX_HASH
+    return np.unique(hashes)
+
+
+def word_ngrams(tokens: list[str], n: int = 3) -> set:
+    if len(tokens) < n:
+        return {tuple(tokens)} if tokens else set()
+    return {tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64,
+                      seed: int = 7, perms=None) -> np.ndarray:
+    """uint32 signature of length num_perm."""
+    a, b = perms if perms is not None else _permutations(num_perm, seed)
+    x = shingle_hashes.astype(np.uint64)
+    if x.size == 0:
+        x = np.zeros(1, dtype=np.uint64)
+    # (num_perm, n_shingles) — modest sizes; fine per doc
+    vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE_P
+    return (vals.min(axis=1) & _MAX_HASH).astype(np.uint32)
+
+
+def lsh_band_keys(signature: np.ndarray, num_bands: int = 16) -> np.ndarray:
+    """Split a signature into bands; returns uint64 key per band
+    (band_id folded in so keys from different bands never collide)."""
+    sig = signature.reshape(num_bands, -1).astype(np.uint64)
+    keys = np.empty(num_bands, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # intended mod-2^64 wraparound
+        for i in range(num_bands):
+            h = np.uint64(1469598103934665603)  # FNV-64 offset basis
+            for v in sig[i]:
+                h = (h ^ v) * np.uint64(1099511628211)
+            keys[i] = (h ^ np.uint64(i)) * np.uint64(1099511628211)
+    return keys
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))

@@ -1,0 +1,403 @@
+"""Driver-contract operations over the shared testdata tables.
+
+``__ray_entry__.queries()`` callables are built from these functions.
+Input tables live in an ``sf_dir`` (``documents``, ``embeddings``, ...).
+The full-text engine's own input shape is the transcripts table of
+BASELINE.json's ``input_hint``; ``derive_transcripts`` maps the shared
+``documents`` table into exactly that shape deterministically
+(conv_id = source, turn_idx = dense doc_id rank within source), so the
+flagship pipelines run on testdata without synthesizing external data.
+
+Everything here follows the engine design rules: Arrow batches,
+vectorized kernels, broadcast small sides, no driver-side row loops on
+the big path.  Indexes built for query entries are cached per
+``(sf_dir, config)`` under /tmp and reused across calls via the
+build pipeline's lineage manifests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..config import DEFAULT_STOP_WORDS, EngineConfig
+from ..functions.textstats import BPE_TOKEN, PUNCT, WS_TOKEN
+from ..pipelines.index_build import build_index
+from ..pipelines.query import QueryEngine
+from ..stages.tokenizer import tokenize_to_doc_terms
+from ..stages.docids import AssignDocIds, conv_bases
+
+_CACHE_ROOT = "/tmp/sesr_entry"
+
+# fixed flagship query set over the documents vocabulary (deterministic;
+# lowercase ASCII so the M4 transform is the identity and the DuckDB
+# oracle stays readable)
+FLAGSHIP_QUERIES = [
+    "query hash join",
+    "merge sort table scan",
+    "the data",
+    "window filter",
+    "slow vector stream",
+    "customer line value",
+    "spark group row",
+    "big batch agg",
+]
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _read_documents(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(_docs_path(sf_dir))
+
+
+# ------------------------------------------------------- transcripts IO
+
+def derive_transcripts(sf_dir: str) -> str:
+    """documents -> transcripts-shaped parquet (cached).  Deterministic:
+    conv_id = source, turn_idx = rank of doc_id within source."""
+    key = hashlib.sha256(f"ts|{sf_dir}".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"transcripts_{key}")
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["doc_id", "text", "source"])
+
+    def to_turns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = len(g)
+        tidx = np.arange(n, dtype=np.int32)
+        return pd.DataFrame({
+            "conv_id": g["source"].to_numpy(),
+            "turn_idx": tidx,
+            "role": np.where(tidx % 2 == 0, "user", "assistant"),
+            "text": g["text"].to_numpy(),
+            "tool": np.full(n, "", dtype=object),
+            "ts": pd.to_datetime(1_700_000_000_000_000 + tidx.astype(np.int64)
+                                 * 1_000_000, unit="us"),
+        })
+
+    ts = docs.groupby("source").map_groups(to_turns, batch_format="pandas")
+    ts.write_parquet(out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def transcripts_index(sf_dir: str, near_dedup: bool = False) -> str:
+    """Build (or reuse via lineage) the inverted index over the derived
+    transcripts.  ``near_dedup=False`` disables A3/A4 entirely so the
+    pipeline stays SQL-checkable: simhash-equality dedup has false
+    positives (distinct texts, same 64-bit fingerprint — observed on the
+    small-vocab documents corpus) that no SQL oracle can reproduce.  The
+    dedup path itself is gated by the pytest oracles + ``exact_dedup``."""
+    ts_dir = derive_transcripts(sf_dir)
+    files = sorted(os.path.join(ts_dir, f) for f in os.listdir(ts_dir)
+                   if f.endswith(".parquet"))
+    cfg = EngineConfig(dedup_enabled=near_dedup,
+                       num_input_buckets=4, num_doc_shards=4)
+    key = hashlib.sha256(
+        f"idx|{sf_dir}|{cfg.fingerprint()}".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"index_{key}")
+    build_index(files, out, cfg)   # lineage-resumable: re-runs skip
+    return out
+
+
+# ----------------------------------------------------- query callables
+
+def q_term_df(sf_dir: str) -> pd.DataFrame:
+    """(term, df): engine-tokenized document frequency over documents."""
+    dt = tokenize_to_doc_terms(
+        _read_documents(sf_dir).select_columns(["doc_id", "text"]),
+        stop_words=DEFAULT_STOP_WORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(terms, return_counts=True)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "partial": pa.array(counts.astype(np.int64))})
+
+    pdf = dt.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").sum("partial").to_pandas()
+    col = [c for c in pdf.columns if c != "term"][0]
+    pdf = pdf.rename(columns={col: "df"}).sort_values("term")
+    pdf["df"] = pdf["df"].astype(np.int64)
+    return pdf.reset_index(drop=True)
+
+
+def q_term_tf(sf_dir: str) -> pd.DataFrame:
+    """(term, total_tf): corpus-total term frequency (dict G5 analogue)."""
+    dt = tokenize_to_doc_terms(
+        _read_documents(sf_dir).select_columns(["doc_id", "text"]),
+        stop_words=DEFAULT_STOP_WORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, tfs)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "partial": pa.array(s)})
+
+    pdf = dt.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").sum("partial").to_pandas()
+    col = [c for c in pdf.columns if c != "term"][0]
+    pdf = pdf.rename(columns={col: "total_tf"}).sort_values("term")
+    pdf["total_tf"] = pdf["total_tf"].astype(np.int64)
+    return pdf.reset_index(drop=True)
+
+
+def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_text_chars) — integer-exact
+    token-counting stats (SQL-checkable slice of the text-stats stage)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(
+                np.fromiter((len(WS_TOKEN.findall(t)) for t in texts),
+                            np.int64, len(texts))),
+            "n_bpe_tokens": pa.array(
+                np.fromiter((len(BPE_TOKEN.findall(t)) for t in texts),
+                            np.int64, len(texts))),
+            "n_text_chars": pa.array(
+                np.fromiter((len(t) for t in texts), np.int64, len(texts))),
+        })
+
+    return _read_documents(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(stats, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quality_counts(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_punct_chars, n_stop_tokens) — integer-exact
+    slice of the quality-scoring op."""
+    stop = frozenset(DEFAULT_STOP_WORDS)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        n_tok = np.zeros(n, np.int64)
+        n_punct = np.zeros(n, np.int64)
+        n_stop = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            toks = WS_TOKEN.findall(t)
+            n_tok[i] = len(toks)
+            n_punct[i] = len(PUNCT.findall(t))
+            n_stop[i] = sum(1 for w in toks if w.lower() in stop)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n_tok),
+                         "n_punct_chars": pa.array(n_punct),
+                         "n_stop_tokens": pa.array(n_stop)})
+
+    return _read_documents(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(stats, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """(doc_id): exact-text dedup survivors — min doc_id per identical
+    text (hash-partition + per-group first)."""
+    from ..stages.dedup import exact_dedup_first
+    kept = exact_dedup_first(
+        _read_documents(sf_dir).select_columns(["doc_id", "text"]),
+        key="text", order_col="doc_id")
+    pdf = kept.select_columns(["doc_id"]).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lang_hist(sf_dir: str) -> pd.DataFrame:
+    """(lang_pred, n): language-ID histogram over documents."""
+    from ..stages.textstages import text_stats
+    st = text_stats(_read_documents(sf_dir).select_columns(["doc_id", "text"]),
+                    stop_words=DEFAULT_STOP_WORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang_pred"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(langs, return_counts=True)
+        return pa.table({"lang_pred": pa.array(uniq, pa.string()),
+                         "partial": pa.array(counts.astype(np.int64))})
+
+    pdf = st.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang_pred").sum("partial").to_pandas()
+    col = [c for c in pdf.columns if c != "lang_pred"][0]
+    pdf = pdf.rename(columns={col: "n"}).sort_values("lang_pred")
+    pdf["n"] = pdf["n"].astype(np.int64)
+    return pdf.reset_index(drop=True)
+
+
+def q_transcript_prep(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, conv_id, turn_idx, text): doc-prep output (A5 docids +
+    min-length filter) over the derived transcripts — the per-turn text
+    equality invariant surface."""
+    ts_dir = derive_transcripts(sf_dir)
+    ds = ray.data.read_parquet(ts_dir, columns=["conv_id", "turn_idx", "text"])
+    bases = conv_bases(ds)
+    bases_ref = ray.put(bases)
+    out = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.utf8_length(t["text"]), 10)),
+        batch_format="pyarrow").map_batches(
+        AssignDocIds, fn_constructor_args=(bases_ref,),
+        batch_format="pyarrow", concurrency=(1, 4))
+    pdf = out.to_pandas()[["doc_id", "conv_id", "turn_idx", "text"]]
+    pdf["turn_idx"] = pdf["turn_idx"].astype(np.int64)
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ts_doc_len(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, doc_len): built-index doc stats over derived transcripts
+    (exact-dedup config => SQL-checkable)."""
+    idx = transcripts_index(sf_dir)
+    import glob
+    files = sorted(glob.glob(os.path.join(idx, "doc_stats", "**",
+                                          "*.parquet"), recursive=True))
+    t = pq.read_table(files, columns=["doc_id", "doc_len"])
+    pdf = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pdf["doc_len"] = pdf["doc_len"].astype(np.int64)
+    return pdf
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id, score_u): conjunctive BM25 top-10 for the
+    flagship query set over the transcripts index (exact-dedup config).
+    ``score_u = floor(score * 1e6)`` — integer micro-score so the
+    driver's value-hash is immune to float formatting."""
+    import math
+    idx = transcripts_index(sf_dir)
+    eng = QueryEngine(idx, num_actors=4)
+    try:
+        rows = []
+        for qid, q in enumerate(FLAGSHIP_QUERIES):
+            for r in eng.bm25_topk(q, k=10):
+                rows.append((qid, r["rank"], r["doc_id"],
+                             int(math.floor(r["score"] * 1e6))))
+    finally:
+        eng.shutdown()
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score_u"]) \
+        .astype(np.int64)
+
+
+def q_ref_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, doc_id): reference-literal cosine top-10 (sign
+    quirks intact — non-SQL-expressible, rows-only check)."""
+    idx = transcripts_index(sf_dir)
+    eng = QueryEngine(idx, num_actors=4)
+    try:
+        rows = []
+        for qid, q in enumerate(FLAGSHIP_QUERIES):
+            for r in eng.ref_cosine_topk(q, k=10):
+                rows.append((qid, r["rank"], r["doc_id"]))
+    finally:
+        eng.shutdown()
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id"]) \
+        .astype(np.int64)
+
+
+def _query_vectors(sf_dir: str, n: int = 3):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    flt = t.filter(pc.less(t["vec_id"], n))
+    ids = flt["vec_id"].to_numpy(zero_copy_only=False)
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in flt["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    return ids[order], vecs[order]
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, vec_id): exact cosine top-10 over embeddings for
+    query vectors = embeddings 0..2 (scores omitted: rank is the
+    contract; ordering quantized to 1e-9 with vec_id tie-break)."""
+    from ..pipelines.similarity import brute_force_topk
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    pdf = brute_force_topk(ds, "vec_id", "embedding", qids.tolist(), qvecs,
+                           k=10)
+    # re-rank under the quantized order for oracle parity
+    pdf["qc"] = pdf["cosine"].round(9)
+    pdf = pdf.sort_values(["query_id", "qc", "vec_id"],
+                          ascending=[True, False, True])
+    pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
+    return pdf[["query_id", "rank", "vec_id"]].astype(np.int64) \
+        .reset_index(drop=True)
+
+
+def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, vec_id): IVF approximate ANN (rows-only: the
+    approximation has no SQL equivalent)."""
+    from ..pipelines.similarity import ivf_topk
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    pdf = ivf_topk(ds, "vec_id", "embedding", qids.tolist(), qvecs,
+                   k=10, n_centroids=16, nprobe=4)
+    return pdf[["query_id", "rank", "vec_id"]].astype(np.int64) \
+        .reset_index(drop=True)
+
+
+def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """(id, rep_id): MinHash+LSH near-dup clusters over documents
+    (rows-only check)."""
+    from ..stages.dedup import minhash_lsh_dedup
+    return minhash_lsh_dedup(_read_documents(sf_dir), "doc_id", "text",
+                             jaccard_threshold=0.8)
+
+
+def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """(src, dst): word-3-gram Jaccard >= 0.8 near-dup pairs (rows-only)."""
+    pdf = __import__(
+        "searchenginesimple_ray.stages.dedup", fromlist=["ngram_jaccard_pairs"]
+    ).ngram_jaccard_pairs(_read_documents(sf_dir), "doc_id", "text",
+                          n=3, threshold=0.8)
+    return pdf[["src", "dst"]].astype(np.int64) if len(pdf) else \
+        pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                      "dst": pd.Series([], dtype=np.int64)})
+
+
+def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, simhash_hex): 64-bit simhash per doc (rows-only)."""
+    from ..stages.simhash import add_simhash
+    ds = add_simhash(_read_documents(sf_dir).select_columns(["doc_id", "text"]),
+                     stop_words=tuple(DEFAULT_STOP_WORDS))
+
+    def to_hex(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash_hex": pa.array([f"{x:016x}" for x in h])})
+
+    return ds.map_batches(to_hex, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """(src, dst): embedding-cosine >= 0.95 near-dup pairs via
+    hyperplane-LSH buckets (rows-only: bucketed recall < 1)."""
+    from ..stages.dedup import embedding_near_dup_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    pdf = embedding_near_dup_pairs(ds, "vec_id", "embedding",
+                                   cosine_threshold=0.95)
+    return pdf[["src", "dst"]].astype(np.int64) if len(pdf) else \
+        pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                      "dst": pd.Series([], dtype=np.int64)})
+
+
+def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
+    """Flagship: transcripts -> index build -> BM25 top-k query set."""
+    return q_bm25_topk(sf_dir)

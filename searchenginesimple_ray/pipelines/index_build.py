@@ -1,0 +1,316 @@
+"""Index-build pipeline: transcripts Parquet -> sharded inverted index.
+
+Replaces the reference's single-threaded ``page`` entry point
+(`src/page.cc:3-11` -> `PageLibPreprocessor` -> `cutRedundantPage` ->
+`buildDict` -> `storeOnDisk`, SURVEY §3.1) with streaming Ray Data
+stages.  Layout under ``out_dir``::
+
+    conv_bases/bases.json            global docid bases (A5)
+    docs_raw/bucket=K/*.parquet      prep + simhash, per input bucket
+    dedup/{drop_ids,clusters}.parquet  near-dup verdicts (A3/A4)
+    docs/bucket=K/*.parquet          deduped doc store (S5 analogue)
+    doc_terms/bucket=K/*.parquet     forward index (G1)
+    term_df/*.parquet                global DF (G2)
+    doc_stats/*.parquet              doc_len + ref L2 norm (G4), by doc_shard
+    postings/doc_shard=D/*.parquet   compressed postings (A6), by doc shard
+    meta.json                        N, avgdl, config, per-stage metrics
+
+Every partition dir is written atomically and sealed with a
+``_lineage.json`` (input fingerprint + config fingerprint + row count)
+— a killed ``ray job submit`` run resumes by skipping every sealed
+partition, re-tokenizing nothing completed (north rule; see
+``state/lineage.py``).  Input buckets are contiguous ranges of the
+input file list, so at cluster scale a bucket is a range of S3 keys.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..config import EngineConfig
+from ..stages.docids import AssignDocIds, conv_bases
+from ..stages.dedup import components_min_rep, simhash_near_dup_edges
+from ..stages.postings import build_postings, doc_stats, term_document_frequencies
+from ..stages.simhash import add_simhash
+from ..stages.tokenizer import tokenize_to_doc_terms
+from ..state import lineage
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    n_docs_raw: int = 0
+    n_docs: int = 0
+    n_dropped: int = 0
+    n_terms: int = 0
+    n_posting_rows: int = 0
+    avgdl: float = 0.0
+    stages_run: list = field(default_factory=list)
+    stages_skipped: list = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+
+
+def _pq_files(d: str) -> list[str]:
+    """Committed parquet files only — a killed run's uncommitted
+    ``*.tmp-<nonce>`` partition dirs must never feed downstream stages."""
+    return sorted(
+        f for f in glob.glob(os.path.join(d, "**", "*.parquet"),
+                             recursive=True)
+        if ".tmp-" not in f)
+
+
+def _bucket_ranges(files: list[str], n_buckets: int) -> list[list[str]]:
+    return [list(c) for c in np.array_split(files, n_buckets) if len(c)]
+
+
+def build_index(input_files: list[str], out_dir: str,
+                cfg: EngineConfig | None = None) -> BuildResult:
+    cfg = cfg or EngineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    lineage.gc_tmp_dirs(out_dir)   # drop a killed run's uncommitted writes
+    in_fp = lineage.input_fingerprint(input_files)
+    cfg_fp = cfg.fingerprint()
+    res = BuildResult(out_dir=out_dir)
+    stop = tuple(cfg.stop_words)
+
+    # chained lineage: each stage's fingerprint folds in the manifest
+    # hashes of its upstream stages, so a recomputed-and-DIFFERENT
+    # upstream invalidates downstream, while a deterministic identical
+    # recompute re-seals the same hash and downstream stays skippable.
+    import hashlib
+    stage_hashes: dict[str, str] = {}
+
+    def run_or_skip(stage: str, part, part_dir: str, fn, deps: list = ()):
+        """fn(tmp_dir) -> (row_count, extra); returns manifest dict."""
+        dep_h = ",".join(stage_hashes[d] for d in deps)
+        fp = in_fp + ("|" + dep_h if dep_h else "")
+        key = f"{stage}/{part}"
+        if lineage.is_complete(part_dir, stage, fp, cfg_fp):
+            m = lineage.read_manifest(part_dir)
+            res.stages_skipped.append(key)
+        else:
+            with lineage.atomic_dir(part_dir) as tmp:
+                row_count, extra = fn(tmp)
+            m = lineage.seal(part_dir, stage, part, fp, cfg_fp,
+                             row_count, extra)
+            res.stages_run.append(key)
+        stage_hashes[key] = hashlib.sha256(
+            json.dumps(m, sort_keys=True).encode()).hexdigest()[:12]
+        return m
+
+    buckets = _bucket_ranges(sorted(input_files), cfg.num_input_buckets)
+
+    # ---- stage 0: global docid bases (metadata-only pass, A5) ----------
+    bases_dir = os.path.join(out_dir, "conv_bases")
+
+    def compute_bases(tmp):
+        ds = ray.data.read_parquet(sorted(input_files),
+                                   columns=["conv_id", "turn_idx"])
+        bases = conv_bases(ds)
+        with open(os.path.join(tmp, "bases.json"), "w") as f:
+            json.dump(bases, f)
+        return len(bases), {}
+
+    run_or_skip("conv_bases", "global", bases_dir, compute_bases)
+    with open(os.path.join(bases_dir, "bases.json")) as f:
+        bases = json.load(f)
+    bases_ref = ray.put(bases)
+
+    # ---- stage 1: per-bucket doc prep + simhash (M8, A5, T1/T2) --------
+    min_len = cfg.min_text_len
+    for k, bucket_files in enumerate(buckets):
+        part_dir = os.path.join(out_dir, "docs_raw", f"bucket={k}")
+
+        def prep(tmp, bucket_files=bucket_files):
+            ds = ray.data.read_parquet(
+                bucket_files, columns=["conv_id", "turn_idx", "text"])
+            ds = ds.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(pc.utf8_length(t["text"]), min_len)),
+                batch_format="pyarrow")
+            ds = ds.map_batches(AssignDocIds, fn_constructor_args=(bases_ref,),
+                                batch_format="pyarrow", concurrency=(1, 4))
+            ds = add_simhash(ds, stop_words=stop, top_n=cfg.simhash_top_n,
+                             concurrency=(1, cfg.simhash_concurrency),
+                             batch_size=cfg.tokenize_batch_size)
+            ds = ds.map_batches(
+                lambda t: t.append_column(
+                    "text_len", pc.cast(pc.utf8_length(t["text"]), "int32")),
+                batch_format="pyarrow")
+            ds.write_parquet(tmp)
+            n = sum(pq.read_metadata(f).num_rows for f in _pq_files(tmp))
+            return n, {}
+
+        m = run_or_skip("docs_raw", f"bucket={k}", part_dir,
+                        prep, deps=["conv_bases/global"])
+        res.metrics[f"docs_raw/bucket={k}"] = m["row_count"]
+    res.n_docs_raw = sum(res.metrics[f"docs_raw/bucket={k}"]
+                         for k in range(len(buckets)))
+
+    # ---- stage 2: global near-dedup (A3/A4) ----------------------------
+    dedup_dir = os.path.join(out_dir, "dedup")
+
+    def dedup(tmp):
+        import pandas as pd
+        if cfg.dedup_enabled:
+            docs_raw = ray.data.read_parquet(
+                _pq_files(os.path.join(out_dir, "docs_raw")))
+            edges = simhash_near_dup_edges(docs_raw, cfg.num_bands,
+                                           cfg.hamming_threshold)
+            rep = components_min_rep(edges) if len(edges) else {}
+        else:
+            rep = {}
+        drop = np.array(sorted(d for d, r in rep.items() if d != r),
+                        dtype=np.int64)
+        pq.write_table(pa.table({"doc_id": drop}),
+                       os.path.join(tmp, "drop_ids.parquet"))
+        cl = pd.DataFrame(sorted(rep.items()), columns=["doc_id", "rep_id"])
+        pq.write_table(pa.Table.from_pandas(cl, preserve_index=False),
+                       os.path.join(tmp, "clusters.parquet"))
+        return len(drop), {"n_clusters": len(set(rep.values()))}
+
+    m = run_or_skip("dedup", "global", dedup_dir, fn=dedup,
+                    deps=[f"docs_raw/bucket={k}" for k in range(len(buckets))])
+    res.metrics["dedup/dropped"] = m["row_count"]
+
+    drop_ids = pq.read_table(
+        os.path.join(dedup_dir, "drop_ids.parquet"))["doc_id"].to_numpy()
+    res.n_dropped = len(drop_ids)
+    drop_ref = ray.put(np.sort(drop_ids))
+
+    # ---- stage 3: per-bucket deduped doc store + tokenize (S5, G1) -----
+    class ApplyDrop:
+        def __init__(self, ref):
+            self.drop = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(t["simhash"], pa.scalar(0, pa.uint64())))
+            if len(self.drop) == 0 or t.num_rows == 0:
+                return t
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.drop, doc), 0,
+                          len(self.drop) - 1)
+            return t.filter(pa.array(self.drop[pos] != doc))
+
+    for k in range(len(buckets)):
+        docs_dir = os.path.join(out_dir, "docs", f"bucket={k}")
+
+        def mk_docs(tmp, k=k):
+            ds = ray.data.read_parquet(
+                _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")))
+            ds = ds.map_batches(ApplyDrop, fn_constructor_args=(drop_ref,),
+                                batch_format="pyarrow", concurrency=(1, 4))
+            ds.write_parquet(tmp)
+            n = sum(pq.read_metadata(f).num_rows for f in _pq_files(tmp))
+            return n, {}
+
+        m = run_or_skip("docs", f"bucket={k}", docs_dir, mk_docs,
+                        deps=[f"docs_raw/bucket={k}", "dedup/global"])
+        res.metrics[f"docs/bucket={k}"] = m["row_count"]
+
+        dt_dir = os.path.join(out_dir, "doc_terms", f"bucket={k}")
+
+        def mk_terms(tmp, k=k):
+            ds = ray.data.read_parquet(
+                _pq_files(os.path.join(out_dir, "docs", f"bucket={k}")))
+            dt = tokenize_to_doc_terms(ds, stop_words=stop,
+                                       concurrency=(1, cfg.tokenize_concurrency),
+                                       batch_size=cfg.tokenize_batch_size)
+            dt.write_parquet(tmp)
+            n = sum(pq.read_metadata(f).num_rows for f in _pq_files(tmp))
+            return n, {}
+
+        m = run_or_skip("doc_terms", f"bucket={k}", dt_dir, mk_terms,
+                        deps=[f"docs/bucket={k}"])
+        res.metrics[f"doc_terms/bucket={k}"] = m["row_count"]
+
+    res.n_docs = sum(res.metrics[f"docs/bucket={k}"]
+                     for k in range(len(buckets)))
+
+    # ---- stage 4: global term DF (G2) ----------------------------------
+    df_dir = os.path.join(out_dir, "term_df")
+
+    def mk_df(tmp):
+        dt = ray.data.read_parquet(_pq_files(os.path.join(out_dir, "doc_terms")))
+        df_pdf = term_document_frequencies(dt)
+        pq.write_table(pa.Table.from_pandas(df_pdf, preserve_index=False),
+                       os.path.join(tmp, "term_df.parquet"))
+        return len(df_pdf), {}
+
+    m = run_or_skip("term_df", "global", df_dir, mk_df,
+                    deps=[f"doc_terms/bucket={k}" for k in range(len(buckets))])
+    res.n_terms = m["row_count"]
+    df_pdf = pq.read_table(os.path.join(df_dir, "term_df.parquet")).to_pandas()
+    df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
+
+    # ---- stage 5: doc_stats (doc_len, ref L2 norm — G4) ----------------
+    stats_dir = os.path.join(out_dir, "doc_stats")
+
+    def mk_stats(tmp):
+        dt = ray.data.read_parquet(_pq_files(os.path.join(out_dir, "doc_terms")))
+        st = doc_stats(dt, df_map, n_docs=res.n_docs,
+                       num_doc_shards=cfg.num_doc_shards)
+        st.write_parquet(tmp, partition_cols=["doc_shard"])
+        n = sum(pq.read_metadata(f).num_rows for f in _pq_files(tmp))
+        return n, {}
+
+    m = run_or_skip("doc_stats", "global", stats_dir, mk_stats,
+                    deps=[f"doc_terms/bucket={k}" for k in range(len(buckets))]
+                    + ["term_df/global"])
+    n_stats = m["row_count"]
+
+    # ---- stage 6: postings (A1/A6 + skew salt) -------------------------
+    postings_dir = os.path.join(out_dir, "postings")
+
+    def mk_postings(tmp):
+        dt = ray.data.read_parquet(_pq_files(os.path.join(out_dir, "doc_terms")))
+        po = build_postings(dt, df_map,
+                            num_term_shards=cfg.num_term_shards,
+                            num_doc_shards=cfg.num_doc_shards,
+                            hot_term_df_threshold=cfg.hot_term_df_threshold,
+                            posting_block_size=cfg.posting_block_size)
+        po.write_parquet(tmp, partition_cols=["doc_shard"])
+        per_shard = {}
+        for f in _pq_files(tmp):
+            shard = os.path.basename(os.path.dirname(f))
+            per_shard[shard] = per_shard.get(shard, 0) + pq.read_metadata(f).num_rows
+        return sum(per_shard.values()), {"per_shard_rows": per_shard}
+
+    m = run_or_skip("postings", "global", postings_dir, mk_postings,
+                    deps=[f"doc_terms/bucket={k}" for k in range(len(buckets))]
+                    + ["term_df/global"])
+    res.n_posting_rows = m["row_count"]
+    res.metrics["postings/per_shard"] = m["extra"].get("per_shard_rows", {})
+
+    # ---- meta ----------------------------------------------------------
+    stats_files = _pq_files(stats_dir)
+    tot_len = 0
+    for f in stats_files:
+        t = pq.read_table(f, columns=["doc_len"])
+        tot_len += int(pc.sum(t["doc_len"]).as_py() or 0)
+    res.avgdl = (tot_len / n_stats) if n_stats else 0.0
+    meta = {
+        "n_docs": res.n_docs, "n_docs_raw": res.n_docs_raw,
+        "n_dropped": res.n_dropped, "n_terms": res.n_terms,
+        "n_docs_with_terms": n_stats,
+        "avgdl": res.avgdl,
+        "num_doc_shards": cfg.num_doc_shards,
+        "num_term_shards": cfg.num_term_shards,
+        "bm25_k1": cfg.bm25_k1, "bm25_b": cfg.bm25_b,
+        "config_fingerprint": cfg_fp, "input_fingerprint": in_fp,
+        "metrics": res.metrics,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return res

@@ -1,0 +1,460 @@
+"""Query path: actor-pool scorers over the sharded inverted index.
+
+Replaces the reference's single-process ``PageServer`` (whole index in
+one process RAM, `include/Page/WebPageQuery.hpp:28-36`, SURVEY §3.3)
+with one scorer actor per doc shard: each actor loads ONLY its shard's
+postings + doc_stats Parquet once (T4), queries fan out to all shards
+and the driver merges per-shard top-k (G8).
+
+Two scorers:
+
+- ``bm25_topk`` — the north-star scorer: conjunctive posting-list
+  intersection (A8 semantics: query terms absent from the index are
+  dropped first, `WebPageQuery.hpp:52-58`; empty term set => empty
+  result) with BM25 scoring and optional block-max pruning (Ding &
+  Suel 2011): per-block score upper bounds (computed exactly at actor
+  load from block-max-tf metadata + local doc lens) skip blocks that
+  cannot beat the running min-heap threshold.  Pruning is exactness-
+  preserving — property-tested equal to the exhaustive path.
+- ``ref_cosine_topk`` — the reference's literal scorer, quirks intact
+  (SURVEY §7.5): query weights ``IDF=log2(1/(1+1))=-1`` times TF,
+  L2-normalized (G6, `WebPageQuery.hpp:140-185`); the scoring loop
+  iterates RAW segmented words while weights/postings are keyed by
+  transformed tokens, so tokens altered by the M4 case map contribute
+  zero (G7, `WebPageQuery.hpp:86-99`); min-heap pop order => ascending
+  raw cosine = descending true cosine (G8, `WebPageQuery.hpp:101-136`).
+  Tie/NaN rule (defined, reference UB): sort by (raw_score asc,
+  doc_id asc), NaN scores last by doc_id.
+
+Determinism: identical results at any actor count (shard-local results
+are merged with a total (score, doc_id) order).
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import json
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray
+
+from ..functions.ranking import EPS, sort_scored_asc_nan_last, sort_scored_desc
+from ..functions.tokenize import query_raw_and_transformed, ref_transform, segment
+from ..functions.varbyte import decode_postings
+
+
+class ScorerCore:
+    """Shard-local scoring state + kernels (plain class: unit-testable
+    without Ray; wrapped in an actor by QueryEngine)."""
+
+    def __init__(self, index_dir: str, doc_shards: list[int]):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.k1 = float(self.meta["bm25_k1"])
+        self.b = float(self.meta["bm25_b"])
+        self.n_docs = int(self.meta["n_docs"])
+        self.avgdl = float(self.meta["avgdl"]) or 1.0
+
+        # doc stats for owned shards
+        stats_files = []
+        post_files = []
+        for sh in doc_shards:
+            stats_files += glob.glob(os.path.join(
+                index_dir, "doc_stats", f"doc_shard={sh}", "*.parquet"))
+            post_files += glob.glob(os.path.join(
+                index_dir, "postings", f"doc_shard={sh}", "*.parquet"))
+        if stats_files:
+            st = pq.read_table(stats_files,
+                               columns=["doc_id", "doc_len", "ref_norm"])
+            doc_id = st["doc_id"].to_numpy()
+            order = np.argsort(doc_id)
+            self.stat_doc_ids = doc_id[order]
+            self.doc_len = st["doc_len"].to_numpy()[order].astype(np.float64)
+            self.ref_norm = st["ref_norm"].to_numpy()[order]
+        else:
+            self.stat_doc_ids = np.empty(0, np.int64)
+            self.doc_len = np.empty(0)
+            self.ref_norm = np.empty(0)
+
+        # postings: term -> (doc_ids u64, tfs f64, df int); salted rows merged
+        self.postings: dict[str, tuple] = {}
+        raw: dict[str, list] = {}
+        self.df: dict[str, int] = {}
+        for f in sorted(post_files):
+            t = pq.read_table(f, columns=["term", "salt", "df", "n_local",
+                                          "doc_ids_vb", "tfs_vb"])
+            terms = t["term"].to_pylist()
+            dfs = t["df"].to_numpy()
+            nloc = t["n_local"].to_numpy()
+            dvb = t["doc_ids_vb"].to_pylist()
+            tvb = t["tfs_vb"].to_pylist()
+            for i, term in enumerate(terms):
+                ids, tfs = decode_postings(dvb[i], tvb[i], int(nloc[i]))
+                raw.setdefault(term, []).append((ids, tfs))
+                self.df[term] = int(dfs[i])
+        for term, runs in raw.items():
+            if len(runs) == 1:
+                ids, tfs = runs[0]
+            else:  # merge salted sub-lists (hot-term skew split, 2nd pass)
+                ids = np.concatenate([r[0] for r in runs])
+                tfs = np.concatenate([r[1] for r in runs])
+                o = np.argsort(ids)
+                ids, tfs = ids[o], tfs[o]
+            self.postings[term] = (ids.astype(np.int64), tfs.astype(np.float64))
+
+        # precompute exact BM25 term scores + block maxima (block-max-tf
+        # metadata is stored at build; exact per-block score bounds are
+        # refined here where local doc lens are known)
+        self.block_size = 128
+        self.scores: dict[str, np.ndarray] = {}
+        self.block_max: dict[str, np.ndarray] = {}
+        for term, (ids, tfs) in self.postings.items():
+            idx = np.searchsorted(self.stat_doc_ids, ids)
+            idx = np.clip(idx, 0, max(0, len(self.stat_doc_ids) - 1))
+            dl = self.doc_len[idx] if len(self.doc_len) else np.ones(len(ids))
+            idf = self._bm25_idf(self.df[term])
+            denom = tfs + self.k1 * (1 - self.b + self.b * dl / self.avgdl)
+            s = idf * tfs * (self.k1 + 1) / denom
+            self.scores[term] = s
+            nb = (len(s) + self.block_size - 1) // self.block_size
+            if nb:
+                self.block_max[term] = np.maximum.reduceat(
+                    s, np.arange(0, len(s), self.block_size))
+            else:
+                self.block_max[term] = np.empty(0)
+
+    # ------------------------------------------------------------ BM25
+
+    def _bm25_idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def bm25_local_topk(self, qterms: list[tuple[str, int]], k: int,
+                        conjunctive: bool = True,
+                        method: str = "auto") -> list[tuple[float, int]]:
+        """Local top-k: list of (score, doc_id), score desc, doc_id asc.
+
+        ``qterms``: (transformed term, query tf) pairs; absent terms are
+        dropped (A8).  ``method``: 'exhaustive' | 'pruned' | 'auto'.
+        """
+        # ``qterms`` were already filtered by the DRIVER to globally-
+        # present terms (A8 erasure is a global decision).  A term the
+        # driver kept but this shard lacks => no local doc contains it:
+        # conjunctive result is empty HERE, the term is NOT dropped.
+        if not qterms:
+            return []
+        if conjunctive:
+            if any(t not in self.postings for t, _ in qterms):
+                return []
+            present = qterms
+
+            cand = None
+            for t, _ in sorted(present, key=lambda x: len(self.postings[x[0]][0])):
+                ids = self.postings[t][0]
+                cand = ids if cand is None else cand[
+                    np.isin(cand, ids, assume_unique=True)]
+                if len(cand) == 0:
+                    return []
+            total = np.zeros(len(cand))
+            use_prune = (method == "pruned" or
+                         (method == "auto" and len(cand) > 4 * k))
+            if use_prune:
+                # block-max pruning over the candidate set: upper-bound each
+                # candidate by the sum of its terms' block maxima; exact-score
+                # only candidates whose bound can still beat the running
+                # min-heap threshold (lagged by EPS so quantized ties are
+                # never pruned — exactness-preserving, property-tested)
+                bounds = np.zeros(len(cand))
+                for t, q in present:
+                    ids = self.postings[t][0]
+                    pos = np.searchsorted(ids, cand)
+                    bounds += q * self.block_max[t][pos // self.block_size]
+                order = np.argsort(-bounds)
+                heap: list[tuple[float, int]] = []
+                scored: list[tuple[float, int]] = []
+                for ci in order:
+                    if len(heap) >= k and bounds[ci] <= heap[0][0] - EPS:
+                        break  # no remaining candidate can beat the heap min
+                    d = int(cand[ci])
+                    s = 0.0
+                    for t, q in present:
+                        ids, _ = self.postings[t]
+                        s += q * self.scores[t][np.searchsorted(ids, d)]
+                    scored.append((s, d))
+                    item = (s, -d)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                return sort_scored_desc(scored)[:k]
+            for t, q in present:
+                ids, _ = self.postings[t]
+                pos = np.searchsorted(ids, cand)
+                total += q * self.scores[t][pos]
+            return self._topk_from(cand, total, k)
+        # disjunctive: terms this shard lacks simply contribute nothing
+        present = [(t, q) for t, q in qterms if t in self.postings]
+        if not present:
+            return []
+        if method == "pruned":
+            return self._wand_topk(present, k)
+        all_ids = np.concatenate([self.postings[t][0] for t, _ in present])
+        uniq = np.unique(all_ids)
+        total = np.zeros(len(uniq))
+        for t, q in present:
+            ids, _ = self.postings[t]
+            pos = np.searchsorted(uniq, ids)
+            np.add.at(total, pos, q * self.scores[t])
+        return self._topk_from(uniq, total, k)
+
+    def _topk_from(self, ids: np.ndarray, scores: np.ndarray,
+                   k: int) -> list[tuple[float, int]]:
+        if len(ids) == 0:
+            return []
+        # keep every candidate within EPS of the raw k-th score (so ALL
+        # quantized ties survive the cut), then apply the canonical order
+        if len(ids) > k:
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            sel = scores >= kth - EPS
+            ids, scores = ids[sel], scores[sel]
+        return sort_scored_desc(
+            list(zip(scores.tolist(), ids.tolist())))[:k]
+
+    def _wand_topk(self, present: list[tuple[str, int]],
+                   k: int) -> list[tuple[float, int]]:
+        """Classic block-max WAND (disjunctive, exact top-k): document-at-
+        a-time pivoting with per-term cursors; blocks whose combined
+        upper bound cannot beat the heap threshold are skipped."""
+        terms = [t for t, _ in present]
+        qtf = {t: q for t, q in present}
+        cursors = {t: 0 for t in terms}
+        plists = {t: self.postings[t][0] for t in terms}
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        max_score = {t: qtf[t] * float(self.block_max[t].max())
+                     if len(self.block_max[t]) else 0.0 for t in terms}
+        while True:
+            live = [t for t in terms if cursors[t] < len(plists[t])]
+            if not live:
+                break
+            live.sort(key=lambda t: plists[t][cursors[t]])
+            threshold = heap[0][0] - EPS if len(heap) >= k else -math.inf
+            acc, pivot_term = 0.0, None
+            for t in live:
+                acc += max_score[t]
+                if acc > threshold:
+                    pivot_term = t
+                    break
+            if pivot_term is None:
+                break
+            pivot_doc = int(plists[pivot_term][cursors[pivot_term]])
+            if int(plists[live[0]][cursors[live[0]]]) == pivot_doc:
+                s = 0.0
+                for t in live:
+                    ids = plists[t]
+                    ci = cursors[t]
+                    if ci < len(ids) and ids[ci] == pivot_doc:
+                        s += qtf[t] * float(self.scores[t][ci])
+                        cursors[t] += 1
+                    elif ids[min(ci, len(ids) - 1)] > pivot_doc:
+                        break
+                item = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            else:
+                for t in live:
+                    if plists[t][cursors[t]] >= pivot_doc:
+                        break
+                    cursors[t] = int(np.searchsorted(plists[t], pivot_doc))
+        return sort_scored_desc([(s, -nd) for s, nd in heap])[:k]
+
+    # ------------------------------------------------- reference cosine
+
+    def ref_cosine_local(self, raw_words: list[str],
+                         weight: dict[str, float],
+                         intersect_keys: list[str],
+                         k: int) -> list[tuple[float, int, bool]]:
+        """Literal G7 scoring over this shard.  Returns (raw_cos, doc_id,
+        is_nan) for the local top-k in reference pop order.
+
+        ``intersect_keys``: weight keys with globally non-empty postings
+        (the reference erases empty-posting terms from the intersection
+        but keeps them in the weight map, `WebPageQuery.hpp:52-58`).
+        A key this shard lacks => empty local intersection.
+        """
+        if not intersect_keys:
+            return []
+        if any(t not in self.postings for t in intersect_keys):
+            return []
+        cand = None
+        for t in sorted(intersect_keys,
+                        key=lambda t: len(self.postings[t][0])):
+            ids = self.postings[t][0]
+            cand = ids if cand is None else cand[
+                np.isin(cand, ids, assume_unique=True)]
+            if len(cand) == 0:
+                return []
+        # per-candidate scoring over RAW words (dups included) — G7
+        pos = np.searchsorted(self.stat_doc_ids, cand)
+        pos = np.clip(pos, 0, max(0, len(self.stat_doc_ids) - 1))
+        norms = self.ref_norm[pos]
+        xy = np.zeros(len(cand))
+        X2 = 0.0
+        Y2 = np.zeros(len(cand))
+        n_docs_f = float(self.n_docs)
+        for w in raw_words:
+            wq = weight.get(w, 0.0)
+            X2 += wq * wq
+            p = self.postings.get(w)
+            if p is None:
+                continue
+            ids, tfs = p
+            idx = np.searchsorted(ids, cand)
+            idx_c = np.clip(idx, 0, len(ids) - 1)
+            hit = ids[idx_c] == cand
+            idf = np.log2(n_docs_f / (self.df[w] + 1.0))
+            y = np.where(hit, idf * tfs[idx_c] / np.where(norms > 0, norms, 1.0),
+                         0.0)
+            xy += wq * y
+            Y2 += y * y
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = xy / (np.sqrt(X2) * np.sqrt(Y2))
+        is_nan = ~np.isfinite(cos)
+        # defined order: (cos asc, doc_id asc), NaN last by doc_id; keep
+        # everything within EPS of the raw k-th so quantized ties survive
+        sort_cos = np.where(is_nan, np.inf, cos)
+        if len(cand) > k:
+            kth = np.partition(sort_cos, k - 1)[k - 1]
+            sel = sort_cos <= kth + EPS
+            cand, cos, is_nan = cand[sel], cos[sel], is_nan[sel]
+        ordered = sort_scored_asc_nan_last(
+            [(float(c), int(d), bool(n))
+             for c, d, n in zip(cos, cand, is_nan)])
+        return ordered[:k]
+
+
+def query_weight_vector(sentence: str) -> tuple[list[str], dict[str, float]]:
+    """G6 (`WebPageQuery.hpp:140-185`): raw words + normalized weights.
+
+    NO stop filter on the query path.  IDF is the reference's literal
+    ``log2(1/(DF+1))`` with DF hard-coded 1.0 => -1.0.
+    """
+    raw = segment(sentence)
+    count: Counter = Counter()
+    for w in raw:
+        t = ref_transform(w)
+        if t is not None:
+            count[t] += 1
+    idf = math.log2(1.0 / 2.0)
+    weight = {t: idf * c for t, c in count.items()}
+    sqr = math.sqrt(sum(v * v for v in weight.values()))
+    if sqr > 0:
+        weight = {t: v / sqr for t, v in weight.items()}
+    return raw, weight
+
+
+def bm25_query_terms(sentence: str) -> list[tuple[str, int]]:
+    """Query tokenization for BM25: transform, no stop filter; (term, qtf)."""
+    _, transformed = query_raw_and_transformed(sentence)
+    return sorted(Counter(transformed).items())
+
+
+class QueryEngine:
+    """Driver-side facade over the scorer actor pool."""
+
+    def __init__(self, index_dir: str, num_actors: int | None = None,
+                 num_cpus_per_actor: float = 1.0):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        D = int(meta["num_doc_shards"])
+        num_actors = min(num_actors or D, D)
+        shard_sets = [list(range(D))[i::num_actors] for i in range(num_actors)]
+        Actor = ray.remote(num_cpus=num_cpus_per_actor)(ScorerCore)
+        self.actors = [Actor.remote(index_dir, shards)
+                       for shards in shard_sets]
+        self.k_default = 10  # WebPageQuery.hpp:121
+        # global vocabulary (term -> global df): the A8 "erase terms with
+        # empty postings" decision is global, so the driver owns it.
+        # Scale path: replace with a per-term-shard df lookup service.
+        df_t = pq.read_table(os.path.join(index_dir, "term_df",
+                                          "term_df.parquet"))
+        self.global_df = dict(zip(df_t["term"].to_pylist(),
+                                  df_t["df"].to_numpy().tolist()))
+
+    def bm25_topk(self, sentence: str, k: int | None = None,
+                  conjunctive: bool = True,
+                  method: str = "auto") -> list[dict]:
+        k = k or self.k_default
+        qterms = [(t, q) for t, q in bm25_query_terms(sentence)
+                  if t in self.global_df]   # A8: drop globally-absent terms
+        if not qterms:
+            return []
+        futs = [a.bm25_local_topk.remote(qterms, k, conjunctive, method)
+                for a in self.actors]
+        merged = [x for part in ray.get(futs) for x in part]
+        merged = sort_scored_desc(merged)
+        return [{"rank": i, "doc_id": d, "score": s}
+                for i, (s, d) in enumerate(merged[:k])]
+
+    def ref_cosine_topk(self, sentence: str, k: int | None = None) -> list[dict]:
+        k = k or self.k_default
+        raw, weight = query_weight_vector(sentence)
+        ikeys = sorted(t for t in weight if t in self.global_df)
+        if not weight or not ikeys:
+            return []
+        futs = [a.ref_cosine_local.remote(raw, weight, ikeys, k)
+                for a in self.actors]
+        merged = sort_scored_asc_nan_last(
+            [x for part in ray.get(futs) for x in part])
+        return [{"rank": i, "doc_id": d, "score": s}
+                for i, (s, d, _n) in enumerate(merged[:k])]
+
+    def batch(self, sentences: list[str], scorer: str = "bm25",
+              k: int | None = None, **kw) -> list[list[dict]]:
+        """Pipelined batch mode: all shard calls for all queries are in
+        flight at once; results keep input order."""
+        k = k or self.k_default
+        futs_per_q = []
+        for s in sentences:
+            if scorer == "bm25":
+                qterms = [(t, q) for t, q in bm25_query_terms(s)
+                          if t in self.global_df]
+                futs_per_q.append((
+                    "bm25", None,
+                    [a.bm25_local_topk.remote(qterms, k,
+                                              kw.get("conjunctive", True),
+                                              kw.get("method", "auto"))
+                     for a in self.actors] if qterms else []))
+            else:
+                raw, weight = query_weight_vector(s)
+                ikeys = sorted(t for t in weight if t in self.global_df)
+                futs_per_q.append((
+                    "ref", None,
+                    [a.ref_cosine_local.remote(raw, weight, ikeys, k)
+                     for a in self.actors] if (weight and ikeys) else []))
+        out = []
+        for kind, _, futs in futs_per_q:
+            if not futs:
+                out.append([])
+                continue
+            merged = [x for part in ray.get(futs) for x in part]
+            if kind == "bm25":
+                merged = sort_scored_desc(merged)
+                out.append([{"rank": i, "doc_id": d, "score": s}
+                            for i, (s, d) in enumerate(merged[:k])])
+            else:
+                merged = sort_scored_asc_nan_last(merged)
+                out.append([{"rank": i, "doc_id": d, "score": s}
+                            for i, (s, d, _n) in enumerate(merged[:k])])
+        return out
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+The reference engine has no vector search; this is part of the
+large-scale training-data operator suite built alongside the full-text
+engine (same design rules: broadcast small sides with ``ray.put``,
+vectorized numpy kernels inside ``map_batches``, no driver-side row
+loops).
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k: the (small) query matrix
+  is broadcast once via ``ray.put``; each batch computes a
+  ``(batch x queries)`` matmul and emits only its local top-k rows per
+  query, so the driver-side merge sees at most ``k * num_blocks`` rows
+  per query (partial top-k pushdown — the all-to-all is tiny).
+- ``ivf_topk`` — IVF (inverted-file) approximate path for scale:
+  k-means-style centroids are trained on a deterministic sample, each
+  vector is assigned to its nearest centroid (one pass), and a query
+  probes only ``nprobe`` nearest centroid partitions.  At cluster
+  scale the assignment column becomes the Parquet partition key so a
+  probe reads only its partitions' files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # zero-copy path for fixed-width lists backed by a flat float buffer
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if len(widths) and (widths == widths[0]).all():
+        return flat.reshape(len(widths), widths[0]).astype(np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+class BruteForceScorer:
+    """Per-batch exact cosine vs the broadcast query matrix.
+
+    Emits (query_id, vec_id, cosine) for each batch's LOCAL top-k per
+    query — the driver merge handles at most k rows per (query, block).
+    """
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, Q = q
+        self.Q = _normalize(np.asarray(Q, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(0).to_numpy(zero_copy_only=False)
+        V = _normalize(_vec_matrix(batch, batch.column_names[1]))
+        S = V @ self.Q.T                       # (n, q)
+        n, nq = S.shape
+        k = min(self.k, n)
+        # local top-k per query (argpartition, then exact sort of the k)
+        part = np.argpartition(-S, k - 1, axis=0)[:k]          # (k, q)
+        out_q, out_id, out_s = [], [], []
+        for j in range(nq):
+            rows = part[:, j]
+            sc = S[rows, j]
+            o = np.lexsort((ids[rows], -sc))
+            out_q.append(np.full(k, self.query_ids[j], dtype=np.int64))
+            out_id.append(ids[rows][o])
+            out_s.append(sc[o])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def brute_force_topk(ds: ray.data.Dataset, id_col: str, vec_col: str,
+                     query_ids: list[int], query_vecs: np.ndarray,
+                     k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k.  Returns (query_id, rank, vec_id, cosine),
+    rank 0-based, ties broken by vec_id asc (deterministic)."""
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64),
+                     np.asarray(query_vecs, dtype=np.float64)))
+    partial = ds.select_columns([id_col, vec_col]).map_batches(
+        BruteForceScorer, fn_constructor_args=(q_ref, k),
+        batch_format="pyarrow", concurrency=(1, 4))
+    pdf = partial.to_pandas()   # <= k rows per (query, block): small
+    pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
+    return pdf[["query_id", "rank", "vec_id", "cosine"]]
+
+
+# ----------------------------------------------------------------- IVF
+
+def train_centroids(ds: ray.data.Dataset, vec_col: str, n_centroids: int,
+                    sample_rows: int = 4096, iters: int = 8,
+                    seed: int = 11) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the sample is
+    small and bounded; the full dataset is never materialized)."""
+    sample = ds.select_columns([vec_col]).limit(sample_rows)
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                  for r in sample.take_all()])
+    X = _normalize(X)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def assign_partitions(ds: ray.data.Dataset, id_col: str, vec_col: str,
+                      centroids: np.ndarray) -> ray.data.Dataset:
+    """Stamp each vector with its nearest-centroid partition id."""
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(_vec_matrix(batch, vec_col))
+            part = np.argmax(V @ self.C.T, axis=1).astype(np.int32)
+            return batch.append_column("ivf_partition", pa.array(part))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def ivf_topk(ds: ray.data.Dataset, id_col: str, vec_col: str,
+             query_ids: list[int], query_vecs: np.ndarray, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             centroids: np.ndarray | None = None) -> pd.DataFrame:
+    """Approximate cosine top-k probing ``nprobe`` IVF partitions per
+    query.  Same output schema as ``brute_force_topk``."""
+    if centroids is None:
+        centroids = train_centroids(ds, vec_col, n_centroids)
+    assigned = assign_partitions(ds, id_col, vec_col, centroids)
+
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    # per-partition query lists (which queries probe partition p)
+    part_queries: dict[int, list[int]] = {}
+    for qi in range(len(Q)):
+        for p in probes[qi]:
+            part_queries.setdefault(int(p), []).append(qi)
+    pq_ref = ray.put((part_queries, np.asarray(query_ids, dtype=np.int64), Q))
+
+    class ProbeScore:
+        def __init__(self):
+            self.part_queries, self.qids, self.Q = ray.get(pq_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            parts = batch["ivf_partition"].to_numpy(zero_copy_only=False)
+            V = _normalize(_vec_matrix(batch, vec_col))
+            out_q, out_id, out_s = [], [], []
+            for p in np.unique(parts):
+                qlist = self.part_queries.get(int(p))
+                if not qlist:
+                    continue
+                m = parts == p
+                S = V[m] @ self.Q[qlist].T
+                sub_ids = ids[m]
+                kk = min(self.k, S.shape[0])
+                top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+                for j, qi in enumerate(qlist):
+                    rows = top[:, j]
+                    out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
+                    out_id.append(sub_ids[rows])
+                    out_s.append(S[rows, j])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    pdf = assigned.map_batches(ProbeScore, batch_format="pyarrow",
+                               concurrency=(1, 4)).to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({"query_id": [], "rank": [], "vec_id": [],
+                             "cosine": []})
+    pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
+    return pdf[["query_id", "rank", "vec_id", "cosine"]]

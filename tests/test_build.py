@@ -1,0 +1,152 @@
+"""Index-build pipeline correctness (SURVEY §7.2 steps 2-4).
+
+Key invariant (BASELINE.json input_hint): for every surviving doc,
+``docs.text`` equals the source ``transcripts.text`` at its
+``(conv_id, turn_idx)`` under stable turn ordering.
+"""
+
+import glob
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from searchenginesimple_ray.functions.varbyte import decode_postings
+
+
+def _read_dir(d):
+    files = sorted(glob.glob(f"{d}/**/*.parquet", recursive=True))
+    return pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True)
+
+
+def _read_corpus(corpus_dir):
+    from searchenginesimple_ray.sources.transcripts import transcripts_files
+    return pd.concat([pq.read_table(f).to_pandas()
+                      for f in transcripts_files(corpus_dir)],
+                     ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def built(t1_index):
+    return t1_index
+
+
+class TestDocPrep:
+    def test_short_texts_dropped(self, built, t1_corpus):
+        src = _read_corpus(t1_corpus)
+        n_long = int((src.text.str.len() >= 10).sum())
+        assert built["result"].n_docs_raw == n_long
+
+    def test_doc_ids_follow_sorted_order(self, built):
+        """doc_id order == lexicographic (conv_id, turn_idx) order (A5)."""
+        docs = _read_dir(f"{built['dir']}/docs_raw")
+        docs = docs.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert docs.doc_id.is_monotonic_increasing
+        assert docs.doc_id.is_unique
+
+    def test_per_turn_text_equality(self, built, t1_corpus):
+        """The input_hint per-row invariant."""
+        src = _read_corpus(t1_corpus)
+        docs = _read_dir(f"{built['dir']}/docs")
+        merged = docs.merge(src[["conv_id", "turn_idx", "text"]],
+                            on=["conv_id", "turn_idx"], suffixes=("", "_src"))
+        assert len(merged) == len(docs)
+        assert (merged.text == merged.text_src).all()
+
+
+class TestDedup:
+    def test_truth_duplicates_deduplicated(self, built, t1_corpus):
+        """Every injected duplicate pair ends in the same cluster: at most
+        one of (dup, src) survives into the docs table."""
+        truth = pq.read_table(
+            f"{t1_corpus}/_truth_duplicates.parquet").to_pandas()
+        docs = _read_dir(f"{built['dir']}/docs")
+        alive = set(zip(docs.conv_id, docs.turn_idx))
+        for _, r in truth.iterrows():
+            dup = (r.dup_conv_id, r.dup_turn_idx)
+            src = (r.src_conv_id, r.src_turn_idx)
+            assert not (dup in alive and src in alive), \
+                f"duplicate pair both alive: {dup} {src} ({r.kind})"
+
+    def test_no_surviving_near_pairs(self, built):
+        """After dedup no two surviving docs are within hamming<=3
+        (verified brute-force — the banded shuffle may not miss pairs)."""
+        from searchenginesimple_ray.functions.hashing import hamming64
+        docs = _read_dir(f"{built['dir']}/docs")
+        h = docs.simhash.to_numpy().astype(np.uint64)
+        h = h[h != 0]
+        ii, jj = np.triu_indices(len(h), k=1)
+        d = hamming64(h[ii], h[jj])
+        assert int((d <= 3).sum()) == 0
+
+    def test_counts_consistent(self, built):
+        r = built["result"]
+        assert r.n_docs == r.n_docs_raw - r.n_dropped
+
+
+class TestPostings:
+    def test_postings_match_oracle(self, built, t1_oracle):
+        """Decoded postings == oracle dict-of-dicts postings, exactly."""
+        po = _read_dir(f"{built['dir']}/postings")
+        # regroup salted/sharded rows per term
+        got: dict[str, dict[int, int]] = {}
+        for _, row in po.iterrows():
+            ids, tfs = decode_postings(bytes(row.doc_ids_vb),
+                                       bytes(row.tfs_vb), int(row.n_local))
+            m = got.setdefault(row.term, {})
+            for d, t in zip(ids.tolist(), tfs.tolist()):
+                assert d not in m
+                m[d] = t
+        assert set(got) == set(t1_oracle.postings)
+        for term, m in got.items():
+            assert m == t1_oracle.postings[term], term
+
+    def test_df_is_global(self, built, t1_oracle):
+        po = _read_dir(f"{built['dir']}/postings")
+        df_by_term = po.groupby("term")["df"].first()
+        for term, df in df_by_term.items():
+            assert df == t1_oracle.df[term]
+        # and the sum of local posting lengths equals df
+        nloc = po.groupby("term")["n_local"].sum()
+        for term, n in nloc.items():
+            assert n == t1_oracle.df[term]
+
+    def test_term_shard_parity(self, built):
+        from searchenginesimple_ray.functions.hashing import shard_of_term
+        po = _read_dir(f"{built['dir']}/postings").head(500)
+        for _, row in po.iterrows():
+            assert row.term_shard == shard_of_term(row.term, 10)
+
+    def test_doc_shard_layout(self, built):
+        """Each posting row's doc_ids all belong to its doc_shard."""
+        D = built["cfg"].num_doc_shards
+        for shard in range(D):
+            files = glob.glob(
+                f"{built['dir']}/postings/doc_shard={shard}/*.parquet")
+            if not files:
+                continue
+            po = pd.concat([pq.read_table(f).to_pandas() for f in files])
+            for _, row in po.head(200).iterrows():
+                ids, _ = decode_postings(bytes(row.doc_ids_vb),
+                                         bytes(row.tfs_vb), int(row.n_local))
+                assert (ids % D == shard).all()
+
+
+class TestDocStats:
+    def test_doc_stats_match_oracle(self, built, t1_oracle):
+        st = _read_dir(f"{built['dir']}/doc_stats")
+        assert set(st.doc_id) == set(t1_oracle.doc_len)
+        st = st.set_index("doc_id")
+        for d, dl in t1_oracle.doc_len.items():
+            assert st.loc[d, "doc_len"] == dl
+        for d, nr in t1_oracle.ref_norm.items():
+            assert abs(st.loc[d, "ref_norm"] - nr) < 1e-9
+
+    def test_meta(self, built, t1_oracle):
+        with open(f"{built['dir']}/meta.json") as f:
+            meta = json.load(f)
+        assert meta["n_docs"] == t1_oracle.n_docs
+        assert abs(meta["avgdl"] - t1_oracle.avgdl) < 1e-9

@@ -1,0 +1,204 @@
+"""Unit tests for the pure function layer (FIXTURES.md F4 micro-cases)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchenginesimple_ray.functions import hashing as H
+from searchenginesimple_ray.functions import minhash as M
+from searchenginesimple_ray.functions import textstats as X
+from searchenginesimple_ray.functions import tokenize as T
+from searchenginesimple_ray.functions import varbyte as V
+from searchenginesimple_ray.functions.simhash import simhash_of_text
+
+
+class TestFnv1a:
+    # public FNV-1a 32 test vectors; parity with ihsah.hpp:8-27
+    def test_vectors(self):
+        assert H.fnv1a32("") == 2166136261
+        assert H.fnv1a32("a") == 0xE40C292C
+        assert H.fnv1a32("foobar") == 0xBF9CF968
+
+    def test_ihash_nonnegative_and_mod(self):
+        for tok in ["hello", "中文", "the", "x" * 100]:
+            h = H.ihash(tok)
+            assert 0 <= h <= 0x7FFFFFFF
+            assert H.shard_of_term(tok, 10) == h % 10
+
+    def test_array_matches_scalar(self):
+        terms = ["alpha", "beta", "alpha", "中", ""]
+        assert list(H.fnv1a32_array(terms)) == [H.fnv1a32(t) for t in terms]
+        assert list(H.fnv1a32_array(terms, 7)) == \
+            [H.shard_of_term(t, 7) for t in terms]
+
+
+class TestJenkins:
+    def test_empty(self):
+        # lookup3: zero-length returns initvals (+deadbeef), no final mix
+        assert H.hashlittle2(b"") == (0xDEADBEEF, 0xDEADBEEF)
+
+    def test_published_vector(self):
+        # from Bob Jenkins' lookup3.c driver program (public domain)
+        pc, pb = H.hashlittle2(b"Four score and seven years ago", 0, 0)
+        assert pc == 0x17770551
+        assert pb == 0xCE7226E6
+
+    def test_composition(self):
+        # jenkins.h:98-103: (pc << 32) | pb
+        pc, pb = H.hashlittle2(b"hello", 0, 0)
+        assert H.jenkins64("hello") == (pc << 32) | pb
+
+    @given(st.binary(max_size=64), st.integers(0, 2**64 - 1))
+    @settings(max_examples=50, deadline=None)
+    def test_deterministic(self, data, seed):
+        assert H.jenkins64(data, seed) == H.jenkins64(data, seed)
+
+
+class TestHamming:
+    def test_scalar(self):
+        assert H.hamming64(0, 0) == 0
+        assert H.hamming64(0xFFFFFFFFFFFFFFFF, 0) == 64
+        assert H.hamming64(0b1011, 0b0010) == 2
+
+    def test_is_equal_thresholds(self):
+        # mirrors src/test/simhash.cpp:47-50 shape: threshold 3 vs 5
+        a, b = 0xF0F0, 0xF0F0 ^ 0b11111  # 5 bits apart
+        assert not H.simhash_is_equal(a, b, 3)
+        assert H.simhash_is_equal(a, b, 5)
+
+    @given(st.integers(0, 2**64 - 1),
+           st.sets(st.integers(0, 63), min_size=0, max_size=3))
+    @settings(max_examples=100, deadline=None)
+    def test_pigeonhole_bands(self, h, flip_bits):
+        """Any pair within hamming<=3 shares at least one of 4 bands."""
+        h2 = h
+        for bit in flip_bits:
+            h2 ^= 1 << bit
+        b1 = H.simhash_bands([h], 4)[0]
+        b2 = H.simhash_bands([h2], 4)[0]
+        assert (b1 == b2).any()
+
+
+class TestVarbyte:
+    @given(st.lists(st.integers(0, 2**62), max_size=200))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip(self, vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(V.varbyte_decode(V.varbyte_encode(arr)),
+                              arr) or len(vals) == 0
+
+    @given(st.sets(st.integers(0, 10**12), min_size=1, max_size=500),
+           st.integers(1, 60))
+    @settings(max_examples=30, deadline=None)
+    def test_postings_roundtrip(self, ids, tfmax):
+        ids = np.sort(np.array(sorted(ids), dtype=np.uint64))
+        tfs = (np.arange(len(ids)) % tfmax + 1).astype(np.uint64)
+        dvb, tvb, bl, bm = V.encode_postings(ids, tfs, block_size=16)
+        di, ti = V.decode_postings(dvb, tvb, len(ids))
+        assert np.array_equal(di, ids)
+        assert np.array_equal(ti, tfs)
+        assert bl[-1] == ids[-1]
+        # block maxima really are maxima
+        for bi in range(len(bm)):
+            seg = tfs[bi * 16:(bi + 1) * 16]
+            assert bm[bi] == seg.max()
+
+
+class TestTokenize:
+    def test_ref_fold_quirk(self):
+        # the reference maps A-Z to chr(c-0x20) — literal parity
+        assert T.ref_transform("Hello") == "(ello"
+        assert T.ref_transform("HELLO") == "(%,,/"
+        assert T.ref_transform("hello") == "hello"
+
+    def test_charset_filter(self):
+        assert T.ref_transform("123abc") is None
+        assert T.ref_transform("!x") is None
+        assert T.ref_transform("中文") == "中文"
+
+    def test_cjk_newline_join(self):
+        assert T.cjk_newline_join("中\n文") == "中文"
+        assert T.cjk_newline_join("中\n\n\n文") == "中文"
+        assert T.cjk_newline_join("a\nb") == "a\nb"
+        assert T.cjk_newline_join("中\na") == "中\na"
+
+    def test_tokenize_cases(self):
+        assert T.tokenize("the Quick brown 中文 123 fox",
+                          frozenset({"the"})) == \
+            ["1uick", "brown", "中", "文", "fox"]
+        # stop filter applies AFTER the fold (build side)
+        assert T.tokenize("THE the", frozenset({"the"})) == ["4(%"]
+
+    def test_query_path_no_stop(self):
+        raw, tr = T.query_raw_and_transformed("the Dog 42")
+        assert raw == ["the", "Dog", "42"]
+        assert tr == ["the", "$og"]
+
+
+class TestSimhash:
+    def test_deterministic_nonzero(self):
+        h = simhash_of_text("alpha beta gamma delta")
+        assert h == simhash_of_text("alpha beta gamma delta") != 0
+
+    def test_empty_is_zero(self):
+        assert simhash_of_text("") == 0
+        assert simhash_of_text("123 456") == 0  # all tokens dropped by M4
+
+    def test_permutation_invariant(self):
+        a = simhash_of_text("one two three four five six")
+        b = simhash_of_text("six five four three two one")
+        assert a == b  # tf multiset identical
+
+    def test_small_edit_small_distance(self):
+        words = [f"tok{i:02d}" for i in range(30)]
+        base = " ".join(words * 2)          # 30 distinct terms, tf=2 each
+        edited = base + " extraterm"        # one tf=1 term added
+        d = int(H.hamming64(simhash_of_text(base), simhash_of_text(edited)))
+        # far below the ~32 expected for unrelated docs; the exact small
+        # value depends on vote margins, so only bound it loosely
+        assert d <= 16
+
+
+class TestTextStats:
+    def test_token_counts(self):
+        assert X.whitespace_token_count("a  b c") == 3
+        assert X.bpe_token_count("hello, world42") == 4  # hello , world 42
+
+    def test_lang_id(self):
+        assert X.lang_id("the cat and the dog is here for it") == "en"
+        assert X.lang_id("el perro y la casa en que") == "es"
+        assert X.lang_id("") == "und"
+        assert X.lang_id("zzz qqq xxx") == "und"
+
+    def test_quality(self):
+        q = X.quality_stats("The cat, the hat!", frozenset({"the"}))
+        assert q["n_tokens"] == 4
+        assert 0 < q["punct_ratio"] < 1
+        assert q["stop_ratio"] == 0.5
+
+    def test_fingerprint_shift_invariance(self):
+        # same 16-byte window present => same min window hash candidate set
+        a = X.rolling_fingerprint("abcdefghijklmnopqrstuvwxyz")
+        assert a == X.rolling_fingerprint("abcdefghijklmnopqrstuvwxyz")
+
+
+class TestMinhash:
+    def test_similar_texts_high_estimate(self):
+        s1 = M.minhash_signature(M.char_shingles(
+            "the quick brown fox jumps over the lazy dog"))
+        s2 = M.minhash_signature(M.char_shingles(
+            "the quick brown fox jumped over the lazy dog"))
+        assert M.estimate_jaccard(s1, s2) > 0.5
+        assert (M.lsh_band_keys(s1) == M.lsh_band_keys(s2)).any()
+
+    def test_dissimilar_low(self):
+        s1 = M.minhash_signature(M.char_shingles("alpha beta gamma delta"))
+        s2 = M.minhash_signature(M.char_shingles(
+            "completely unrelated content here"))
+        assert M.estimate_jaccard(s1, s2) < 0.3
+
+    def test_jaccard_exact(self):
+        assert M.jaccard({1, 2, 3}, {2, 3, 4}) == 0.5
+        assert M.jaccard(set(), set()) == 1.0
+        assert M.jaccard({1}, set()) == 0.0

@@ -1,0 +1,138 @@
+"""Query-path rank-identity vs the brute-force oracle (FIXTURES F3) and
+exactness of the pruned/WAND paths vs the exhaustive path."""
+
+import math
+
+import numpy as np
+import pytest
+
+from searchenginesimple_ray.pipelines.query import (ScorerCore,
+                                                    bm25_query_terms,
+                                                    query_weight_vector)
+from searchenginesimple_ray.sources.transcripts import generate_queries
+
+
+def _ids(rows):
+    return [r["doc_id"] for r in rows]
+
+
+def _scores(rows):
+    return [r["score"] for r in rows]
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return generate_queries()
+
+
+class TestBm25RankIdentical:
+    def test_conjunctive(self, t1_engine, t1_oracle, queries):
+        for q in queries:
+            e = t1_engine.bm25_topk(q)
+            o = t1_oracle.bm25_topk(q)
+            assert _ids(e) == _ids(o), q
+            for se, so in zip(_scores(e), _scores(o)):
+                assert abs(se - so) <= 1e-9
+
+    def test_disjunctive(self, t1_engine, t1_oracle, queries):
+        for q in queries[:40]:
+            e = t1_engine.bm25_topk(q, conjunctive=False)
+            o = t1_oracle.bm25_topk(q, conjunctive=False)
+            assert _ids(e) == _ids(o), q
+            for se, so in zip(_scores(e), _scores(o)):
+                assert abs(se - so) <= 1e-9
+
+
+class TestRefCosineRankIdentical:
+    def test_all_queries(self, t1_engine, t1_oracle, queries):
+        for q in queries:
+            e = t1_engine.ref_cosine_topk(q)
+            o = t1_oracle.ref_cosine_topk(q)
+            assert _ids(e) == _ids(o), q
+            for se, so in zip(_scores(e), _scores(o)):
+                if math.isnan(se) or math.isnan(so):
+                    assert math.isnan(se) and math.isnan(so)
+                else:
+                    assert abs(se - so) <= 1e-9
+
+    def test_scores_descend_in_true_cosine(self, t1_engine, queries):
+        """Raw scores ascend (negative) => true cosine descends (G7/G8).
+
+        The canonical order quantizes scores to 1e-9 before comparing
+        (ranking.DECIMALS spec) — sub-EPS float jitter is a tie broken
+        by doc_id, so assert on the QUANTIZED sequence.
+        """
+        from searchenginesimple_ray.functions.ranking import qround
+        for q in queries[:20]:
+            s = [qround(r["score"]) for r in t1_engine.ref_cosine_topk(q)
+                 if not math.isnan(r["score"])]
+            assert s == sorted(s)
+
+
+class TestPruningExactness:
+    """Block-max pruning / WAND must never change results (SURVEY §7.5)."""
+
+    def test_conjunctive_pruned_equals_exhaustive(self, t1_index, queries):
+        core = ScorerCore(t1_index["dir"],
+                          list(range(t1_index["cfg"].num_doc_shards)))
+        for q in queries:
+            qt = [(t, c) for t, c in bm25_query_terms(q)
+                  if t in core.postings]
+            a = core.bm25_local_topk(qt, 10, True, method="exhaustive")
+            b = core.bm25_local_topk(qt, 10, True, method="pruned")
+            assert [d for _, d in a] == [d for _, d in b], q
+
+    def test_wand_equals_exhaustive(self, t1_index, queries):
+        core = ScorerCore(t1_index["dir"],
+                          list(range(t1_index["cfg"].num_doc_shards)))
+        for q in queries:
+            qt = [(t, c) for t, c in bm25_query_terms(q)
+                  if t in core.postings]
+            if not qt:
+                continue
+            a = core.bm25_local_topk(qt, 10, False, method="exhaustive")
+            b = core.bm25_local_topk(qt, 10, False, method="pruned")
+            assert [d for _, d in a] == [d for _, d in b], q
+            for (sa, _), (sb, _) in zip(a, b):
+                assert abs(sa - sb) <= 1e-9
+
+
+class TestEdgeCases:
+    def test_absent_terms_dropped(self, t1_engine, t1_oracle):
+        q = "zzzzabsent qqqmissing"
+        assert t1_engine.bm25_topk(q) == []
+        assert t1_oracle.bm25_topk(q) == []
+        assert t1_engine.ref_cosine_topk(q) == []
+        assert t1_oracle.ref_cosine_topk(q) == []
+
+    def test_empty_query(self, t1_engine):
+        assert t1_engine.bm25_topk("") == []
+        assert t1_engine.ref_cosine_topk("123 ,,,") == []
+
+    def test_batch_equals_single(self, t1_engine, queries):
+        qs = queries[:10]
+        batch_bm = t1_engine.batch(qs, scorer="bm25")
+        batch_rc = t1_engine.batch(qs, scorer="ref")
+        for q, bb, br in zip(qs, batch_bm, batch_rc):
+            assert _ids(bb) == _ids(t1_engine.bm25_topk(q))
+            assert _ids(br) == _ids(t1_engine.ref_cosine_topk(q))
+
+    def test_actor_count_invariance(self, t1_index, t1_engine, queries):
+        """Same results with a different number of scorer actors."""
+        from searchenginesimple_ray.pipelines.query import QueryEngine
+        eng4 = QueryEngine(t1_index["dir"], num_actors=4,
+                           num_cpus_per_actor=0.5)
+        try:
+            for q in queries[:15]:
+                assert _ids(eng4.bm25_topk(q)) == _ids(t1_engine.bm25_topk(q))
+                assert _ids(eng4.ref_cosine_topk(q)) == \
+                    _ids(t1_engine.ref_cosine_topk(q))
+        finally:
+            eng4.shutdown()
+
+    def test_query_weight_vector_signs(self):
+        raw, w = query_weight_vector("hello world hello")
+        # IDF=-1 => negative weights, L2-normalized
+        assert all(v < 0 for v in w.values())
+        assert abs(sum(v * v for v in w.values()) - 1.0) < 1e-12
+        assert w["hello"] < w["world"]  # tf 2 => more negative

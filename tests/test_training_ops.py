@@ -1,0 +1,210 @@
+"""Training-data operator suite: ANN similarity search, text analysis,
+MinHash / n-gram / embedding dedup, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session):
+    return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def documents_ds(ray_session):
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+class TestAnn:
+    def test_brute_force_matches_numpy(self, embeddings_ds):
+        from searchenginesimple_ray.pipelines.similarity import (
+            _normalize, brute_force_topk)
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        V = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in t["embedding"].to_pylist()]))
+        qv = V[:3]
+        res = brute_force_topk(embeddings_ds, "vec_id", "embedding",
+                               [0, 1, 2], qv, k=10)
+        # oracle: full matmul
+        S = V @ qv.T
+        for qi in range(3):
+            order = np.lexsort((ids, -S[:, qi]))[:10]
+            got = res[res.query_id == qi].sort_values("rank")
+            assert got["vec_id"].tolist() == ids[order].tolist()
+            np.testing.assert_allclose(got["cosine"].to_numpy(),
+                                       S[order, qi], atol=1e-12)
+
+    def test_ivf_recall(self, embeddings_ds):
+        """IVF with nprobe=all partitions must equal brute force."""
+        from searchenginesimple_ray.pipelines.similarity import (
+            brute_force_topk, ivf_topk)
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in t["embedding"].to_pylist()[:2]])
+        exact = brute_force_topk(embeddings_ds, "vec_id", "embedding",
+                                 [0, 1], qv, k=5)
+        approx = ivf_topk(embeddings_ds, "vec_id", "embedding", [0, 1], qv,
+                          k=5, n_centroids=8, nprobe=8)
+        assert approx[["query_id", "rank", "vec_id"]].values.tolist() == \
+            exact[["query_id", "rank", "vec_id"]].values.tolist()
+
+    def test_ivf_partial_probe_recall(self, embeddings_ds):
+        from searchenginesimple_ray.pipelines.similarity import (
+            brute_force_topk, ivf_topk)
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in t["embedding"].to_pylist()[:3]])
+        exact = brute_force_topk(embeddings_ds, "vec_id", "embedding",
+                                 [0, 1, 2], qv, k=10)
+        approx = ivf_topk(embeddings_ds, "vec_id", "embedding", [0, 1, 2],
+                          qv, k=10, n_centroids=8, nprobe=4)
+        # recall@10 of the bucketed path should be high on this data
+        hits = 0
+        for qi in range(3):
+            e = set(exact[exact.query_id == qi]["vec_id"])
+            a = set(approx[approx.query_id == qi]["vec_id"])
+            hits += len(e & a)
+        assert hits >= 20  # >= 2/3 average recall
+
+    def test_self_match_rank0(self, embeddings_ds):
+        from searchenginesimple_ray.pipelines.similarity import \
+            brute_force_topk
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in t["embedding"].to_pylist()[:2]])
+        res = brute_force_topk(embeddings_ds, "vec_id", "embedding",
+                               [0, 1], qv, k=3)
+        for qi in (0, 1):
+            top = res[(res.query_id == qi) & (res["rank"] == 0)]
+            assert top["vec_id"].iloc[0] == qi
+            assert abs(top["cosine"].iloc[0] - 1.0) < 1e-9
+
+
+class TestTextStats:
+    def test_stage_matches_scalar_kernels(self, documents_ds):
+        from searchenginesimple_ray.functions.textstats import (
+            bpe_token_count, lang_id, quality_stats, rolling_fingerprint,
+            whitespace_token_count)
+        from searchenginesimple_ray.config import DEFAULT_STOP_WORDS
+        from searchenginesimple_ray.stages.textstages import text_stats
+        out = text_stats(documents_ds, stop_words=DEFAULT_STOP_WORDS) \
+            .to_pandas().set_index("doc_id")
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+        stop = frozenset(DEFAULT_STOP_WORDS)
+        for _, row in t.head(50).iterrows():
+            r = out.loc[row.doc_id]
+            assert r.n_ws_tokens == whitespace_token_count(row.text)
+            assert r.n_bpe_tokens == bpe_token_count(row.text)
+            assert r.lang_pred == lang_id(row.text)
+            assert int(r.fingerprint) == rolling_fingerprint(row.text)
+            qs = quality_stats(row.text, stop)
+            assert abs(r.stop_ratio - qs["stop_ratio"]) < 1e-12
+            assert abs(r.punct_ratio - qs["punct_ratio"]) < 1e-12
+
+    def test_quality_score_bounds(self, documents_ds):
+        from searchenginesimple_ray.stages.textstages import text_stats
+        out = text_stats(documents_ds).to_pandas()
+        assert ((out.quality_score >= 0) & (out.quality_score <= 1)).all()
+
+
+class TestDedupFamily:
+    def test_minhash_detects_near_identical(self, ray_session):
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        rows = {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [base, base + " extra", base.replace("quick", "quack"),
+                     "completely different text about ray data pipelines",
+                     "another unrelated document mentioning nothing shared",
+                     base],
+        }
+        ds = ray.data.from_arrow(pa.table(rows))
+        from searchenginesimple_ray.stages.dedup import minhash_lsh_dedup
+        pairs = minhash_lsh_dedup(ds, "doc_id", "text",
+                                  jaccard_threshold=0.7)
+        got = dict(zip(pairs["id"], pairs["rep_id"]))
+        # 0, 1, 2, 5 are near-identical; 3 and 4 are not
+        assert got.get(5) == 0
+        assert 3 not in got and 4 not in got
+
+    def test_ngram_jaccard_pairs(self, ray_session):
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [a, a + " lambda", "totally different words here now"],
+        }))
+        from searchenginesimple_ray.stages.dedup import ngram_jaccard_pairs
+        pairs = ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=0.7)
+        assert [(int(r.src), int(r.dst)) for r in pairs.itertuples()] == [(1, 2)]
+
+    def test_embedding_near_dup(self, ray_session):
+        rng = np.random.RandomState(3)
+        base = rng.randn(8, 16).astype(np.float32)
+        vecs = np.vstack([base, base[0] + 0.001 * rng.randn(16).astype(np.float32)])
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": np.arange(9, dtype=np.int64),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        from searchenginesimple_ray.stages.dedup import \
+            embedding_near_dup_pairs
+        pairs = embedding_near_dup_pairs(ds, "vec_id", "embedding",
+                                         cosine_threshold=0.99)
+        assert (0, 8) in {(int(r.src), int(r.dst))
+                          for r in pairs.itertuples()}
+
+    def test_exact_dedup_first(self, ray_session):
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": np.array([5, 3, 9, 7], dtype=np.int64),
+            "text": ["x", "x", "y", "y"],
+        }))
+        from searchenginesimple_ray.stages.dedup import exact_dedup_first
+        kept = sorted(exact_dedup_first(ds, "text", "doc_id")
+                      .to_pandas()["doc_id"])
+        assert kept == [3, 7]
+
+
+class TestMultimodal:
+    def test_image_stage_plumbing(self, ray_session):
+        from searchenginesimple_ray.stages.multimodal import (
+            decode_images, media_table_from_texts)
+        t = media_table_from_texts(np.arange(5),
+                                   [f"payload text number {i} " * (i + 2)
+                                    for i in range(5)], kind="image")
+        out = decode_images(ray.data.from_arrow(t), batch_size=2).to_pandas()
+        assert len(out) == 5
+        assert {"img_mean", "img_std", "img_edge_energy"} <= set(out.columns)
+        assert (out.img_mean > 0).all()
+        # deterministic across runs
+        out2 = decode_images(ray.data.from_arrow(t), batch_size=3).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("media_id").reset_index(drop=True),
+            out2.sort_values("media_id").reset_index(drop=True))
+
+    def test_audio_stage_plumbing(self, ray_session):
+        from searchenginesimple_ray.stages.multimodal import (
+            frame_audio, media_table_from_texts)
+        t = media_table_from_texts(np.arange(3),
+                                   ["a" * 4000, "b" * 100, "c" * 2048],
+                                   kind="audio")
+        out = frame_audio(ray.data.from_arrow(t)).to_pandas()
+        assert (out.n_frames >= 1).all()
+        assert all(len(r) == n for r, n in zip(out.frame_rms, out.n_frames))
+
+    def test_real_codec_is_stubbed(self):
+        from searchenginesimple_ray.stages.multimodal import ImageDecodeStage
+        with pytest.raises(NotImplementedError):
+            ImageDecodeStage(codec="real")
