@@ -17,4 +17,32 @@ See SURVEY.md for the full operator inventory and file:line citations.
 
 __version__ = "0.1.0"
 
+
+def _stub_fsspec_http() -> None:
+    """Make `fsspec.implementations.http` importable when aiohttp is
+    absent.  Ray Data probes `from fsspec.implementations.http import
+    HTTPFileSystem` on EVERY datasource/datasink construction; in this
+    environment that import always fails (no aiohttp), the failed module
+    is evicted from sys.modules each time, and two threads racing the
+    re-import can observe a half-initialized module => a plain
+    ImportError that escapes Ray's ModuleNotFoundError guard.  A stub
+    class makes the probe deterministic; isinstance() against it is
+    False for every real filesystem, which is the semantic Ray wants.
+    """
+    import sys
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import types
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_stub_fsspec_http()
+
 from .config import EngineConfig  # noqa: F401

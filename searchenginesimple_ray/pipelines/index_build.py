@@ -39,10 +39,10 @@ import ray
 import ray.data
 
 from ..config import EngineConfig
-from ..stages.docids import AssignDocIds, conv_bases
+from ..stages.docids import conv_bases
 from ..stages.dedup import components_min_rep, simhash_near_dup_edges
 from ..stages.postings import build_postings, doc_stats, term_document_frequencies
-from ..stages.simhash import add_simhash
+from ..stages.prep import prep_transcripts
 from ..stages.tokenizer import tokenize_to_doc_terms
 from ..state import lineage
 
@@ -61,13 +61,38 @@ class BuildResult:
     metrics: dict = field(default_factory=dict)
 
 
+import threading as _threading
+
+_DS_CONSTRUCT_LOCK = _threading.Lock()
+
+
+def _read_parquet(paths, **kw):
+    """`ray.data.read_parquet` with construction serialized: datasource
+    init probes `fsspec.implementations.http`, whose import FAILS here
+    (no aiohttp) — concurrent failing imports race into a plain
+    ImportError that Ray's ModuleNotFoundError guard misses.  Only the
+    (cheap) construction is locked; execution stays lazy + parallel."""
+    with _DS_CONSTRUCT_LOCK:
+        return ray.data.read_parquet(paths, **kw)
+
+
 def _pq_files(d: str) -> list[str]:
     """Committed parquet files only — a killed run's uncommitted
-    ``*.tmp-<nonce>`` partition dirs must never feed downstream stages."""
+    ``*.tmp-<nonce>`` partition dirs must never feed downstream stages.
+    (Use ``_count_rows`` inside an atomic tmp dir: the tmp dir itself
+    carries ``.tmp-`` in its name.)"""
     return sorted(
         f for f in glob.glob(os.path.join(d, "**", "*.parquet"),
                              recursive=True)
         if ".tmp-" not in f)
+
+
+def _count_rows(d: str) -> int:
+    """Row count over ALL parquet under ``d`` (no tmp filtering — used
+    on a just-written atomic tmp dir before its commit rename)."""
+    return sum(pq.read_metadata(f).num_rows
+               for f in glob.glob(os.path.join(d, "**", "*.parquet"),
+                                  recursive=True))
 
 
 def _bucket_ranges(files: list[str], n_buckets: int) -> list[list[str]]:
@@ -89,24 +114,35 @@ def build_index(input_files: list[str], out_dir: str,
     # upstream invalidates downstream, while a deterministic identical
     # recompute re-seals the same hash and downstream stays skippable.
     import hashlib
+    import threading
     stage_hashes: dict[str, str] = {}
+    _lock = threading.Lock()
 
     def run_or_skip(stage: str, part, part_dir: str, fn, deps: list = ()):
-        """fn(tmp_dir) -> (row_count, extra); returns manifest dict."""
-        dep_h = ",".join(stage_hashes[d] for d in deps)
+        """fn(tmp_dir) -> (row_count, extra); returns manifest dict.
+
+        Thread-safe: independent partitions of a stage run concurrently
+        (each is its own Ray Data job; the streaming executor
+        interleaves them across the cluster — per-job fixed overhead
+        would otherwise serialize at small scale)."""
+        with _lock:
+            dep_h = ",".join(stage_hashes[d] for d in deps)
         fp = in_fp + ("|" + dep_h if dep_h else "")
         key = f"{stage}/{part}"
         if lineage.is_complete(part_dir, stage, fp, cfg_fp):
             m = lineage.read_manifest(part_dir)
-            res.stages_skipped.append(key)
+            with _lock:
+                res.stages_skipped.append(key)
         else:
             with lineage.atomic_dir(part_dir) as tmp:
                 row_count, extra = fn(tmp)
             m = lineage.seal(part_dir, stage, part, fp, cfg_fp,
                              row_count, extra)
-            res.stages_run.append(key)
-        stage_hashes[key] = hashlib.sha256(
-            json.dumps(m, sort_keys=True).encode()).hexdigest()[:12]
+            with _lock:
+                res.stages_run.append(key)
+        with _lock:
+            stage_hashes[key] = hashlib.sha256(
+                json.dumps(m, sort_keys=True).encode()).hexdigest()[:12]
         return m
 
     buckets = _bucket_ranges(sorted(input_files), cfg.num_input_buckets)
@@ -128,33 +164,42 @@ def build_index(input_files: list[str], out_dir: str,
     bases_ref = ray.put(bases)
 
     # ---- stage 1: per-bucket doc prep + simhash (M8, A5, T1/T2) --------
+    # buckets are independent -> submit their (small) Dataset jobs from a
+    # thread pool so fixed per-job latency overlaps; Ray's streaming
+    # executor schedules all of them over the same CPU pool
+    from concurrent.futures import ThreadPoolExecutor
+    try:
+        # pre-warm: read_parquet lazily imports this; two threads racing
+        # the first import can see a partially-initialized module
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        pass
     min_len = cfg.min_text_len
-    for k, bucket_files in enumerate(buckets):
+    job_threads = min(4, len(buckets))
+
+    def prep_bucket(k_files):
+        k, bucket_files = k_files
         part_dir = os.path.join(out_dir, "docs_raw", f"bucket={k}")
 
-        def prep(tmp, bucket_files=bucket_files):
-            ds = ray.data.read_parquet(
+        def prep(tmp):
+            ds = _read_parquet(
                 bucket_files, columns=["conv_id", "turn_idx", "text"])
-            ds = ds.map_batches(
-                lambda t: t.filter(
-                    pc.greater_equal(pc.utf8_length(t["text"]), min_len)),
-                batch_format="pyarrow")
-            ds = ds.map_batches(AssignDocIds, fn_constructor_args=(bases_ref,),
-                                batch_format="pyarrow", concurrency=(1, 4))
-            ds = add_simhash(ds, stop_words=stop, top_n=cfg.simhash_top_n,
-                             concurrency=(1, cfg.simhash_concurrency),
-                             batch_size=cfg.tokenize_batch_size)
-            ds = ds.map_batches(
-                lambda t: t.append_column(
-                    "text_len", pc.cast(pc.utf8_length(t["text"]), "int32")),
-                batch_format="pyarrow")
+            # ONE fused actor pool (filter+docids+simhash+text_len): with
+            # several bucket jobs in flight, one pool per sub-step would
+            # pin every CPU in actors and starve the read/write tasks
+            ds = prep_transcripts(ds, bases_ref, stop_words=stop,
+                                  top_n=cfg.simhash_top_n, min_len=min_len,
+                                  concurrency=(1, cfg.simhash_concurrency),
+                                  batch_size=cfg.tokenize_batch_size)
             ds.write_parquet(tmp)
-            n = sum(pq.read_metadata(f).num_rows for f in _pq_files(tmp))
-            return n, {}
+            return _count_rows(tmp), {}
 
-        m = run_or_skip("docs_raw", f"bucket={k}", part_dir,
-                        prep, deps=["conv_bases/global"])
-        res.metrics[f"docs_raw/bucket={k}"] = m["row_count"]
+        return k, run_or_skip("docs_raw", f"bucket={k}", part_dir,
+                              prep, deps=["conv_bases/global"])
+
+    with ThreadPoolExecutor(job_threads) as pool:
+        for k, m in pool.map(prep_bucket, enumerate(buckets)):
+            res.metrics[f"docs_raw/bucket={k}"] = m["row_count"]
     res.n_docs_raw = sum(res.metrics[f"docs_raw/bucket={k}"]
                          for k in range(len(buckets)))
 
@@ -203,37 +248,40 @@ def build_index(input_files: list[str], out_dir: str,
                           len(self.drop) - 1)
             return t.filter(pa.array(self.drop[pos] != doc))
 
-    for k in range(len(buckets)):
+    def docs_terms_bucket(k):
         docs_dir = os.path.join(out_dir, "docs", f"bucket={k}")
 
-        def mk_docs(tmp, k=k):
-            ds = ray.data.read_parquet(
+        def mk_docs(tmp):
+            ds = _read_parquet(
                 _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")))
             ds = ds.map_batches(ApplyDrop, fn_constructor_args=(drop_ref,),
                                 batch_format="pyarrow", concurrency=(1, 4))
             ds.write_parquet(tmp)
-            n = sum(pq.read_metadata(f).num_rows for f in _pq_files(tmp))
-            return n, {}
+            return _count_rows(tmp), {}
 
-        m = run_or_skip("docs", f"bucket={k}", docs_dir, mk_docs,
-                        deps=[f"docs_raw/bucket={k}", "dedup/global"])
-        res.metrics[f"docs/bucket={k}"] = m["row_count"]
+        m_docs = run_or_skip("docs", f"bucket={k}", docs_dir, mk_docs,
+                             deps=[f"docs_raw/bucket={k}", "dedup/global"])
 
         dt_dir = os.path.join(out_dir, "doc_terms", f"bucket={k}")
 
-        def mk_terms(tmp, k=k):
-            ds = ray.data.read_parquet(
+        def mk_terms(tmp):
+            ds = _read_parquet(
                 _pq_files(os.path.join(out_dir, "docs", f"bucket={k}")))
             dt = tokenize_to_doc_terms(ds, stop_words=stop,
                                        concurrency=(1, cfg.tokenize_concurrency),
                                        batch_size=cfg.tokenize_batch_size)
             dt.write_parquet(tmp)
-            n = sum(pq.read_metadata(f).num_rows for f in _pq_files(tmp))
-            return n, {}
+            return _count_rows(tmp), {}
 
-        m = run_or_skip("doc_terms", f"bucket={k}", dt_dir, mk_terms,
-                        deps=[f"docs/bucket={k}"])
-        res.metrics[f"doc_terms/bucket={k}"] = m["row_count"]
+        m_terms = run_or_skip("doc_terms", f"bucket={k}", dt_dir, mk_terms,
+                              deps=[f"docs/bucket={k}"])
+        return k, m_docs, m_terms
+
+    with ThreadPoolExecutor(job_threads) as pool:
+        for k, m_docs, m_terms in pool.map(docs_terms_bucket,
+                                           range(len(buckets))):
+            res.metrics[f"docs/bucket={k}"] = m_docs["row_count"]
+            res.metrics[f"doc_terms/bucket={k}"] = m_terms["row_count"]
 
     res.n_docs = sum(res.metrics[f"docs/bucket={k}"]
                      for k in range(len(buckets)))
@@ -262,8 +310,7 @@ def build_index(input_files: list[str], out_dir: str,
         st = doc_stats(dt, df_map, n_docs=res.n_docs,
                        num_doc_shards=cfg.num_doc_shards)
         st.write_parquet(tmp, partition_cols=["doc_shard"])
-        n = sum(pq.read_metadata(f).num_rows for f in _pq_files(tmp))
-        return n, {}
+        return _count_rows(tmp), {}
 
     m = run_or_skip("doc_stats", "global", stats_dir, mk_stats,
                     deps=[f"doc_terms/bucket={k}" for k in range(len(buckets))]
@@ -282,7 +329,8 @@ def build_index(input_files: list[str], out_dir: str,
                             posting_block_size=cfg.posting_block_size)
         po.write_parquet(tmp, partition_cols=["doc_shard"])
         per_shard = {}
-        for f in _pq_files(tmp):
+        for f in glob.glob(os.path.join(tmp, "**", "*.parquet"),
+                           recursive=True):
             shard = os.path.basename(os.path.dirname(f))
             per_shard[shard] = per_shard.get(shard, 0) + pq.read_metadata(f).num_rows
         return sum(per_shard.values()), {"per_shard_rows": per_shard}

@@ -114,7 +114,15 @@ def _group_edges(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
 
 def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
                            threshold: int = 3) -> pd.DataFrame:
-    """All verified hamming<=threshold edges among docs (simhash != 0)."""
+    """All verified hamming<=threshold edges among docs (simhash != 0).
+
+    Shape (SCALE): a naive ``groupby(band).map_groups`` makes one Python
+    call per band value — almost all singletons.  Instead: (1) a NATIVE
+    hash-aggregate counts band-value multiplicity, (2) non-singleton
+    band keys (O(duplicates), tiny) are broadcast and the exploded rows
+    filtered vectorized, (3) only the surviving candidate rows — a few
+    percent of docs by construction — are verified.
+    """
     import pyarrow.compute as pc
 
     slim = docs.select_columns(["doc_id", "simhash"]).map_batches(
@@ -122,12 +130,106 @@ def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
         batch_format="pyarrow")
     exploded = slim.map_batches(
         lambda t: _band_explode(t, num_bands), batch_format="pyarrow")
-    edges = exploded.groupby(["band_id", "band_val"]).map_groups(
-        lambda g: _group_edges(g, threshold), batch_format="pandas")
-    pdf = edges.to_pandas()  # O(duplicate pairs) — small by construction
-    if len(pdf):
-        pdf = pdf.drop_duplicates()
-    return pdf
+    # consumed twice (counts, then filter): materialize the 28-byte rows
+    # once instead of re-reading + re-exploding the corpus.  At extreme
+    # scale swap for a parquet spill of the exploded keys.
+    exploded = exploded.materialize()
+
+    # fast path: below ~5M band rows the whole key table fits the driver
+    # comfortably (28 B/row) — verify directly, skip the count shuffle
+    if exploded.count() <= 5_000_000:
+        cand = exploded.to_pandas()
+        if not len(cand):
+            return pd.DataFrame({"src": [], "dst": []})
+        return _edges_from_candidates(cand, threshold)
+
+    counts = exploded.groupby(["band_id", "band_val"]).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return pd.DataFrame({"src": [], "dst": []})
+    # per-band sorted hot value arrays, broadcast once
+    hot_by_band = {int(b): np.sort(g["band_val"].to_numpy().astype(np.uint64))
+                   for b, g in hot.groupby("band_id")}
+    hot_ref = ray.put(hot_by_band)
+
+    class FilterHot:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bid = t["band_id"].to_numpy(zero_copy_only=False)
+            bval = t["band_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            keep = np.zeros(len(bid), dtype=bool)
+            for b, vals in self.hot.items():
+                m = bid == b
+                if m.any() and len(vals):
+                    pos = np.searchsorted(vals, bval[m])
+                    pos = np.clip(pos, 0, len(vals) - 1)
+                    keep[m] = vals[pos] == bval[m]
+            return t.filter(pa.array(keep))
+
+    cand = exploded.map_batches(FilterHot, batch_format="pyarrow",
+                                concurrency=(1, 4)).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"src": [], "dst": []})
+    return _edges_from_candidates(cand, threshold)
+
+
+def _edges_from_candidates(cand: pd.DataFrame, threshold: int) -> pd.DataFrame:
+    """Verify hamming<=threshold over candidate band buckets — fully
+    vectorized (no per-bucket Python calls: at 16-bit band width the
+    bucket table saturates quickly, so bucket COUNT is O(corpus))."""
+    bid = cand["band_id"].to_numpy().astype(np.int64)
+    bval = cand["band_val"].to_numpy().astype(np.uint64)
+    sims = cand["simhash"].to_numpy().astype(np.uint64)
+    docs = cand["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((docs, sims, bval, bid))
+    bid, bval, sims, docs = bid[order], bval[order], sims[order], docs[order]
+
+    same_bucket = (bid[1:] == bid[:-1]) & (bval[1:] == bval[:-1])
+    same_sim = same_bucket & (sims[1:] == sims[:-1])
+    # 1) identical fingerprints: chain consecutive docs (hamming 0)
+    src = [docs[:-1][same_sim]]
+    dst = [docs[1:][same_sim]]
+
+    # 2) distinct-fingerprint representatives per bucket: first row of
+    # each (bucket, simhash) run; all-pairs within each bucket run
+    first = np.concatenate([[True], ~same_sim])
+    rb, rv = bid[first], bval[first]
+    rs, rd = sims[first], docs[first]
+    same_b = (rb[1:] == rb[:-1]) & (rv[1:] == rv[:-1])
+    run_id = np.concatenate([[0], np.cumsum(~same_b)])
+    sizes = np.bincount(run_id)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    by_size: dict[int, list] = {}
+    for st, sz in zip(starts.tolist(), sizes.tolist()):
+        if sz >= 2:
+            by_size.setdefault(sz, []).append(st)
+    pi_parts, pj_parts = [], []
+    for sz, sts in by_size.items():
+        sts_a = np.asarray(sts, dtype=np.int64)
+        if sz <= _MAX_PAIRWISE:
+            ii, jj = np.triu_indices(sz, k=1)
+        else:  # degenerate bucket: neighbour-verify only
+            ii = np.arange(sz - 1)
+            jj = ii + 1
+        pi_parts.append((sts_a[:, None] + ii[None, :]).ravel())
+        pj_parts.append((sts_a[:, None] + jj[None, :]).ravel())
+    if pi_parts:
+        pi = np.concatenate(pi_parts)
+        pj = np.concatenate(pj_parts)
+        d = hamming64(rs[pi], rs[pj])
+        hit = d <= threshold
+        src.append(rd[pi[hit]])
+        dst.append(rd[pj[hit]])
+    s = np.concatenate(src)
+    t = np.concatenate(dst)
+    if not len(s):
+        return pd.DataFrame({"src": [], "dst": []})
+    return pd.DataFrame({"src": s, "dst": t}).drop_duplicates() \
+        .reset_index(drop=True)
 
 
 class _UnionFind:
@@ -237,11 +339,48 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                       concurrency=(1, 4)) -> pd.DataFrame:
     """Returns dataframe (id, rep_id) for every doc in a near-dup cluster
     (rep = min id), verified by estimated Jaccard >= threshold."""
+    import pyarrow.compute as pc
+
     sel = ds.select_columns([id_col, text_col])
     exploded = sel.map_batches(MinhashStage, batch_format="pyarrow",
                                fn_constructor_kwargs={"num_perm": num_perm,
                                                       "num_bands": num_bands},
                                concurrency=concurrency)
+    exploded = exploded.materialize()   # consumed twice (counts + filter)
+
+    # native count-aggregate -> broadcast hot band keys -> vectorized
+    # filter (same shape as simhash_near_dup_edges; avoids one Python
+    # call per mostly-singleton bucket)
+    counts = exploded.select_columns(["band_id", "band_key"]) \
+        .groupby(["band_id", "band_key"]).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                             "rep_id": pd.Series([], dtype=np.int64)})
+    hot_by_band = {int(b): np.sort(g["band_key"].to_numpy().astype(np.uint64))
+                   for b, g in hot.groupby("band_id")}
+    hot_ref = ray.put(hot_by_band)
+
+    class FilterHot:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bid = t["band_id"].to_numpy(zero_copy_only=False)
+            bkey = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            keep = np.zeros(len(bid), dtype=bool)
+            for b, vals in self.hot.items():
+                m = bid == b
+                if m.any() and len(vals):
+                    pos = np.clip(np.searchsorted(vals, bkey[m]), 0,
+                                  len(vals) - 1)
+                    keep[m] = vals[pos] == bkey[m]
+            return t.filter(pa.array(keep))
+
+    cand = exploded.map_batches(FilterHot, batch_format="pyarrow",
+                                concurrency=concurrency).to_pandas()
 
     def edges_of_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -260,8 +399,9 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
         return pd.DataFrame({"src": np.asarray(src, dtype=np.int64),
                              "dst": np.asarray(dst, dtype=np.int64)})
 
-    edges = exploded.groupby(["band_id", "band_key"]).map_groups(
-        edges_of_group, batch_format="pandas").to_pandas()
+    edges = cand.groupby(["band_id", "band_key"], sort=False,
+                         group_keys=False).apply(edges_of_group) \
+        if len(cand) else pd.DataFrame({"src": [], "dst": []})
     rep = components_min_rep(edges.drop_duplicates()) if len(edges) else {}
     rows = sorted((d, r) for d, r in rep.items())
     return pd.DataFrame({"id": [r[0] for r in rows],
@@ -315,9 +455,37 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                 src.append(ids[0]); dst.append(ids[i]); jac.append(j)
         return pd.DataFrame({"src": src, "dst": dst, "jaccard": jac})
 
+    import pyarrow.compute as pc
+
     sel = ds.select_columns([id_col, text_col])
-    pairs = sel.map_batches(explode, batch_format="pyarrow") \
-        .groupby("key").map_groups(verify, batch_format="pandas").to_pandas()
+    exploded = sel.map_batches(explode, batch_format="pyarrow")
+    exploded = exploded.materialize()   # consumed twice (counts + filter)
+    # native count-agg -> shared-key filter (keys shared by >= 2 docs)
+    counts = exploded.select_columns(["key"]).groupby("key").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=float)})
+    hot_keys = np.sort(hot["key"].to_numpy().astype(np.int64))
+    hot_ref = ray.put(hot_keys)
+
+    class FilterHot:
+        def __init__(self):
+            self.keys = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t["key"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, k), 0,
+                          len(self.keys) - 1)
+            return t.filter(pa.array(self.keys[pos] == k))
+
+    cand = exploded.map_batches(FilterHot, batch_format="pyarrow",
+                                concurrency=(1, 4)).to_pandas()
+    pairs = cand.groupby("key", sort=False, group_keys=False).apply(verify) \
+        if len(cand) else pd.DataFrame({"src": [], "dst": [], "jaccard": []})
     if len(pairs):
         pairs = pairs.drop_duplicates(["src", "dst"]).sort_values(["src", "dst"])
     return pairs.reset_index(drop=True)

@@ -114,28 +114,55 @@ def build_postings(doc_terms: ray.data.Dataset,
         batch_format="pyarrow", concurrency=(1, 4))
 
     def build_group(g: pd.DataFrame) -> pd.DataFrame:
-        # one posting row per (term, doc_shard, salt) group
-        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-        doc_ids = g["doc_id"].to_numpy()[order].astype(np.uint64)
-        tfs = g["tf"].to_numpy()[order].astype(np.uint64)
-        dvb, tvb, block_last, block_max = encode_postings(
-            doc_ids, tfs, posting_block_size)
-        return pd.DataFrame({
-            "term": [g["term"].iloc[0]],
-            "term_shard": np.asarray([g["term_shard"].iloc[0]], dtype=np.int32),
-            "doc_shard": np.asarray([g["doc_shard"].iloc[0]], dtype=np.int32),
-            "salt": np.asarray([g["salt"].iloc[0]], dtype=np.int32),
-            "df": np.asarray([g["df"].iloc[0]], dtype=np.int64),
-            "n_local": np.asarray([len(doc_ids)], dtype=np.int32),
-            "doc_ids_vb": [dvb],
-            "tfs_vb": [tvb],
+        # ONE coarse (term_shard, doc_shard) group carries ALL its terms:
+        # a per-(term,salt) map_groups would make one pandas call per
+        # vocabulary entry — the Ray-side shuffle stays identical but the
+        # per-group work is a single lexsort + run-detection here
+        terms = g["term"].to_numpy()
+        doc_ids = g["doc_id"].to_numpy().astype(np.int64)
+        tfs = g["tf"].to_numpy().astype(np.uint64)
+        salts = g["salt"].to_numpy()
+        dfs_col = g["df"].to_numpy()
+        order = np.lexsort((doc_ids, salts, terms))
+        t_s = terms[order]
+        s_s = salts[order]
+        d_s = doc_ids[order].astype(np.uint64)
+        tf_s = tfs[order]
+        df_s = dfs_col[order]
+        change = np.flatnonzero(
+            (t_s[1:] != t_s[:-1]) | (s_s[1:] != s_s[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(t_s)]])
+        out_term, out_salt, out_df, out_n = [], [], [], []
+        out_dvb, out_tvb, out_bl, out_bm = [], [], [], []
+        for a, b in zip(starts, ends):
+            dvb, tvb, block_last, block_max = encode_postings(
+                d_s[a:b], tf_s[a:b], posting_block_size)
+            out_term.append(t_s[a])
+            out_salt.append(s_s[a])
+            out_df.append(df_s[a])
+            out_n.append(b - a)
+            out_dvb.append(dvb)
+            out_tvb.append(tvb)
             # plain lists (not ndarray cells): keeps the Arrow/pandas
             # schema metadata round-trippable
-            "block_last_doc": [np.asarray(block_last).tolist()],
-            "block_max_tf": [np.asarray(block_max).tolist()],
+            out_bl.append(np.asarray(block_last).tolist())
+            out_bm.append(np.asarray(block_max).tolist())
+        n = len(out_term)
+        return pd.DataFrame({
+            "term": out_term,
+            "term_shard": np.full(n, g["term_shard"].iloc[0], dtype=np.int32),
+            "doc_shard": np.full(n, g["doc_shard"].iloc[0], dtype=np.int32),
+            "salt": np.asarray(out_salt, dtype=np.int32),
+            "df": np.asarray(out_df, dtype=np.int64),
+            "n_local": np.asarray(out_n, dtype=np.int32),
+            "doc_ids_vb": out_dvb,
+            "tfs_vb": out_tvb,
+            "block_last_doc": out_bl,
+            "block_max_tf": out_bm,
         })
 
-    return stamped.groupby(["term", "doc_shard", "salt"]).map_groups(
+    return stamped.groupby(["term_shard", "doc_shard"]).map_groups(
         build_group, batch_format="pandas")
 
 
@@ -148,6 +175,7 @@ def doc_stats(doc_terms: ray.data.Dataset, df_map: dict[str, int],
     Computed with per-batch partial sums (broadcast df map) + a small
     groupby(doc_id) combine — no full-text shuffle.
     """
+    assert n_docs > 0, "doc_stats called with n_docs=0"
     df_ref = ray.put(df_map)
     n_docs_f = float(n_docs)
 

@@ -1,0 +1,47 @@
+"""Fused doc-prep stage: length filter (M8) + doc-id assignment (A5) +
+simhash fingerprint (T1/T2) + text_len, in ONE actor pool.
+
+Why fused: each ``map_batches`` actor pool pins >= 1 CPU per job.  With
+several bucket jobs in flight, stacking one pool per sub-step starves
+the task operators (read/write) of CPUs and deadlocks the cluster —
+one pool per job keeps `jobs x 1` actors + free CPUs for tasks, and
+also removes two Arrow round-trips per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .docids import AssignDocIds
+from .simhash import SimhashStage
+
+
+class PrepStage:
+    def __init__(self, bases_ref, stop_words=(), top_n: int = 0,
+                 min_len: int = 10):
+        self.assign = AssignDocIds(bases_ref)
+        self.simhash = SimhashStage(stop_words=stop_words, top_n=top_n)
+        self.min_len = min_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater_equal(pc.utf8_length(batch["text"]), self.min_len))
+        t = self.assign(t)
+        t = self.simhash(t)
+        return t.append_column(
+            "text_len", pc.cast(pc.utf8_length(t["text"]), "int32"))
+
+
+def prep_transcripts(ds: ray.data.Dataset, bases_ref, stop_words=(),
+                     top_n: int = 0, min_len: int = 10,
+                     concurrency=(1, 8),
+                     batch_size: int = 2048) -> ray.data.Dataset:
+    return ds.map_batches(
+        PrepStage,
+        fn_constructor_kwargs={"bases_ref": bases_ref,
+                               "stop_words": tuple(stop_words),
+                               "top_n": top_n, "min_len": min_len},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
