@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": d.q_ann_topk,
         "ivf_topk": d.q_ivf_topk,                      # rows-only (approximate)
+        # suggestion (dict G5/A2, char index A7, edit distance G9)
+        "suggest_topk": d.q_suggest_topk,
         # text analysis
         "doc_token_stats": d.q_doc_token_stats,
         "quality_counts": d.q_quality_counts,
@@ -138,6 +140,11 @@ def _bm25_values() -> str:
             esc = term.replace("'", "''")
             rows.append(f"({qid}, '{esc}', {qtf})")
     return ", ".join(rows)
+
+
+def _suggest_values() -> str:
+    from searchenginesimple_ray.pipelines.driverops import SUGGEST_QUERIES
+    return ", ".join(f"({i}, '{q}')" for i, q in enumerate(SUGGEST_QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -217,6 +224,29 @@ FROM ranked WHERE rn <= 10
 """,
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "suggest_topk": f"""
+WITH {_tokenize_cte('documents')},
+dic AS (
+  SELECT term FROM kept GROUP BY term
+),
+q(query_id, q) AS (VALUES {_suggest_values()}),
+cand AS (
+  SELECT q.query_id, q.q, d.term
+  FROM q JOIN dic d
+  ON list_has_any(str_split_regex(d.term, ''), str_split_regex(q.q, ''))
+),
+scored AS (
+  SELECT query_id, term, levenshtein(q, term) AS distance FROM cand
+),
+ranked AS (
+  SELECT query_id, term, distance,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance, term) AS rn
+  FROM scored
+)
+SELECT query_id, rn - 1 AS rank, term, distance
+FROM ranked WHERE rn <= 10
 """,
         "ann_topk": """
 WITH q AS (

@@ -398,6 +398,33 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
                       "dst": pd.Series([], dtype=np.int64)})
 
 
+# fixed misspelled queries over the documents vocabulary (ASCII-only so
+# the DuckDB byte-level levenshtein oracle agrees with the engine's
+# codepoint-level distance; CJK parity is covered in pytest)
+SUGGEST_QUERIES = ["querry", "hsah", "jion", "tabel", "windoww",
+                   "vectro", "agg", "strem"]
+
+
+def q_suggest_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, term, distance): edit-distance suggestion top-10
+    (G9) over the engine-tokenized dict of the documents corpus;
+    candidates share >= 1 codepoint with the query (A9)."""
+    from .suggest import Suggester, build_char_index, build_dict
+    dt = tokenize_to_doc_terms(
+        _read_documents(sf_dir).select_columns(["doc_id", "text"]),
+        stop_words=DEFAULT_STOP_WORDS)
+    d = build_dict(dt)
+    s = Suggester(d, build_char_index(d))
+    rows = []
+    for qid, q in enumerate(SUGGEST_QUERIES):
+        for rank, r in enumerate(s.suggest(q, k=10)):
+            rows.append((qid, rank, r["term"], r["distance"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "term",
+                                       "distance"]) \
+        .astype({"query_id": np.int64, "rank": np.int64,
+                 "distance": np.int64})
+
+
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)

@@ -1,0 +1,163 @@
+"""Keyword-suggestion module — the reference's ``keyWord`` pipeline +
+``KeyServer`` runtime (SURVEY §3.2/§3.3) rebuilt on Ray Data.
+
+Build side:
+- dict (G5/A2): corpus term -> total count via per-batch partial counts
+  + a native ``groupby(term).sum`` (the reference zone-shards tokens by
+  FNV-1a%10 and sort-counts per zone, `Dictionary.hpp:121-218`; the
+  hash shuffle here is the same exchange with Ray's combiner);
+- char->word index (A7, `Dictionary.hpp:131-145,220-224`):
+  ``flat_map(term -> (codepoint, term_id)) . groupby(codepoint)`` with
+  collected sorted term_id lists;
+- both written as Parquet (replaces the cereal ``dictIndex.dat``
+  snapshot, `Dictionary.hpp:225-237`).
+
+Query side (T5/A9/G9): a ``Suggester`` holds dict + char index (the
+shipped reference dict is 2 MB — broadcast object, not a shuffle);
+candidates = union of the char-index posting of every query codepoint
+(`KeyRecommander.hpp:25-27,101-105`); rank by UTF-8-aware unit-cost
+Levenshtein distance (`KeyRecommander.hpp:29-65`) with the defined
+total order (distance asc, term asc) replacing the reference's
+unstable min-heap pop order (`KeyRecommander.hpp:67-93`, k=10).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+
+def build_dict(doc_terms: ray.data.Dataset) -> pd.DataFrame:
+    """doc_terms(term, tf, ...) -> dict(term, count, term_id).
+
+    term_id = rank in lexicographic term order (std::map iteration
+    parity, `Dictionary.hpp:207-217`)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, tfs)
+        return pa.table({"term": pa.array(uniq, pa.string()),
+                         "partial": pa.array(s)})
+
+    pdf = doc_terms.select_columns(["term", "tf"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").sum("partial").to_pandas()
+    col = [c for c in pdf.columns if c != "term"][0]
+    pdf = pdf.rename(columns={col: "count"}).sort_values("term") \
+        .reset_index(drop=True)
+    pdf["count"] = pdf["count"].astype(np.int64)
+    pdf["term_id"] = np.arange(len(pdf), dtype=np.int64)
+    return pdf
+
+
+def build_char_index(dict_pdf: pd.DataFrame) -> pd.DataFrame:
+    """dict -> char_index(codepoint, term_ids: list<int64>) (A7).
+
+    Dict tables are small (suggestion vocabulary); built driver-side
+    vectorized.  Scale path: ``flat_map`` + ``groupby(codepoint)`` over
+    a Dataset when the vocabulary outgrows one node."""
+    cps, tids = [], []
+    for tid, term in zip(dict_pdf["term_id"], dict_pdf["term"]):
+        for ch in set(term):
+            cps.append(ord(ch))
+            tids.append(tid)
+    idx = pd.DataFrame({"codepoint": cps, "term_id": tids}) \
+        .sort_values(["codepoint", "term_id"])
+    rows = idx.groupby("codepoint")["term_id"].apply(list).reset_index()
+    rows.columns = ["codepoint", "term_ids"]
+    return rows
+
+
+def write_dict_index(out_dir: str, dict_pdf: pd.DataFrame,
+                     char_pdf: pd.DataFrame) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(dict_pdf, preserve_index=False),
+                   os.path.join(out_dir, "dict.parquet"))
+    pq.write_table(pa.table({
+        "codepoint": pa.array(char_pdf["codepoint"].to_numpy(), pa.int64()),
+        "term_ids": pa.array(char_pdf["term_ids"].tolist(),
+                             pa.list_(pa.int64())),
+    }), os.path.join(out_dir, "char_index.parquet"))
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance over CODEPOINTS (utf8-aware DP,
+    `KeyRecommander.hpp:29-65`).  Rows are numpy-vectorized for the
+    substitute/delete terms; the insert chain (a sequential min-scan)
+    is resolved with the standard ``d - j`` prefix-min trick."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bl = len(b)
+    b_cp = np.fromiter((ord(c) for c in b), dtype=np.int64, count=bl)
+    pos = np.arange(bl + 1, dtype=np.int64)
+    prev = pos.copy()
+    for i, ca in enumerate(a, 1):
+        cost = (b_cp != ord(ca)).astype(np.int64)
+        m = np.minimum(prev[:-1] + cost, prev[1:] + 1)   # sub, delete
+        # insert chain cur[j] = min(seed[j], cur[j-1]+1) unrolls to
+        # cur[j] = min_{t<=j}(seed[t] - t) + j with seed[0] = cur[0] = i
+        seed = np.concatenate([[i], m])
+        prev = np.minimum.accumulate(seed - pos) + pos
+    return int(prev[bl])
+
+
+class Suggester:
+    """Dict + char index pinned once (T5); per-query candidate union
+    (A9) + edit-distance top-k (G9)."""
+
+    def __init__(self, dict_pdf: pd.DataFrame | str,
+                 char_pdf: pd.DataFrame | None = None):
+        if isinstance(dict_pdf, str):
+            d = pq.read_table(
+                os.path.join(dict_pdf, "dict.parquet")).to_pandas()
+            c = pq.read_table(
+                os.path.join(dict_pdf, "char_index.parquet")).to_pandas()
+        else:
+            d, c = dict_pdf, char_pdf
+        self.terms = d["term"].to_numpy()
+        self.counts = d["count"].to_numpy()
+        self.char_index = {int(cp): np.asarray(tids, dtype=np.int64)
+                           for cp, tids in zip(c["codepoint"], c["term_ids"])}
+
+    def suggest(self, query: str, k: int = 10) -> list[dict]:
+        """Top-k (term, distance, count), (distance asc, term asc)."""
+        cand_sets = [self.char_index[ord(ch)] for ch in set(query)
+                     if ord(ch) in self.char_index]
+        if not cand_sets:
+            return []
+        cands = np.unique(np.concatenate(cand_sets))
+        dists = np.fromiter(
+            (levenshtein(query, self.terms[c]) for c in cands),
+            dtype=np.int64, count=len(cands))
+        order = np.lexsort((self.terms[cands], dists))[:k]
+        return [{"term": str(self.terms[cands[i]]),
+                 "distance": int(dists[i]),
+                 "count": int(self.counts[cands[i]])}
+                for i in order]
+
+
+@ray.remote
+class SuggesterActor:
+    """Actor wrapper: the 2 MB dict state loads once per actor, query
+    calls fan out from the driver (KeyServer analogue without the
+    LRU-pool machinery — actors serialize their own mailbox)."""
+
+    def __init__(self, index_dir: str):
+        self.core = Suggester(index_dir)
+
+    def suggest(self, query: str, k: int = 10) -> list[dict]:
+        return self.core.suggest(query, k)
