@@ -30,6 +30,10 @@ assert len(DEFAULT_STOP_WORDS) == 50
 
 @dataclass
 class EngineConfig:
+    # bump when a pipeline change alters checkpoint SCHEMAS/semantics —
+    # part of the lineage fingerprint, so stale checkpoints invalidate
+    pipeline_version: int = 2
+
     # ---- partitioning ----
     num_doc_shards: int = 8          # postings + doc_stats partition: doc_id % D
     num_term_shards: int = 10        # dict "zone" parity: fnv1a(term) % S (conf/files.json:9)

@@ -134,18 +134,71 @@ def jenkins64(key: str | bytes, seed: int = 0) -> int:
     return (pc << 32) | pb
 
 
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def popcount64(x) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no per-bit unpack)."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    x -= (x >> np.uint64(1)) & _M1
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return (x * _H01) >> np.uint64(56)
+
+
 def hamming64(lhs, rhs):
     """Popcount of xor — scalar ints or numpy uint64 arrays."""
-    x = np.bitwise_xor(np.asarray(lhs, dtype=np.uint64), np.asarray(rhs, dtype=np.uint64))
-    # numpy >=1.26 lacks a popcount ufunc for uint64 in some builds; use bytes view
-    b = x.reshape(-1).view(np.uint8).reshape(-1, 8)
-    cnt = np.unpackbits(b, axis=1).sum(axis=1)
-    return cnt.reshape(np.shape(x)) if np.ndim(x) else int(cnt[0])
+    x = np.bitwise_xor(np.asarray(lhs, dtype=np.uint64),
+                       np.asarray(rhs, dtype=np.uint64))
+    cnt = popcount64(x).astype(np.int64)
+    return cnt.reshape(np.shape(x)) if np.ndim(x) else int(cnt.reshape(-1)[0])
 
 
 def simhash_is_equal(lhs: int, rhs: int, n: int = 3) -> bool:
     """`Simhasher::isEqual` (`Simhasher.hpp:109-151`): hamming <= n."""
     return int(hamming64(lhs, rhs)) <= n
+
+
+def simhash_combo_keys(hashes, threshold: int = 3) -> np.ndarray:
+    """Manku-style block-combination candidate keys for hamming<=threshold
+    (Manku, Jain & Das Sarma, WWW'07 §3).
+
+    Split 64 bits into ``B = threshold + 3`` near-equal blocks; <=
+    ``threshold`` flipped bits corrupt <= threshold blocks, so at least
+    3 blocks are intact => some 3-block combination is identical.  Keys
+    are all C(B, 3) 3-block concatenations (combo id folded into the
+    top bits).  Key width ~ 3*64/B bits: at threshold 3 that is ~32
+    bits vs the naive 4x16-bit banding — 2^16x more selective per key,
+    which is what keeps candidate pairs near-linear once the corpus
+    outgrows 2^16 (the naive scheme degenerates to all-pairs there).
+
+    Returns shape (n, C(B,3)) uint64.
+    """
+    from itertools import combinations
+
+    h = np.asarray(hashes, dtype=np.uint64).reshape(-1)
+    B = threshold + 3
+    bounds = np.linspace(0, 64, B + 1).astype(int)
+    blocks = []
+    for i in range(B):
+        w = bounds[i + 1] - bounds[i]
+        blocks.append((h >> np.uint64(bounds[i]))
+                      & np.uint64((1 << w) - 1))
+    combos = list(combinations(range(B), 3))
+    out = np.empty((len(h), len(combos)), dtype=np.uint64)
+    for ci, combo in enumerate(combos):
+        k = np.zeros_like(h)
+        for b in reversed(combo):   # high block first: threshold 0
+            w = bounds[b + 1] - bounds[b]    # reassembles h exactly
+            k = (k << np.uint64(w)) | blocks[b]
+        # fold the combo id into the top bits so different combos
+        # occupy disjoint key spaces (collisions would only add
+        # candidates — verification stays exact — but cost shuffle)
+        out[:, ci] = k ^ (np.uint64(ci) << np.uint64(58))
+    return out
 
 
 def simhash_bands(hashes, num_bands: int = 4) -> np.ndarray:

@@ -43,7 +43,7 @@ from ..stages.docids import conv_bases
 from ..stages.dedup import components_min_rep, simhash_near_dup_edges
 from ..stages.postings import build_postings, doc_stats, term_document_frequencies
 from ..stages.prep import prep_transcripts
-from ..stages.tokenizer import tokenize_to_doc_terms
+from ..stages.tokenizer import doc_terms_from_prepped
 from ..state import lineage
 
 
@@ -252,8 +252,12 @@ def build_index(input_files: list[str], out_dir: str,
         docs_dir = os.path.join(out_dir, "docs", f"bucket={k}")
 
         def mk_docs(tmp):
+            # doc STORE: text + provenance only (term lists stay in
+            # docs_raw for the doc_terms explode — not duplicated here)
             ds = _read_parquet(
-                _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")))
+                _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")),
+                columns=["conv_id", "turn_idx", "text", "doc_id",
+                         "simhash", "text_len"])
             ds = ds.map_batches(ApplyDrop, fn_constructor_args=(drop_ref,),
                                 batch_format="pyarrow", concurrency=(1, 4))
             ds.write_parquet(tmp)
@@ -265,16 +269,19 @@ def build_index(input_files: list[str], out_dir: str,
         dt_dir = os.path.join(out_dir, "doc_terms", f"bucket={k}")
 
         def mk_terms(tmp):
+            # list-explode of the term counts captured by PrepStage (no
+            # second tokenize); drop filter re-applied on the raw bucket
             ds = _read_parquet(
-                _pq_files(os.path.join(out_dir, "docs", f"bucket={k}")))
-            dt = tokenize_to_doc_terms(ds, stop_words=stop,
-                                       concurrency=(1, cfg.tokenize_concurrency),
-                                       batch_size=cfg.tokenize_batch_size)
+                _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")),
+                columns=["doc_id", "simhash", "doc_len", "terms", "tfs"])
+            ds = ds.map_batches(ApplyDrop, fn_constructor_args=(drop_ref,),
+                                batch_format="pyarrow", concurrency=(1, 4))
+            dt = doc_terms_from_prepped(ds)
             dt.write_parquet(tmp)
             return _count_rows(tmp), {}
 
         m_terms = run_or_skip("doc_terms", f"bucket={k}", dt_dir, mk_terms,
-                              deps=[f"docs/bucket={k}"])
+                              deps=[f"docs_raw/bucket={k}", "dedup/global"])
         return k, m_docs, m_terms
 
     with ThreadPoolExecutor(job_threads) as pool:

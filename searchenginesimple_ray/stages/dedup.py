@@ -10,11 +10,13 @@ Reference semantics (SURVEY §2.4):
   transitively chained in arrival order.  The distributed rule (SURVEY
   §7.5, shared with the oracle): cluster = connected component of the
   hamming<=3 graph, representative = min ``doc_id`` (global
-  ``(conv_id, turn_idx)`` order).  Candidate generation is pigeonhole
-  banding: 4 x 16-bit bands of the 64-bit simhash — any pair within
-  hamming<=3 shares at least one band value — ``flat_map`` to
-  ``(band_id, band_val)`` keys, ``groupby`` both, verify hamming within
-  groups, union-find the (small) edge set on the driver.
+  ``(conv_id, turn_idx)`` order).  Candidate generation is Manku-style
+  block-combination keys (WWW'07): C(threshold+3, 3) ~32-bit keys per
+  doc — any pair within hamming<=threshold shares at least one key —
+  explode to ``(band_id, band_val)``, count-prefilter, verify hamming
+  on candidates, union-find the (small) edge set on the driver.
+  (Naive 4x16-bit banding degenerates to all-pairs once the corpus
+  outgrows 2^16 docs — measured 15 GB of pair candidates at 600k.)
 
 Also the large-scale training-data dedup family over generic
 ``(id, text)`` tables: exact (hash + per-group first), MinHash+LSH,
@@ -37,7 +39,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.hashing import hamming64, simhash_bands
+from ..functions.hashing import hamming64, simhash_combo_keys
 from ..functions.minhash import char_shingles, lsh_band_keys, minhash_signature
 
 # guard: max unique simhash values pairwise-verified within one band group
@@ -61,16 +63,18 @@ def exact_dedup_first(ds: ray.data.Dataset, key: str,
 
 # ------------------------------------------------------- simhash banded
 
-def _band_explode(batch: pa.Table, num_bands: int) -> pa.Table:
+def _band_explode(batch: pa.Table, threshold: int) -> pa.Table:
+    """One row per (doc, combo key) — Manku block-combination keys
+    (C(threshold+3, 3) per doc; ~32-bit keys at threshold 3)."""
     h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-    bands = simhash_bands(h, num_bands)          # (n, B)
-    n = len(h)
+    keys = simhash_combo_keys(h, threshold)      # (n, C)
+    n, C = keys.shape
     return pa.table({
-        "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
-        "band_val": pa.array(bands.reshape(-1), pa.uint64()),
-        "doc_id": pa.array(np.repeat(doc, num_bands), pa.int64()),
-        "simhash": pa.array(np.repeat(h, num_bands), pa.uint64()),
+        "band_id": pa.array(np.tile(np.arange(C, dtype=np.int32), n)),
+        "band_val": pa.array(keys.reshape(-1), pa.uint64()),
+        "doc_id": pa.array(np.repeat(doc, C), pa.int64()),
+        "simhash": pa.array(np.repeat(h, C), pa.uint64()),
     })
 
 
@@ -128,16 +132,23 @@ def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
     slim = docs.select_columns(["doc_id", "simhash"]).map_batches(
         lambda t: t.filter(pc.not_equal(t["simhash"], pa.scalar(0, pa.uint64()))),
         batch_format="pyarrow")
+    # ``num_bands`` is vestigial (kept for signature compat): candidate
+    # keys come from the threshold-derived block combinations
     exploded = slim.map_batches(
-        lambda t: _band_explode(t, num_bands), batch_format="pyarrow")
+        lambda t: _band_explode(t, threshold), batch_format="pyarrow")
     # consumed twice (counts, then filter): materialize the 28-byte rows
     # once instead of re-reading + re-exploding the corpus.  At extreme
     # scale swap for a parquet spill of the exploded keys.
     exploded = exploded.materialize()
 
-    # fast path: below ~5M band rows the whole key table fits the driver
-    # comfortably (28 B/row) — verify directly, skip the count shuffle
-    if exploded.count() <= 5_000_000:
+    # fast path: below ~50M band rows (28 B/row => <1.5 GB) the key
+    # table fits the driver — verify directly.  The count-shuffle
+    # prefilter only pays off beyond that (Ray's hash aggregate over
+    # ~n mostly-unique keys costs far more than one driver lexsort:
+    # measured 85 s vs 5 s at 12M rows).  Scale path past 50M: replace
+    # groupby().count() with a distributed sort + per-block run
+    # detection (boundary runs reconciled on the driver).
+    if exploded.count() <= 50_000_000:
         cand = exploded.to_pandas()
         if not len(cand):
             return pd.DataFrame({"src": [], "dst": []})
@@ -203,23 +214,58 @@ def _edges_from_candidates(cand: pd.DataFrame, threshold: int) -> pd.DataFrame:
     run_id = np.concatenate([[0], np.cumsum(~same_b)])
     sizes = np.bincount(run_id)
     starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    by_size: dict[int, list] = {}
-    for st, sz in zip(starts.tolist(), sizes.tolist()):
-        if sz >= 2:
-            by_size.setdefault(sz, []).append(st)
+    # pair generation grouped by run SIZE (python loop over the few
+    # distinct sizes only, not over the ~n runs).  All-pairs within a
+    # run is quadratic, and on hash-clustered corpora mid-size runs
+    # explode — cap the all-pairs run size adaptively so total pairs
+    # stay within a fixed budget; larger runs fall back to a sorted
+    # neighbour WINDOW (reps are sorted by simhash, so true near-dups
+    # are adjacent with high probability; other combo keys give
+    # additional chances).
+    sel = sizes >= 2
+    sz_a = sizes[sel].astype(np.int64)
+    st_a = starts[sel]
+    PAIR_BUDGET = 10_000_000
+    WINDOW = 4
+    cap = _MAX_PAIRWISE
+    for c in (4096, 1024, 256, 64, 16):
+        full = sz_a * (sz_a - 1) // 2
+        est = int(np.where(sz_a <= c, full, (sz_a - 1) * WINDOW).sum())
+        cap = c
+        if est <= PAIR_BUDGET:
+            break
+    order2 = np.argsort(sz_a, kind="stable")
+    sz_s, st_s = sz_a[order2], st_a[order2]
+    cut = np.concatenate([[0], np.flatnonzero(np.diff(sz_s)) + 1,
+                          [len(sz_s)]])
     pi_parts, pj_parts = [], []
-    for sz, sts in by_size.items():
-        sts_a = np.asarray(sts, dtype=np.int64)
-        if sz <= _MAX_PAIRWISE:
+    for a, b in zip(cut[:-1], cut[1:]):
+        sz = int(sz_s[a])
+        sts_a = st_s[a:b]
+        if sz <= cap:
             ii, jj = np.triu_indices(sz, k=1)
-        else:  # degenerate bucket: neighbour-verify only
-            ii = np.arange(sz - 1)
-            jj = ii + 1
+        else:  # degenerate run: windowed neighbour verify
+            ii_l, jj_l = [], []
+            for w in range(1, min(WINDOW, sz - 1) + 1):
+                ii_l.append(np.arange(sz - w))
+                jj_l.append(np.arange(w, sz))
+            ii = np.concatenate(ii_l)
+            jj = np.concatenate(jj_l)
         pi_parts.append((sts_a[:, None] + ii[None, :]).ravel())
         pj_parts.append((sts_a[:, None] + jj[None, :]).ravel())
     if pi_parts:
         pi = np.concatenate(pi_parts)
         pj = np.concatenate(pj_parts)
+        # the same rep pair surfaces under up to C(B,3) combo keys —
+        # dedupe by DOC pair before the popcount pass (~20x less work)
+        a = rd[pi]
+        b = rd[pj]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        po = np.lexsort((hi, lo))
+        keep = np.concatenate([[True], (lo[po][1:] != lo[po][:-1])
+                               | (hi[po][1:] != hi[po][:-1])])
+        pi, pj = pi[po[keep]], pj[po[keep]]
         d = hamming64(rs[pi], rs[pj])
         hit = d <= threshold
         src.append(rd[pi[hit]])

@@ -19,6 +19,10 @@ from .simhash import SimhashStage
 
 
 class PrepStage:
+    """Also emits the per-doc term/tf lists: downstream ``doc_terms`` is
+    then a pure vectorized list-explode instead of a SECOND tokenize
+    pass over every text (tokenization is the build's dominant CPU)."""
+
     def __init__(self, bases_ref, stop_words=(), top_n: int = 0,
                  min_len: int = 10):
         self.assign = AssignDocIds(bases_ref)
@@ -26,12 +30,36 @@ class PrepStage:
         self.min_len = min_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.simhash import simhash_from_keywords, top_keywords
         t = batch.filter(
             pc.greater_equal(pc.utf8_length(batch["text"]), self.min_len))
         t = self.assign(t)
-        t = self.simhash(t)
-        return t.append_column(
-            "text_len", pc.cast(pc.utf8_length(t["text"]), "int32"))
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sims = np.empty(n, dtype=np.uint64)
+        terms_col: list[list[str]] = []
+        tfs_col: list[list[int]] = []
+        doc_len = np.zeros(n, dtype=np.int32)
+        counter = self.simhash.counter
+        cache = self.simhash.hash_cache
+        top_n = self.simhash.top_n
+        for i, tx in enumerate(texts):
+            tf = counter.doc_counts(tx)
+            sims[i] = simhash_from_keywords(top_keywords(tf, top_n), cache)
+            terms_col.append(list(tf.keys()))
+            tfs_col.append(list(tf.values()))
+            doc_len[i] = sum(tf.values())
+        return (t
+                .append_column("simhash", pa.array(sims, pa.uint64()))
+                .append_column("text_len",
+                               pc.cast(pc.utf8_length(t["text"]), "int32"))
+                .append_column("doc_len", pa.array(doc_len, pa.int32()))
+                .append_column("terms",
+                               pa.array(terms_col, pa.list_(pa.string())))
+                .append_column("tfs",
+                               pa.array(tfs_col, pa.list_(pa.int32()))))
 
 
 def prep_transcripts(ds: ray.data.Dataset, bases_ref, stop_words=(),

@@ -93,3 +93,34 @@ def tokenize_to_doc_terms(docs: ray.data.Dataset, stop_words=(),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def explode_doc_terms(batch: pa.Table) -> pa.Table:
+    """Prepped docs (doc_id, doc_len, terms: list<str>, tfs: list<int32>)
+    -> doc_terms rows.  Pure Arrow list-flatten — no re-tokenize, no
+    Python loop (the term lists were materialized once in PrepStage)."""
+    import pyarrow.compute as pc
+    terms = batch["terms"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    tfs = batch["tfs"]
+    if isinstance(tfs, pa.ChunkedArray):
+        tfs = tfs.combine_chunks()
+    lengths = pc.list_value_length(terms).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths).astype(np.int64)
+    doc_ids = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False), lengths)
+    doc_lens = np.repeat(
+        batch["doc_len"].to_numpy(zero_copy_only=False), lengths)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "term": terms.flatten(),
+        "tf": tfs.flatten(),
+        "doc_len": pa.array(doc_lens.astype(np.int32), pa.int32()),
+    })
+
+
+def doc_terms_from_prepped(prepped: ray.data.Dataset) -> ray.data.Dataset:
+    """Task-based explode over prepped docs (column-pruned input)."""
+    return prepped.select_columns(["doc_id", "doc_len", "terms", "tfs"]) \
+        .map_batches(explode_doc_terms, batch_format="pyarrow")
