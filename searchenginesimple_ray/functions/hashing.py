@@ -143,10 +143,11 @@ _H01 = np.uint64(0x0101010101010101)
 def popcount64(x) -> np.ndarray:
     """Vectorized SWAR popcount over uint64 (no per-bit unpack)."""
     x = np.asarray(x, dtype=np.uint64).copy()
-    x -= (x >> np.uint64(1)) & _M1
-    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
-    x = (x + (x >> np.uint64(4))) & _M4
-    return (x * _H01) >> np.uint64(56)
+    with np.errstate(over="ignore"):   # intended mod-2^64 arithmetic
+        x -= (x >> np.uint64(1)) & _M1
+        x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+        x = (x + (x >> np.uint64(4))) & _M4
+        return (x * _H01) >> np.uint64(56)
 
 
 def hamming64(lhs, rhs):

@@ -168,7 +168,9 @@ class ScorerCore:
                 # candidate by the sum of its terms' block maxima; exact-score
                 # only candidates whose bound can still beat the running
                 # min-heap threshold (lagged by EPS so quantized ties are
-                # never pruned — exactness-preserving, property-tested)
+                # never pruned — exactness-preserving, property-tested).
+                # Candidates are processed in bound-descending CHUNKS so the
+                # scoring stays vectorized (no per-candidate Python loop).
                 bounds = np.zeros(len(cand))
                 for t, q in present:
                     ids = self.postings[t][0]
@@ -177,20 +179,25 @@ class ScorerCore:
                 order = np.argsort(-bounds)
                 heap: list[tuple[float, int]] = []
                 scored: list[tuple[float, int]] = []
-                for ci in order:
-                    if len(heap) >= k and bounds[ci] <= heap[0][0] - EPS:
+                CH = 1024
+                for start in range(0, len(order), CH):
+                    chunk = order[start:start + CH]
+                    if len(heap) >= k and \
+                            bounds[chunk[0]] <= heap[0][0] - EPS:
                         break  # no remaining candidate can beat the heap min
-                    d = int(cand[ci])
-                    s = 0.0
+                    docs_c = cand[chunk]
+                    total = np.zeros(len(chunk))
                     for t, q in present:
                         ids, _ = self.postings[t]
-                        s += q * self.scores[t][np.searchsorted(ids, d)]
-                    scored.append((s, d))
-                    item = (s, -d)
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
+                        pos = np.searchsorted(ids, docs_c)
+                        total += q * self.scores[t][pos]
+                    for s, d in zip(total.tolist(), docs_c.tolist()):
+                        scored.append((s, d))
+                        item = (s, -d)
+                        if len(heap) < k:
+                            heapq.heappush(heap, item)
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
                 return sort_scored_desc(scored)[:k]
             for t, q in present:
                 ids, _ = self.postings[t]

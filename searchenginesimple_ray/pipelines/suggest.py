@@ -152,12 +152,36 @@ class Suggester:
 
 @ray.remote
 class SuggesterActor:
-    """Actor wrapper: the 2 MB dict state loads once per actor, query
-    calls fan out from the driver (KeyServer analogue without the
-    LRU-pool machinery — actors serialize their own mailbox)."""
+    """Actor wrapper: the 2 MB dict state loads once per actor; query
+    calls fan out from the driver.  Per-actor LRU result cache (T6
+    parity: the reference runs 20 x 30-entry caches behind a resource
+    pool, `src/Server/KeyServer.cc:39-53,119-125` — an actor pool of N
+    with a 30-entry cache each is the same shape minus the merge dance,
+    which existed only because the caches shared one address space)."""
+
+    CACHE_SIZE = 30   # KeyServer.cc:119-121
 
     def __init__(self, index_dir: str):
+        from collections import OrderedDict
         self.core = Suggester(index_dir)
+        self.cache: OrderedDict[tuple, list] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
 
     def suggest(self, query: str, k: int = 10) -> list[dict]:
-        return self.core.suggest(query, k)
+        key = (query, k)
+        got = self.cache.get(key)
+        if got is not None:
+            self.cache.move_to_end(key)
+            self.hits += 1
+            return got
+        self.misses += 1
+        res = self.core.suggest(query, k)
+        self.cache[key] = res
+        if len(self.cache) > self.CACHE_SIZE:
+            self.cache.popitem(last=False)
+        return res
+
+    def cache_stats(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses,
+                "size": len(self.cache)}
