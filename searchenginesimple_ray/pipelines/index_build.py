@@ -175,7 +175,7 @@ def build_index(input_files: list[str], out_dir: str,
     except ImportError:
         pass
     min_len = cfg.min_text_len
-    job_threads = min(4, len(buckets))
+    job_threads = min(8, len(buckets))
 
     def prep_bucket(k_files):
         k, bucket_files = k_files
@@ -189,7 +189,6 @@ def build_index(input_files: list[str], out_dir: str,
             # pin every CPU in actors and starve the read/write tasks
             ds = prep_transcripts(ds, bases_ref, stop_words=stop,
                                   top_n=cfg.simhash_top_n, min_len=min_len,
-                                  concurrency=(1, cfg.simhash_concurrency),
                                   batch_size=cfg.tokenize_batch_size)
             ds.write_parquet(tmp)
             return _count_rows(tmp), {}
@@ -210,7 +209,8 @@ def build_index(input_files: list[str], out_dir: str,
         import pandas as pd
         if cfg.dedup_enabled:
             docs_raw = ray.data.read_parquet(
-                _pq_files(os.path.join(out_dir, "docs_raw")))
+                _pq_files(os.path.join(out_dir, "docs_raw")),
+                columns=["doc_id", "simhash"])   # never read the text
             edges = simhash_near_dup_edges(docs_raw, cfg.num_bands,
                                            cfg.hamming_threshold)
             rep = components_min_rep(edges) if len(edges) else {}
@@ -235,18 +235,24 @@ def build_index(input_files: list[str], out_dir: str,
     drop_ref = ray.put(np.sort(drop_ids))
 
     # ---- stage 3: per-bucket deduped doc store + tokenize (S5, G1) -----
-    class ApplyDrop:
-        def __init__(self, ref):
-            self.drop = ray.get(ref)
+    # task-based drop filter with per-worker memo of the broadcast drop
+    # array (same rationale as stages.prep._prep_batch: no actor pools
+    # for trivial state => no per-job actor spawn overhead)
+    _drop_cache: dict = {}
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(pc.not_equal(t["simhash"], pa.scalar(0, pa.uint64())))
-            if len(self.drop) == 0 or t.num_rows == 0:
-                return t
-            doc = t["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self.drop, doc), 0,
-                          len(self.drop) - 1)
-            return t.filter(pa.array(self.drop[pos] != doc))
+    def apply_drop(t: pa.Table, drop_ref=None) -> pa.Table:
+        key = drop_ref.hex()
+        drop = _drop_cache.get(key)
+        if drop is None:
+            drop = ray.get(drop_ref)
+            _drop_cache.clear()
+            _drop_cache[key] = drop
+        t = t.filter(pc.not_equal(t["simhash"], pa.scalar(0, pa.uint64())))
+        if len(drop) == 0 or t.num_rows == 0:
+            return t
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(drop, doc), 0, len(drop) - 1)
+        return t.filter(pa.array(drop[pos] != doc))
 
     def docs_terms_bucket(k):
         docs_dir = os.path.join(out_dir, "docs", f"bucket={k}")
@@ -258,8 +264,8 @@ def build_index(input_files: list[str], out_dir: str,
                 _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")),
                 columns=["conv_id", "turn_idx", "text", "doc_id",
                          "simhash", "text_len"])
-            ds = ds.map_batches(ApplyDrop, fn_constructor_args=(drop_ref,),
-                                batch_format="pyarrow", concurrency=(1, 4))
+            ds = ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                                batch_format="pyarrow")
             ds.write_parquet(tmp)
             return _count_rows(tmp), {}
 
@@ -274,8 +280,8 @@ def build_index(input_files: list[str], out_dir: str,
             ds = _read_parquet(
                 _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")),
                 columns=["doc_id", "simhash", "doc_len", "terms", "tfs"])
-            ds = ds.map_batches(ApplyDrop, fn_constructor_args=(drop_ref,),
-                                batch_format="pyarrow", concurrency=(1, 4))
+            ds = ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                                batch_format="pyarrow")
             dt = doc_terms_from_prepped(ds)
             dt.write_parquet(tmp)
             return _count_rows(tmp), {}

@@ -152,7 +152,21 @@ def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
         cand = exploded.to_pandas()
         if not len(cand):
             return pd.DataFrame({"src": [], "dst": []})
-        return _edges_from_candidates(cand, threshold)
+        if len(cand) <= 2_000_000:
+            return _edges_from_candidates(cand, threshold)
+        # large key table: verify each combo band in its OWN Ray task —
+        # driver-bound verification is a fixed cost that wrecks cluster
+        # scaling.  A true pair surfaces in several bands (so some
+        # hamming work repeats across tasks), but each band's table is
+        # 1/C of the total and all C tasks run in parallel; edges are
+        # deduped on concat.
+        verify = ray.remote(_edges_from_candidates)
+        futs = [verify.remote(sub, threshold)
+                for _, sub in cand.groupby("band_id", sort=False)]
+        parts = [p for p in ray.get(futs) if len(p)]
+        if not parts:
+            return pd.DataFrame({"src": [], "dst": []})
+        return pd.concat(parts).drop_duplicates().reset_index(drop=True)
 
     counts = exploded.groupby(["band_id", "band_val"]).count()
     hot = counts.map_batches(

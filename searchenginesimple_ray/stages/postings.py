@@ -108,10 +108,23 @@ def build_postings(doc_terms: ray.data.Dataset,
     hot_ref = ray.put(hot)
     df_ref = ray.put(df_map)
 
+    _stamp_cache: dict = {}
+
+    def stamp(batch: pa.Table, refs=None) -> pa.Table:
+        # per-worker memo of the broadcast hot/df maps (task-based: no
+        # per-job actor spawn; workers persist across jobs)
+        key = tuple(r.hex() for r in refs)
+        st = _stamp_cache.get(key)
+        if st is None:
+            st = StampShards(refs[0], refs[1], num_term_shards,
+                             num_doc_shards)
+            _stamp_cache.clear()
+            _stamp_cache[key] = st
+        return st(batch)
+
     stamped = doc_terms.map_batches(
-        StampShards,
-        fn_constructor_args=(hot_ref, df_ref, num_term_shards, num_doc_shards),
-        batch_format="pyarrow", concurrency=(1, 4))
+        stamp, fn_kwargs={"refs": (hot_ref, df_ref)},
+        batch_format="pyarrow")
 
     def build_group(g: pd.DataFrame) -> pd.DataFrame:
         # ONE coarse (term_shard, doc_shard) group carries ALL its terms:
@@ -207,8 +220,7 @@ def doc_stats(doc_terms: ray.data.Dataset, df_map: dict[str, int],
                              "w2": pa.array(s, pa.float64()),
                              "doc_len": pa.array(dl, pa.int64())})
 
-    partial = doc_terms.map_batches(PartialNorm, batch_format="pyarrow",
-                                    concurrency=(1, 4))
+    partial = doc_terms.map_batches(PartialNorm(), batch_format="pyarrow")
     from ray.data.aggregate import Max, Sum
     agg = partial.groupby("doc_id").aggregate(
         Sum("w2", alias_name="w2_sum"), Max("doc_len", alias_name="doc_len"))

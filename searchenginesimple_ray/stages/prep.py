@@ -62,14 +62,34 @@ class PrepStage:
                                pa.array(tfs_col, pa.list_(pa.int32()))))
 
 
+# process-global stage memo: plain map_batches TASKS reuse Ray worker
+# processes, so the per-worker state (regexes, stop set, broadcast
+# bases) loads once per worker — actor-pool semantics WITHOUT the
+# per-job actor spawn cost (a build runs dozens of small bucket jobs;
+# fresh actor pools per job were a dominant fixed overhead and a
+# deadlock risk when concurrent pools pinned every CPU).
+_PREP_CACHE: dict = {}
+
+
+def _prep_batch(batch: pa.Table, bases_ref, stop_words, top_n,
+                min_len) -> pa.Table:
+    key = (getattr(bases_ref, "hex", lambda: str(id(bases_ref)))(),
+           stop_words, top_n, min_len)
+    stage = _PREP_CACHE.get(key)
+    if stage is None:
+        stage = PrepStage(bases_ref, stop_words, top_n, min_len)
+        _PREP_CACHE.clear()   # one live config per worker is plenty
+        _PREP_CACHE[key] = stage
+    return stage(batch)
+
+
 def prep_transcripts(ds: ray.data.Dataset, bases_ref, stop_words=(),
                      top_n: int = 0, min_len: int = 10,
-                     concurrency=(1, 8),
+                     concurrency=None,
                      batch_size: int = 2048) -> ray.data.Dataset:
     return ds.map_batches(
-        PrepStage,
-        fn_constructor_kwargs={"bases_ref": bases_ref,
-                               "stop_words": tuple(stop_words),
-                               "top_n": top_n, "min_len": min_len},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        _prep_batch,
+        fn_kwargs={"bases_ref": bases_ref,
+                   "stop_words": tuple(stop_words),
+                   "top_n": top_n, "min_len": min_len},
+        batch_format="pyarrow", batch_size=batch_size)
