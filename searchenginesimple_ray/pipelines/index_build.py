@@ -151,9 +151,24 @@ def build_index(input_files: list[str], out_dir: str,
     bases_dir = os.path.join(out_dir, "conv_bases")
 
     def compute_bases(tmp):
-        ds = ray.data.read_parquet(sorted(input_files),
-                                   columns=["conv_id", "turn_idx"])
-        bases = conv_bases(ds)
+        total_bytes = sum(os.path.getsize(f) for f in input_files)
+        if total_bytes <= 512 * 1024 * 1024:
+            # small input: one driver-side pruned arrow read beats a
+            # full Dataset job (saves ~6 s of job latency per build)
+            t = pq.read_table(sorted(input_files),
+                              columns=["conv_id", "turn_idx"])
+            conv = t["conv_id"].to_numpy(zero_copy_only=False)
+            tidx = t["turn_idx"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(conv, return_inverse=True)
+            mx = np.zeros(len(uniq), dtype=np.int64)
+            np.maximum.at(mx, inv, tidx.astype(np.int64))
+            sizes = mx + 1
+            off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            bases = dict(zip(uniq.tolist(), off.tolist()))
+        else:
+            ds = ray.data.read_parquet(sorted(input_files),
+                                       columns=["conv_id", "turn_idx"])
+            bases = conv_bases(ds)
         with open(os.path.join(tmp, "bases.json"), "w") as f:
             json.dump(bases, f)
         return len(bases), {}
@@ -175,7 +190,10 @@ def build_index(input_files: list[str], out_dir: str,
     except ImportError:
         pass
     min_len = cfg.min_text_len
-    job_threads = min(8, len(buckets))
+    # concurrent bucket jobs sized to the cluster: enough to overlap
+    # per-job fixed latency, few enough not to thrash a small cluster
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    job_threads = max(1, min(8, len(buckets), ncpu // 2))
 
     def prep_bucket(k_files):
         k, bucket_files = k_files
@@ -325,10 +343,8 @@ def build_index(input_files: list[str], out_dir: str,
         st.write_parquet(tmp, partition_cols=["doc_shard"])
         return _count_rows(tmp), {}
 
-    m = run_or_skip("doc_stats", "global", stats_dir, mk_stats,
-                    deps=[f"doc_terms/bucket={k}" for k in range(len(buckets))]
-                    + ["term_df/global"])
-    n_stats = m["row_count"]
+    stats_deps = [f"doc_terms/bucket={k}" for k in range(len(buckets))] \
+        + ["term_df/global"]
 
     # ---- stage 6: postings (A1/A6 + skew salt) -------------------------
     postings_dir = os.path.join(out_dir, "postings")
@@ -348,9 +364,15 @@ def build_index(input_files: list[str], out_dir: str,
             per_shard[shard] = per_shard.get(shard, 0) + pq.read_metadata(f).num_rows
         return sum(per_shard.values()), {"per_shard_rows": per_shard}
 
-    m = run_or_skip("postings", "global", postings_dir, mk_postings,
-                    deps=[f"doc_terms/bucket={k}" for k in range(len(buckets))]
-                    + ["term_df/global"])
+    # doc_stats and postings share the same upstreams — run their jobs
+    # concurrently (two independent shuffles; one barrier instead of two)
+    with ThreadPoolExecutor(2) as pool:
+        fut_stats = pool.submit(run_or_skip, "doc_stats", "global",
+                                stats_dir, mk_stats, stats_deps)
+        fut_post = pool.submit(run_or_skip, "postings", "global",
+                               postings_dir, mk_postings, stats_deps)
+        n_stats = fut_stats.result()["row_count"]
+        m = fut_post.result()
     res.n_posting_rows = m["row_count"]
     res.metrics["postings/per_shard"] = m["extra"].get("per_shard_rows", {})
 

@@ -70,9 +70,12 @@ def _band_explode(batch: pa.Table, threshold: int) -> pa.Table:
     doc = batch["doc_id"].to_numpy(zero_copy_only=False)
     keys = simhash_combo_keys(h, threshold)      # (n, C)
     n, C = keys.shape
+    # keys reinterpreted as int64 (bijective; only equality/grouping
+    # matters) — uint64 values > 2^63 make Ray's aggregate fall back to
+    # pickled-object blocks
     return pa.table({
         "band_id": pa.array(np.tile(np.arange(C, dtype=np.int32), n)),
-        "band_val": pa.array(keys.reshape(-1), pa.uint64()),
+        "band_val": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
         "doc_id": pa.array(np.repeat(doc, C), pa.int64()),
         "simhash": pa.array(np.repeat(h, C), pa.uint64()),
     })
@@ -175,7 +178,7 @@ def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
     if not len(hot):
         return pd.DataFrame({"src": [], "dst": []})
     # per-band sorted hot value arrays, broadcast once
-    hot_by_band = {int(b): np.sort(g["band_val"].to_numpy().astype(np.uint64))
+    hot_by_band = {int(b): np.sort(g["band_val"].to_numpy().astype(np.int64))
                    for b, g in hot.groupby("band_id")}
     hot_ref = ray.put(hot_by_band)
 
@@ -185,7 +188,7 @@ def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             bid = t["band_id"].to_numpy(zero_copy_only=False)
-            bval = t["band_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bval = t["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
             keep = np.zeros(len(bid), dtype=bool)
             for b, vals in self.hot.items():
                 m = bid == b
@@ -207,7 +210,7 @@ def _edges_from_candidates(cand: pd.DataFrame, threshold: int) -> pd.DataFrame:
     vectorized (no per-bucket Python calls: at 16-bit band width the
     bucket table saturates quickly, so bucket COUNT is O(corpus))."""
     bid = cand["band_id"].to_numpy().astype(np.int64)
-    bval = cand["band_val"].to_numpy().astype(np.uint64)
+    bval = cand["band_val"].to_numpy().astype(np.int64)
     sims = cand["simhash"].to_numpy().astype(np.uint64)
     docs = cand["doc_id"].to_numpy().astype(np.int64)
     order = np.lexsort((docs, sims, bval, bid))
@@ -387,7 +390,10 @@ class MinhashStage:
         return pa.table({
             "id": pa.array(np.repeat(ids, self.num_bands), pa.int64()),
             "band_id": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
-            "band_key": pa.array(all_keys.reshape(-1), pa.uint64()),
+            # int64 view: uint64 > 2^63 breaks Arrow conversion in
+            # Ray's aggregate (pickled-object fallback)
+            "band_key": pa.array(all_keys.reshape(-1).view(np.int64),
+                                 pa.int64()),
             "sig": pa.array(list(np.repeat(sigs, self.num_bands, axis=0)),
                             pa.list_(pa.uint32())),
         })
@@ -419,7 +425,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
     if not len(hot):
         return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
                              "rep_id": pd.Series([], dtype=np.int64)})
-    hot_by_band = {int(b): np.sort(g["band_key"].to_numpy().astype(np.uint64))
+    hot_by_band = {int(b): np.sort(g["band_key"].to_numpy().astype(np.int64))
                    for b, g in hot.groupby("band_id")}
     hot_ref = ray.put(hot_by_band)
 
@@ -429,7 +435,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
 
         def __call__(self, t: pa.Table) -> pa.Table:
             bid = t["band_id"].to_numpy(zero_copy_only=False)
-            bkey = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bkey = t["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
             keep = np.zeros(len(bid), dtype=bool)
             for b, vals in self.hot.items():
                 m = bid == b
