@@ -138,13 +138,14 @@ def _bm25_values() -> str:
     for qid, q in enumerate(FLAGSHIP_QUERIES):
         for term, qtf in bm25_query_terms(q):
             esc = term.replace("'", "''")
-            rows.append(f"({qid}, '{esc}', {qtf})")
+            rows.append(f"({qid}::BIGINT, '{esc}', {qtf})")
     return ", ".join(rows)
 
 
 def _suggest_values() -> str:
     from searchenginesimple_ray.pipelines.driverops import SUGGEST_QUERIES
-    return ", ".join(f"({i}, '{q}')" for i, q in enumerate(SUGGEST_QUERIES))
+    return ", ".join(f"({i}::BIGINT, '{q}')"
+                     for i, q in enumerate(SUGGEST_QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -178,7 +179,7 @@ WHERE length(text) >= 10
 """,
         "ts_doc_len": f"""
 WITH {_ts_prep_cte()}
-SELECT doc_id, doc_len FROM stats
+SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len FROM stats
 """,
         "bm25_topk": f"""
 WITH {_ts_prep_cte()},
@@ -287,9 +288,9 @@ tk AS (
   FROM toks GROUP BY doc_id
 )
 SELECT d.doc_id,
-       coalesce(tk.n_tokens, 0) AS n_tokens,
+       CAST(coalesce(tk.n_tokens, 0) AS BIGINT) AS n_tokens,
        len(regexp_extract_all(d.text, '[^\\w\\s]')) AS n_punct_chars,
-       coalesce(tk.n_stop_tokens, 0) AS n_stop_tokens
+       CAST(coalesce(tk.n_stop_tokens, 0) AS BIGINT) AS n_stop_tokens
 FROM documents d LEFT JOIN tk ON d.doc_id = tk.doc_id
 """,
         "lang_hist": f"""

@@ -40,8 +40,12 @@ class TokenCounter:
         append = out.append
         for t in toks:
             c = ord(t[0])
-            if 0x61 <= c <= 0x7A:          # lowercase-ASCII fast path
-                pass
+            if 0x61 <= c <= 0x7A:          # lowercase-ASCII-led
+                # M4 folds A-Z anywhere in a letter-led token
+                # (Page.hpp:290-309); islower() is False iff the ASCII
+                # alnum run contains any A-Z, so 'fooBar' still folds.
+                if not t.islower():
+                    t = t.translate(fold)
             elif 0x4E00 <= c <= 0x9FA5:    # CJK: keep as-is
                 pass
             elif 0x41 <= c <= 0x5A:        # uppercase-led: literal M4 map

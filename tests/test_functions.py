@@ -135,6 +135,21 @@ class TestTokenize:
         assert raw == ["the", "Dog", "42"]
         assert tr == ["the", "$og"]
 
+    def test_token_counter_parity_mixed_interior_case(self):
+        # lowercase-LED tokens with interior A-Z must still fold (M4
+        # applies to every char of any letter-led token) — the
+        # TokenCounter fast path must match the scalar spec exactly.
+        from collections import Counter
+
+        from searchenginesimple_ray.stages.tokenizer import TokenCounter
+        stop = frozenset({"the"})
+        for text in ["fooBar iPhone", "camelCase mixedUP x",
+                     "the The THE fooBar fooBar", "a1B2c3 中Mix文"]:
+            tc = TokenCounter(stop_words=stop)
+            assert tc.doc_counts(text) == \
+                Counter(T.tokenize(text, stop)), text
+        assert TokenCounter(stop_words=stop).doc_counts("fooBar")["foo\"ar"] == 1
+
 
 class TestSimhash:
     def test_deterministic_nonzero(self):

@@ -88,6 +88,14 @@ def main():
             import numpy as np
             for c in mine.columns:
                 a, b = mine[c].to_numpy(), oracle[c].to_numpy()
+                # the driver's value-hash is dtype-sensitive (round-1
+                # ts_doc_len lesson: DuckDB HUGEINT vs engine int64) —
+                # flag any numeric dtype divergence, not just values
+                if a.dtype != b.dtype:
+                    print(f"[FAIL] {name}: column {c} dtype "
+                          f"{a.dtype} vs oracle {b.dtype}")
+                    ok = False
+                    break
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     same = np.allclose(a.astype(float), b.astype(float),
                                        atol=1e-9, rtol=0)
