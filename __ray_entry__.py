@@ -52,7 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_prep": d.q_transcript_prep,
         "ts_doc_len": d.q_ts_doc_len,
         "bm25_topk": d.q_bm25_topk,
-        "ref_cosine_topk": d.q_ref_cosine_topk,        # rows-only (quirk scorer)
+        "ref_cosine_topk": d.q_ref_cosine_topk,
         # training-data suite: dedup family
         "exact_dedup": d.q_exact_dedup,
         "minhash_pairs": d.q_minhash_pairs,            # rows-only (LSH)
@@ -222,6 +222,74 @@ ranked AS (
 SELECT query_id, rn - 1 AS rank, doc_id,
        CAST(floor(score * 1000000) AS BIGINT) AS score_u
 FROM ranked WHERE rn <= 10
+""",
+        # G6/G7/G8 literal scorer (WebPageQuery.hpp:86-185): weights are
+        # -qtf/||qtf|| (IDF = log2(1/2) = -1), docs must contain every
+        # query term that has postings (A8 global erasure), per-doc side
+        # y_t = log2(N/(df_t+1))·tf / ref_norm with ref_norm the G4 norm
+        # sqrt(Σ(log2(N/(df+1))·tf)²), cosine ranked ASCENDING (the
+        # reference's min-heap pop-order quirk).  The raw-vs-transformed
+        # uppercase-miss quirk is identity here: FLAGSHIP_QUERIES are
+        # lowercase ASCII (the quirk itself is pytest-covered).  X2 sums
+        # weight² once per RAW OCCURRENCE => Σ qtf³ / Σ qtf².
+        "ref_cosine_topk": f"""
+WITH {_ts_prep_cte()},
+gstats AS (
+  SELECT count(*) AS n_docs FROM stats
+),
+df AS (
+  SELECT term, count(*) AS df FROM ddt GROUP BY term
+),
+norms AS (
+  SELECT ddt.doc_id,
+         sqrt(sum(pow(log2(g.n_docs / (df.df + 1.0)) * ddt.tf, 2)))
+             AS ref_norm
+  FROM ddt JOIN df USING (term), gstats g
+  GROUP BY ddt.doc_id
+),
+q(query_id, term, qtf) AS (VALUES {_bm25_values()}),
+qx AS (
+  SELECT query_id,
+         sum(qtf * qtf) AS s2,
+         sum(qtf * qtf * qtf) / sum(qtf * qtf) AS x2
+  FROM q GROUP BY query_id
+),
+iq AS (
+  SELECT q.query_id, q.term, q.qtf, df.df FROM q JOIN df USING (term)
+),
+nik AS (SELECT query_id, count(*) AS n_ik FROM iq GROUP BY query_id),
+cand AS (
+  SELECT iq.query_id, ddt.doc_id
+  FROM iq JOIN ddt USING (term) JOIN nik USING (query_id)
+  GROUP BY iq.query_id, ddt.doc_id, nik.n_ik
+  HAVING count(*) = nik.n_ik
+),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         sum(i.qtf * (-i.qtf / sqrt(x.s2))
+             * log2(g.n_docs / (i.df + 1.0)) * ddt.tf / n.ref_norm) AS xy,
+         sum(i.qtf * pow(log2(g.n_docs / (i.df + 1.0)) * ddt.tf
+                         / n.ref_norm, 2)) AS y2
+  FROM cand c
+  JOIN iq i ON i.query_id = c.query_id
+  JOIN ddt ON ddt.doc_id = c.doc_id AND ddt.term = i.term
+  JOIN norms n ON n.doc_id = c.doc_id
+  JOIN qx x ON x.query_id = c.query_id
+  CROSS JOIN gstats g
+  GROUP BY c.query_id, c.doc_id
+),
+final AS (
+  SELECT s.query_id, s.doc_id,
+         s.xy / (sqrt(x.x2) * sqrt(s.y2)) AS cosine
+  FROM scored s JOIN qx x USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) ASC, doc_id) AS rn
+  FROM final
+)
+SELECT query_id, rn - 1 AS rank, doc_id FROM ranked WHERE rn <= 10
 """,
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -295,7 +295,9 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
 
 def q_ref_cosine_topk(sf_dir: str) -> pd.DataFrame:
     """(query_id, rank, doc_id): reference-literal cosine top-10 (sign
-    quirks intact — non-SQL-expressible, rows-only check)."""
+    quirks intact).  SQL-checkable for the lowercase flagship set, where
+    the raw-vs-transformed uppercase-miss quirk is the identity; the
+    quirk path itself is pytest-covered (test_query)."""
     idx = transcripts_index(sf_dir)
     eng = QueryEngine(idx, num_actors=4)
     try:
