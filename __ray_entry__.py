@@ -56,12 +56,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data suite: dedup family
         "exact_dedup": d.q_exact_dedup,
         "minhash_pairs": d.q_minhash_pairs,            # rows-only (LSH)
-        "ngram_jaccard_pairs": d.q_ngram_jaccard,      # rows-only (LSH-style)
+        "ngram_jaccard_pairs": d.q_ngram_jaccard,
         "simhash_fingerprints": d.q_simhash_fingerprints,  # rows-only
-        "embedding_near_dup": d.q_embedding_near_dup,  # rows-only (LSH recall)
+        "embedding_near_dup": d.q_embedding_near_dup,
+        "embedding_sim_pairs": d.q_embedding_sim_pairs,
         # similarity search
         "ann_topk": d.q_ann_topk,
-        "ivf_topk": d.q_ivf_topk,                      # rows-only (approximate)
+        "ivf_topk": d.q_ivf_topk,   # nprobe=all: exact over pruned index
         # suggestion (dict G5/A2, char index A7, edit distance G9)
         "suggest_topk": d.q_suggest_topk,
         # text analysis
@@ -294,6 +295,43 @@ SELECT query_id, rn - 1 AS rank, doc_id FROM ranked WHERE rn <= 10
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """,
+        # exact word-3-gram Jaccard >= 0.8 pairs.  The engine's prefix
+        # filter (Bayardo WWW'07) is candidate-EXACT, so plain all-pairs
+        # SQL over distinct grams is a true oracle.  Tokens = whitespace
+        # split; docs with < 3 tokens contribute their whole token list
+        # as one gram; 0-token docs have no grams and never pair.
+        "ngram_jaccard_pairs": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g1 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM tok WHERE len(toks) >= 3)
+),
+g2 AS (
+  SELECT doc_id, array_to_string(toks, ' ') AS gram FROM tok
+  WHERE len(toks) BETWEEN 1 AND 2
+),
+dgr AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+),
+sz AS (SELECT doc_id, count(*) AS s FROM dgr GROUP BY doc_id),
+ipairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+  FROM dgr a JOIN dgr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst
+FROM ipairs
+JOIN sz sa ON sa.doc_id = src
+JOIN sz sb ON sb.doc_id = dst
+WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+""",
         "suggest_topk": f"""
 WITH {_tokenize_cte('documents')},
 dic AS (
@@ -318,6 +356,47 @@ SELECT query_id, rn - 1 AS rank, term, distance
 FROM ranked WHERE rn <= 10
 """,
         "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS cosine
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, vec_id) AS rn
+  FROM s
+)
+SELECT query_id, rn - 1 AS rank, vec_id FROM ranked WHERE rn <= 10
+""",
+        # exact all-pairs cosine (the embedding near-dup entries use the
+        # exact distributed kernel; the LSH variant is pytest-gated)
+        "embedding_near_dup": """
+WITH s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT src, dst FROM s WHERE cosine >= 0.95
+""",
+        "embedding_sim_pairs": """
+WITH s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT src, dst FROM s WHERE cosine >= 0.4
+""",
+        # nprobe = n_centroids makes the IVF probe exact: same oracle as
+        # the brute-force ANN (partition pruning itself is pytest-gated)
+        "ivf_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id < 3

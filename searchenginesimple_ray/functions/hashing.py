@@ -34,6 +34,21 @@ def fnv1a32(key: str | bytes) -> int:
     return h
 
 
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def fnv1a64(key: str | bytes) -> int:
+    """FNV-1a 64-bit (public-domain Fowler–Noll–Vo; used for
+    collision-safe shingle/gram identities in the dedup suite)."""
+    if isinstance(key, str):
+        key = key.encode("utf-8")
+    h = 14695981039346656037
+    for b in key:
+        h ^= b
+        h = (h * 1099511628211) & _U64
+    return h
+
+
 def ihash(key: str | bytes) -> int:
     """Non-negative variant (`ihsah.hpp:21-27`): fnv1a32 & 0x7fffffff."""
     return fnv1a32(key) & 0x7FFFFFFF

@@ -6,20 +6,28 @@ universal-hash permutations ``(a*x + b) mod p`` over the shingle-hash
 set (Broder 1997; LSH banding per Leskovec/Rajaraman/Ullman, "Mining
 of Massive Datasets" ch.3).  Deterministic: permutation parameters are
 derived from a fixed seed.
+
+Hash family: ``p = 2^31 - 1`` (Mersenne), ``a in [1, p)``, ``b in
+[0, p)``, shingle hashes reduced mod p first.  With ``a < 2^31`` and
+``x < 2^31`` the product fits uint64 exactly, so this IS the claimed
+universal family (x -> (a*x+b) mod p over Z_p) with no silent 2^64
+wraparound — a 61-bit prime with 61-bit multipliers overflows uint64
+and degrades to an ad-hoc mix.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-_MERSENNE_P = np.uint64((1 << 61) - 1)
+_MERSENNE_P = np.uint64((1 << 31) - 1)
 _MAX_HASH = np.uint64((1 << 32) - 1)
 
 
 def _permutations(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    p = int(_MERSENNE_P)
+    a = rng.randint(1, p, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, p, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -59,12 +67,38 @@ def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64,
                       seed: int = 7, perms=None) -> np.ndarray:
     """uint32 signature of length num_perm."""
     a, b = perms if perms is not None else _permutations(num_perm, seed)
-    x = shingle_hashes.astype(np.uint64)
+    x = shingle_hashes.astype(np.uint64) % _MERSENNE_P
     if x.size == 0:
         x = np.zeros(1, dtype=np.uint64)
-    # (num_perm, n_shingles) — modest sizes; fine per doc
+    # (num_perm, n_shingles): a*x < 2^62 — exact in uint64
     vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE_P
-    return (vals.min(axis=1) & _MAX_HASH).astype(np.uint32)
+    return vals.min(axis=1).astype(np.uint32)
+
+
+def minhash_signatures_batch(shingle_sets: list[np.ndarray],
+                             num_perm: int = 64, seed: int = 7,
+                             perms=None) -> np.ndarray:
+    """(n_docs, num_perm) uint32 signatures in ONE vectorized pass.
+
+    Concatenates every doc's shingle hashes, applies all permutations to
+    the flat array once, then takes per-doc segment minima with
+    ``np.minimum.reduceat`` — no per-doc Python work beyond building the
+    offsets (batch-scale replacement for per-row ``minhash_signature``
+    calls, which pay the (num_perm x n) broadcast per doc)."""
+    a, b = perms if perms is not None else _permutations(num_perm, seed)
+    lens = np.fromiter((max(len(s), 1) for s in shingle_sets),
+                       np.int64, len(shingle_sets))
+    flat = np.concatenate(
+        [s if len(s) else np.zeros(1, np.uint64) for s in shingle_sets]) \
+        if shingle_sets else np.zeros(0, np.uint64)
+    flat = flat.astype(np.uint64) % _MERSENNE_P
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    out = np.empty((len(shingle_sets), len(a)), dtype=np.uint32)
+    # one permutation at a time keeps the working set at O(total_shingles)
+    for j in range(len(a)):
+        vals = (a[j] * flat + b[j]) % _MERSENNE_P
+        out[:, j] = np.minimum.reduceat(vals, offsets).astype(np.uint32)
+    return out
 
 
 def lsh_band_keys(signature: np.ndarray, num_bands: int = 16) -> np.ndarray:
@@ -79,6 +113,26 @@ def lsh_band_keys(signature: np.ndarray, num_bands: int = 16) -> np.ndarray:
                 h = (h ^ v) * np.uint64(1099511628211)
             keys[i] = (h ^ np.uint64(i)) * np.uint64(1099511628211)
     return keys
+
+
+def lsh_band_keys_batch(sigs: np.ndarray, num_bands: int = 16) -> np.ndarray:
+    """(n, num_perm) signatures -> (n, num_bands) uint64 band keys.
+
+    Bit-identical to per-row ``lsh_band_keys`` (same FNV-1a fold over
+    the band's values, band id folded in) but vectorized across the
+    batch — the sequential FNV chain is only ``num_perm/num_bands``
+    steps long, so the loop runs over that tiny width, not over docs."""
+    n, P = sigs.shape
+    r = P // num_bands
+    s = sigs.reshape(n, num_bands, r).astype(np.uint64)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):  # intended mod-2^64 wraparound
+        h = np.full((n, num_bands), np.uint64(1469598103934665603),
+                    dtype=np.uint64)
+        for j in range(r):
+            h = (h ^ s[:, :, j]) * prime
+        h = (h ^ np.arange(num_bands, dtype=np.uint64)[None, :]) * prime
+    return h
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

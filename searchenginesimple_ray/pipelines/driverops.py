@@ -340,15 +340,32 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def ivf_index_dir(sf_dir: str, n_centroids: int = 16) -> str:
+    """Build (or reuse) the hive-partitioned IVF index for ``sf_dir``."""
+    from ..pipelines.similarity import build_ivf_index
+    key = hashlib.sha256(
+        f"ivf|{sf_dir}|{n_centroids}".encode()).hexdigest()[:12]
+    out = os.path.join(_CACHE_ROOT, f"ivf_{key}")
+    if not os.path.exists(os.path.join(out, "_done")):
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["vec_id", "embedding"])
+        build_ivf_index(ds, "vec_id", "embedding", out,
+                        n_centroids=n_centroids)
+    return out
+
+
 def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
-    """(query_id, rank, vec_id): IVF approximate ANN (rows-only: the
-    approximation has no SQL equivalent)."""
-    from ..pipelines.similarity import ivf_topk
+    """(query_id, rank, vec_id): IVF ANN over the partition-pruned
+    parquet index.  The driver entry probes ALL centroids, which makes
+    the result exact (== the brute-force ANN SQL oracle) while still
+    exercising the index build + probed-partition read path; partial
+    probes (pruned reads < full file set) are asserted in pytest."""
+    from ..pipelines.similarity import ivf_topk_pruned
     qids, qvecs = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
-    pdf = ivf_topk(ds, "vec_id", "embedding", qids.tolist(), qvecs,
-                   k=10, n_centroids=16, nprobe=4)
+    n_centroids = 16
+    idx = ivf_index_dir(sf_dir, n_centroids)
+    pdf = ivf_topk_pruned(idx, "vec_id", "embedding", qids.tolist(), qvecs,
+                          k=10, nprobe=n_centroids)
     return pdf[["query_id", "rank", "vec_id"]].astype(np.int64) \
         .reset_index(drop=True)
 
@@ -362,7 +379,9 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    """(src, dst): word-3-gram Jaccard >= 0.8 near-dup pairs (rows-only)."""
+    """(src, dst): EXACT word-3-gram Jaccard >= 0.8 near-dup pairs
+    (prefix-filter candidates are exact, so the all-pairs DuckDB SQL is
+    a true oracle; src < dst)."""
     pdf = __import__(
         "searchenginesimple_ray.stages.dedup", fromlist=["ngram_jaccard_pairs"]
     ).ngram_jaccard_pairs(_read_documents(sf_dir), "doc_id", "text",
@@ -387,17 +406,31 @@ def q_simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
-    """(src, dst): embedding-cosine >= 0.95 near-dup pairs via
-    hyperplane-LSH buckets (rows-only: bucketed recall < 1)."""
-    from ..stages.dedup import embedding_near_dup_pairs
+def _embedding_pairs(sf_dir: str, threshold: float) -> pd.DataFrame:
+    from ..stages.dedup import embedding_pairs_exact
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-    pdf = embedding_near_dup_pairs(ds, "vec_id", "embedding",
-                                   cosine_threshold=0.95)
+    pdf = embedding_pairs_exact(ds, "vec_id", "embedding",
+                                cosine_threshold=threshold)
     return pdf[["src", "dst"]].astype(np.int64) if len(pdf) else \
         pd.DataFrame({"src": pd.Series([], dtype=np.int64),
                       "dst": pd.Series([], dtype=np.int64)})
+
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    """(src, dst): embedding-cosine >= 0.95 near-dup pairs, EXACT
+    (distributed all-pairs vs the broadcast matrix; SQL-checkable — a
+    0-row result is proven correct by the oracle rather than
+    unverifiable).  The hyperplane-LSH bucketed variant is the 100-TB
+    scale path, recall-tested against this exact kernel in pytest."""
+    return _embedding_pairs(sf_dir, 0.95)
+
+
+def q_embedding_sim_pairs(sf_dir: str) -> pd.DataFrame:
+    """(src, dst): exact cosine >= 0.4 pairs — same kernel at a
+    threshold the testdata actually crosses, so the oracle check
+    covers nonzero output values too."""
+    return _embedding_pairs(sf_dir, 0.4)
 
 
 # fixed misspelled queries over the documents vocabulary (ASCII-only so

@@ -68,14 +68,19 @@ class BruteForceScorer:
         S = V @ self.Q.T                       # (n, q)
         n, nq = S.shape
         k = min(self.k, n)
-        # local top-k per query (argpartition, then exact sort of the k)
-        part = np.argpartition(-S, k - 1, axis=0)[:k]          # (k, q)
+        # local top-k per query (argpartition, then exact sort), KEEPING
+        # every candidate within EPS=1e-9 of the k-th score: the driver
+        # re-ranks under round(cosine, 9), so a quantized tie straddling
+        # the raw k-cut must survive to the merge
+        part = np.argpartition(-S, k - 1, axis=0)              # (n, q)
         out_q, out_id, out_s = [], [], []
         for j in range(nq):
-            rows = part[:, j]
+            kth = S[part[k - 1, j], j]
+            rows = np.flatnonzero(S[:, j] >= kth - 1e-9)
             sc = S[rows, j]
             o = np.lexsort((ids[rows], -sc))
-            out_q.append(np.full(k, self.query_ids[j], dtype=np.int64))
+            out_q.append(np.full(len(rows), self.query_ids[j],
+                                 dtype=np.int64))
             out_id.append(ids[rows][o])
             out_s.append(sc[o])
         return pa.table({
@@ -95,8 +100,12 @@ def brute_force_topk(ds: ray.data.Dataset, id_col: str, vec_col: str,
     partial = ds.select_columns([id_col, vec_col]).map_batches(
         BruteForceScorer, fn_constructor_args=(q_ref, k),
         batch_format="pyarrow", concurrency=(1, 4))
-    pdf = partial.to_pandas()   # <= k rows per (query, block): small
-    pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
+    pdf = partial.to_pandas()   # ~k rows per (query, block): small
+    # final cut under the QUANTIZED total order (round 1e-9, vec_id
+    # tie-break) — the per-block EPS margin above guarantees every
+    # quantized-tied candidate reached this merge
+    pdf["_qc"] = pdf["cosine"].round(9)
+    pdf = pdf.sort_values(["query_id", "_qc", "vec_id"],
                           ascending=[True, False, True])
     pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
@@ -143,66 +152,163 @@ def assign_partitions(ds: ray.data.Dataset, id_col: str, vec_col: str,
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
 
 
+class _ProbeScore:
+    """Score each batch against only the queries probing the batch's
+    partitions; emits per-(partition, query) local top-k with the same
+    EPS tie margin as the brute-force path."""
+
+    def __init__(self, pq_ref, id_col: str, vec_col: str, part_col: str,
+                 k: int):
+        self.part_queries, self.qids, self.Q = ray.get(pq_ref)
+        self.id_col, self.vec_col, self.part_col = id_col, vec_col, part_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        parts = batch[self.part_col].to_numpy(zero_copy_only=False)
+        V = _normalize(_vec_matrix(batch, self.vec_col))
+        out_q, out_id, out_s = [], [], []
+        for p in np.unique(parts):
+            qlist = self.part_queries.get(int(p))
+            if not qlist:
+                continue
+            m = parts == p
+            S = V[m] @ self.Q[qlist].T
+            sub_ids = ids[m]
+            kk = min(self.k, S.shape[0])
+            part_idx = np.argpartition(-S, kk - 1, axis=0)
+            for j, qi in enumerate(qlist):
+                kth = S[part_idx[kk - 1, j], j]
+                rows = np.flatnonzero(S[:, j] >= kth - 1e-9)
+                out_q.append(np.full(len(rows), self.qids[qi],
+                                     dtype=np.int64))
+                out_id.append(sub_ids[rows])
+                out_s.append(S[rows, j])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+
+def _probe_plan(centroids: np.ndarray, query_ids, query_vecs,
+                nprobe: int):
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    nprobe = min(nprobe, len(centroids))
+    probes = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (q, np)
+    part_queries: dict[int, list[int]] = {}
+    for qi in range(len(Q)):
+        for p in probes[qi]:
+            part_queries.setdefault(int(p), []).append(qi)
+    return part_queries, np.asarray(query_ids, dtype=np.int64), Q
+
+
+def _merge_probe_results(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    if not len(pdf):
+        return pd.DataFrame({"query_id": [], "rank": [], "vec_id": [],
+                             "cosine": []})
+    pdf = pdf.copy()
+    pdf["_qc"] = pdf["cosine"].round(9)
+    pdf = pdf.sort_values(["query_id", "_qc", "vec_id"],
+                          ascending=[True, False, True])
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
+    return pdf[["query_id", "rank", "vec_id", "cosine"]]
+
+
 def ivf_topk(ds: ray.data.Dataset, id_col: str, vec_col: str,
              query_ids: list[int], query_vecs: np.ndarray, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4,
              centroids: np.ndarray | None = None) -> pd.DataFrame:
     """Approximate cosine top-k probing ``nprobe`` IVF partitions per
-    query.  Same output schema as ``brute_force_topk``."""
+    query, over an IN-MEMORY dataset (assignment computed on the fly;
+    the whole dataset is scanned once).  This is the bounded/test
+    variant — the scale path is ``build_ivf_index`` +
+    ``ivf_topk_pruned``, where a probe READS only its partitions'
+    parquet files.  Same output schema as ``brute_force_topk``."""
     if centroids is None:
         centroids = train_centroids(ds, vec_col, n_centroids)
     assigned = assign_partitions(ds, id_col, vec_col, centroids)
+    pq_ref = ray.put(_probe_plan(centroids, query_ids, query_vecs, nprobe))
+    pdf = assigned.map_batches(
+        _ProbeScore, fn_constructor_args=(pq_ref, id_col, vec_col,
+                                          "ivf_partition", k),
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return _merge_probe_results(pdf, k)
 
+
+def build_ivf_index(ds: ray.data.Dataset, id_col: str, vec_col: str,
+                    out_dir: str, n_centroids: int = 16,
+                    centroids: np.ndarray | None = None) -> str:
+    """Write an IVF index: vectors hive-partitioned by nearest centroid
+    (``vectors/ivf_partition=P/``) + ``centroids.npy``.  The partition
+    value is also kept as a regular ``ivf_part`` column so pruned reads
+    of individual partition dirs keep it per row.  Idempotent via a
+    ``_done`` marker."""
+    import json
+    import os
+    marker = os.path.join(out_dir, "_done")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    if centroids is None:
+        centroids = train_centroids(ds, vec_col, n_centroids)
+    assigned = assign_partitions(ds, id_col, vec_col, centroids)
+    assigned = assigned.map_batches(
+        lambda t: t.append_column(
+            "ivf_part", t["ivf_partition"].cast(pa.int32())),
+        batch_format="pyarrow")
+    assigned.write_parquet(os.path.join(out_dir, "vectors"),
+                           partition_cols=["ivf_partition"])
+    np.save(os.path.join(out_dir, "centroids.npy"),
+            np.asarray(centroids, dtype=np.float64))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n_centroids": int(len(centroids))}, f)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def ivf_probed_paths(index_dir: str, query_vecs: np.ndarray,
+                     nprobe: int) -> list[str]:
+    """Partition directories a probe of ``query_vecs`` must read."""
+    import os
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    probes = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
-    # per-partition query lists (which queries probe partition p)
-    part_queries: dict[int, list[int]] = {}
-    for qi in range(len(Q)):
-        for p in probes[qi]:
-            part_queries.setdefault(int(p), []).append(qi)
-    pq_ref = ray.put((part_queries, np.asarray(query_ids, dtype=np.int64), Q))
+    nprobe = min(nprobe, len(centroids))
+    probes = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]
+    probed = sorted({int(p) for row in probes for p in row})
+    paths = [os.path.join(index_dir, "vectors", f"ivf_partition={p}")
+             for p in probed]
+    return [p for p in paths if os.path.isdir(p)]
 
-    class ProbeScore:
-        def __init__(self):
-            self.part_queries, self.qids, self.Q = ray.get(pq_ref)
-            self.k = k
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            parts = batch["ivf_partition"].to_numpy(zero_copy_only=False)
-            V = _normalize(_vec_matrix(batch, vec_col))
-            out_q, out_id, out_s = [], [], []
-            for p in np.unique(parts):
-                qlist = self.part_queries.get(int(p))
-                if not qlist:
-                    continue
-                m = parts == p
-                S = V[m] @ self.Q[qlist].T
-                sub_ids = ids[m]
-                kk = min(self.k, S.shape[0])
-                top = np.argpartition(-S, kk - 1, axis=0)[:kk]
-                for j, qi in enumerate(qlist):
-                    rows = top[:, j]
-                    out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
-                    out_id.append(sub_ids[rows])
-                    out_s.append(S[rows, j])
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            return pa.table({
-                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
-                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
-            })
-
-    pdf = assigned.map_batches(ProbeScore, batch_format="pyarrow",
-                               concurrency=(1, 4)).to_pandas()
-    if not len(pdf):
+def ivf_topk_pruned(index_dir: str, id_col: str, vec_col: str,
+                    query_ids: list[int], query_vecs: np.ndarray,
+                    k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """Partition-PRUNED IVF probe: only the ``nprobe`` nearest
+    partitions' parquet files are read at all — non-probed partitions
+    never leave storage (the 100-TB requirement the in-memory variant
+    cannot meet).  ``nprobe >= n_centroids`` degenerates to exact
+    brute force over a full read."""
+    import glob
+    import os
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    paths = ivf_probed_paths(index_dir, query_vecs, nprobe)
+    files = [f for d in paths
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    if not files:
         return pd.DataFrame({"query_id": [], "rank": [], "vec_id": [],
                              "cosine": []})
-    pdf = pdf.sort_values(["query_id", "cosine", "vec_id"],
-                          ascending=[True, False, True])
-    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
-    return pdf[["query_id", "rank", "vec_id", "cosine"]]
+    ds = ray.data.read_parquet(files,
+                               columns=[id_col, vec_col, "ivf_part"])
+    pq_ref = ray.put(_probe_plan(centroids, query_ids, query_vecs, nprobe))
+    pdf = ds.map_batches(
+        _ProbeScore, fn_constructor_args=(pq_ref, id_col, vec_col,
+                                          "ivf_part", k),
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    return _merge_probe_results(pdf, k)

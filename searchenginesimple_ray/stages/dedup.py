@@ -40,7 +40,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import hamming64, simhash_combo_keys
-from ..functions.minhash import char_shingles, lsh_band_keys, minhash_signature
+from ..functions.minhash import char_shingles
 
 # guard: max unique simhash values pairwise-verified within one band group
 # (beyond this the group is almost certainly a degenerate band value; we
@@ -79,44 +79,6 @@ def _band_explode(batch: pa.Table, threshold: int) -> pa.Table:
         "doc_id": pa.array(np.repeat(doc, C), pa.int64()),
         "simhash": pa.array(np.repeat(h, C), pa.uint64()),
     })
-
-
-def _group_edges(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
-    """Edges within one (band_id, band_val) group.
-
-    Identical simhashes are chained linearly (hamming 0); distinct
-    simhash values are pairwise-verified via vectorized popcount over
-    their min-doc representatives.
-    """
-    sims = g["simhash"].to_numpy().astype(np.uint64)
-    docs = g["doc_id"].to_numpy().astype(np.int64)
-    order = np.lexsort((docs, sims))
-    sims, docs = sims[order], docs[order]
-    src, dst = [], []
-    # chain identical-simhash runs
-    same = sims[1:] == sims[:-1]
-    src.append(docs[:-1][same])
-    dst.append(docs[1:][same])
-    # unique representatives (first = min doc per simhash value)
-    first_mask = np.concatenate([[True], ~same])
-    u_sims = sims[first_mask]
-    u_docs = docs[first_mask]
-    m = len(u_sims)
-    if m > 1:
-        if m <= _MAX_PAIRWISE:
-            ii, jj = np.triu_indices(m, k=1)
-            d = hamming64(u_sims[ii], u_sims[jj])
-            hit = d <= threshold
-            src.append(u_docs[ii[hit]])
-            dst.append(u_docs[jj[hit]])
-        else:  # degenerate band value: neighbour-verify only (logged)
-            d = hamming64(u_sims[:-1], u_sims[1:])
-            hit = d <= threshold
-            src.append(u_docs[:-1][hit])
-            dst.append(u_docs[1:][hit])
-    if not src:
-        return pd.DataFrame({"src": [], "dst": []})
-    return pd.DataFrame({"src": np.concatenate(src), "dst": np.concatenate(dst)})
 
 
 def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
@@ -251,6 +213,14 @@ def _edges_from_candidates(cand: pd.DataFrame, threshold: int) -> pd.DataFrame:
         cap = c
         if est <= PAIR_BUDGET:
             break
+    if cap < sz_a.max(initial=0):
+        import logging
+        n_win = int((sz_a > cap).sum())
+        logging.getLogger(__name__).warning(
+            "simhash verify: %d same-key runs exceed the all-pairs cap "
+            "%d (max run %d) — windowed neighbour verification (W=%d) "
+            "applied to them; near-dup recall on those runs is "
+            "approximate", n_win, cap, int(sz_a.max()), WINDOW)
     order2 = np.argsort(sz_a, kind="stable")
     sz_s, st_s = sz_a[order2], st_a[order2]
     cut = np.concatenate([[0], np.flatnonzero(np.diff(sz_s)) + 1,
@@ -365,8 +335,45 @@ def simhash_near_dedup(docs: ray.data.Dataset, num_bands: int = 4,
 
 # ------------------------------------------------ MinHash-LSH (generic)
 
+def minhash_bucket_edges(ids: np.ndarray, sigs: np.ndarray,
+                         threshold: float) -> pd.DataFrame:
+    """Full PAIRWISE estimated-Jaccard verification within one LSH
+    bucket (``ids`` ascending, ``sigs`` the (m, num_perm) signatures).
+
+    Star-vs-min verification (members compared only against the bucket
+    minimum) silently drops pairs similar to each other but not to the
+    min — buckets are small by construction (members share an entire
+    band), so all-pairs is cheap.  Buckets beyond ``_MAX_PAIRWISE``
+    members (degenerate band value) fall back to sorted-neighbour
+    windows over the signature lexicographic order, and that recall
+    degradation is logged."""
+    m = len(ids)
+    if m <= _MAX_PAIRWISE:
+        ii, jj = np.triu_indices(m, k=1)
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "minhash bucket of %d members exceeds pairwise cap %d: "
+            "falling back to windowed neighbour verify (recall may drop)",
+            m, _MAX_PAIRWISE)
+        order = np.lexsort(sigs.T[::-1])
+        ids, sigs = ids[order], sigs[order]
+        W = 8
+        ii = np.concatenate([np.arange(m - w) for w in range(1, W + 1)])
+        jj = np.concatenate([np.arange(w, m) for w in range(1, W + 1)])
+    est = (sigs[ii] == sigs[jj]).mean(axis=1)
+    hit = est >= threshold
+    a, b = ids[ii[hit]], ids[jj[hit]]
+    return pd.DataFrame({"src": np.minimum(a, b).astype(np.int64),
+                         "dst": np.maximum(a, b).astype(np.int64)})
+
 class MinhashStage:
-    """(id, text) batch -> (id, band_id, band_key) rows + signature."""
+    """(id, text) batch -> (id, band_id, band_key) rows + signature.
+
+    Signatures and band keys are computed for the WHOLE batch in one
+    vectorized pass (``minhash_signatures_batch`` segment-min +
+    ``lsh_band_keys_batch``); the only per-doc Python step left is the
+    string shingling itself."""
 
     def __init__(self, num_perm: int = 64, num_bands: int = 16,
                  shingle_k: int = 5, seed: int = 7):
@@ -377,16 +384,15 @@ class MinhashStage:
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import (lsh_band_keys_batch,
+                                         minhash_signatures_batch)
         ids = batch[batch.column_names[0]].to_numpy(zero_copy_only=False)
         texts = batch[batch.column_names[1]].to_pylist()
         n = len(ids)
-        all_keys = np.empty((n, self.num_bands), dtype=np.uint64)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint32)
-        for i, tx in enumerate(texts):
-            sig = minhash_signature(char_shingles(tx, self.k),
-                                    self.num_perm, perms=self.perms)
-            sigs[i] = sig
-            all_keys[i] = lsh_band_keys(sig, self.num_bands)
+        shingle_sets = [char_shingles(tx, self.k) for tx in texts]
+        sigs = minhash_signatures_batch(shingle_sets, self.num_perm,
+                                        perms=self.perms)
+        all_keys = lsh_band_keys_batch(sigs, self.num_bands)
         return pa.table({
             "id": pa.array(np.repeat(ids, self.num_bands), pa.int64()),
             "band_id": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
@@ -452,21 +458,13 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
         if len(g) < 2:
             return pd.DataFrame({"src": [], "dst": []})
         g = g.sort_values("id")
-        ids = g["id"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        src, dst = [], []
-        # compare every member against the group minimum (star pattern —
-        # candidates in a bucket already share a full band)
-        base = sigs[0]
-        est = (sigs[1:] == base[None, :]).mean(axis=1)
-        hit = est >= jaccard_threshold
-        src.extend([ids[0]] * int(hit.sum()))
-        dst.extend(ids[1:][hit])
-        return pd.DataFrame({"src": np.asarray(src, dtype=np.int64),
-                             "dst": np.asarray(dst, dtype=np.int64)})
+        return minhash_bucket_edges(g["id"].to_numpy(),
+                                    np.stack(g["sig"].to_numpy()),
+                                    jaccard_threshold)
 
     edges = cand.groupby(["band_id", "band_key"], sort=False,
-                         group_keys=False).apply(edges_of_group) \
+                         group_keys=False)[["id", "sig"]] \
+        .apply(edges_of_group) \
         if len(cand) else pd.DataFrame({"src": [], "dst": []})
     rep = components_min_rep(edges.drop_duplicates()) if len(edges) else {}
     rows = sorted((d, r) for d, r in rep.items())
@@ -476,88 +474,227 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
 
 # ------------------------------------------------- n-gram Jaccard (generic)
 
+_GRAM_INIT = np.uint64(14695981039346656037)
+_GRAM_PRIME = np.uint64(1099511628211)
+
+
+def _gram_signature(tokens: list[str], token_hash: dict, n: int) -> np.ndarray:
+    """Distinct sorted uint64 gram-hash signature of a token list.
+
+    Gram identity = FNV-style fold of the tokens' fnv1a64 hashes
+    (vectorized sliding combine — no per-gram string building).  Docs
+    with fewer than ``n`` tokens contribute their whole token list as
+    one gram (mirrors ``word_ngrams``); empty docs yield an empty set.
+    """
+    if not tokens:
+        return np.empty(0, np.uint64)
+    th = np.fromiter((token_hash[t] for t in tokens), np.uint64, len(tokens))
+    with np.errstate(over="ignore"):
+        if len(th) < n:
+            h = _GRAM_INIT
+            for v in th:
+                h = (h ^ v) * _GRAM_PRIME
+            return np.asarray([h], np.uint64)
+        g = np.full(len(th) - n + 1, _GRAM_INIT, np.uint64)
+        for j in range(n):
+            g = (g ^ th[j:len(th) - n + 1 + j]) * _GRAM_PRIME
+    return np.unique(g)
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8) -> pd.DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via a shared-rare-ngram
-    candidate join: docs sharing at least one n-gram hash band into the
-    same group; exact Jaccard verified per candidate pair against the
-    group minimum.  Intended for bounded near-dup rates; the all-pairs
-    explosion is avoided by hashing each doc's *least frequent* k
-    shingles only (documents with >= threshold Jaccard share most
-    shingles, hence almost surely one of the k rarest)."""
-    from ..functions.hashing import fnv1a32
-    from ..functions.minhash import jaccard, word_ngrams
+    """EXACT word-n-gram Jaccard >= threshold pairs via prefix filtering
+    (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 "All-Pairs";
+    Xiao et al. WWW'08 PPJoin).
 
-    K_RAREST = 8
+    Each doc's distinct grams are hashed to uint64 and sorted; under a
+    global total order (ascending hash) a pair with J >= t MUST share
+    one of each doc's first ``s - ceil(t*s) + 1`` gram hashes, so
+    candidate generation is exact.  Only 16-byte ``(id, key)`` rows
+    enter the exchange — never the text (the old rarest-k design
+    shuffled 8 full copies of every document).  Candidates are verified
+    with exact Jaccard over the compact sorted hash signatures
+    (``np.intersect1d``); 64-bit hashes make gram collisions
+    negligible (~m^2/2^65 per compared pair).
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = batch[text_col].to_pylist()
-        out_id, out_key, out_text = [], [], []
-        for i, tx in enumerate(texts):
-            grams = sorted(word_ngrams(tx.split(), n))
-            # deterministic hash (NOT builtin hash(): PYTHONHASHSEED varies
-            # across Ray workers)
-            keys = sorted(fnv1a32(" ".join(g)) for g in grams)[:K_RAREST]
-            for kk in keys:
-                out_id.append(ids[i])
-                out_key.append(kk)
-                out_text.append(tx)
-        return pa.table({"id": pa.array(out_id, pa.int64()),
-                         "key": pa.array(out_key, pa.int64()),
-                         "text": pa.array(out_text, pa.string())})
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"src": [], "dst": [], "jaccard": []})
-        g = g.sort_values("id").drop_duplicates("id")
-        ids = g["id"].to_numpy()
-        texts = g["text"].tolist()
-        base = word_ngrams(texts[0].split(), n)
-        src, dst, jac = [], [], []
-        for i in range(1, len(ids)):
-            j = jaccard(base, word_ngrams(texts[i].split(), n))
-            if j >= threshold:
-                src.append(ids[0]); dst.append(ids[i]); jac.append(j)
-        return pd.DataFrame({"src": src, "dst": dst, "jaccard": jac})
+    Scale notes: the signature dataset is ~8 B/gram ≈ the text size and
+    stays distributed; hot-key detection is a native count aggregate
+    over the prefix rows; only docs holding a shared prefix key — a
+    dup-rate-bounded set — are collected for verification.  Scale path
+    past driver bounds: bucket candidates by ``key % B`` and verify per
+    bucket in Ray tasks (same run-detect shape as the simhash verify).
+    """
+    import math
 
     import pyarrow.compute as pc
 
-    sel = ds.select_columns([id_col, text_col])
-    exploded = sel.map_batches(explode, batch_format="pyarrow")
-    exploded = exploded.materialize()   # consumed twice (counts + filter)
-    # native count-agg -> shared-key filter (keys shared by >= 2 docs)
-    counts = exploded.select_columns(["key"]).groupby("key").count()
+    from ..functions.hashing import fnv1a64
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        tok_lists = [tx.split() for tx in texts]
+        uniq_tokens = set()
+        for tl in tok_lists:
+            uniq_tokens.update(tl)
+        token_hash = {t: fnv1a64(t) for t in uniq_tokens}
+        sigs, prefixes = [], []
+        for tl in tok_lists:
+            g = _gram_signature(tl, token_hash, n)
+            s = len(g)
+            p = s - math.ceil(threshold * s) + 1 if s else 0
+            sigs.append(g.view(np.int64))
+            prefixes.append(g[:p].view(np.int64))
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "prefix": pa.array(prefixes, pa.list_(pa.int64())),
+            "grams": pa.array(sigs, pa.list_(pa.int64())),
+        })
+
+    sigs = ds.select_columns([id_col, text_col]) \
+        .map_batches(sig_batch, batch_format="pyarrow").materialize()
+
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        pref = t["prefix"]
+        if isinstance(pref, pa.ChunkedArray):
+            pref = pref.combine_chunks()
+        lens = pc.list_value_length(pref).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pref.flatten(),
+            "id": pa.array(np.repeat(
+                t["id"].to_numpy(zero_copy_only=False), lens), pa.int64()),
+        })
+
+    counts = sigs.map_batches(explode_prefix, batch_format="pyarrow") \
+        .groupby("key").count()
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t["count()"], 1)),
         batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=float)})
     if not len(hot):
-        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
-                             "dst": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=float)})
+        return empty
     hot_keys = np.sort(hot["key"].to_numpy().astype(np.int64))
     hot_ref = ray.put(hot_keys)
 
-    class FilterHot:
-        def __init__(self):
-            self.keys = ray.get(hot_ref)
+    def filter_candidates(t: pa.Table) -> pa.Table:
+        """Keep only docs holding >= 1 shared prefix key; emit one row
+        per (hot key, doc) with the doc's full signature."""
+        keys = ray.get(hot_ref)
+        pref = t["prefix"]
+        if isinstance(pref, pa.ChunkedArray):
+            pref = pref.combine_chunks()
+        lens = pc.list_value_length(pref).to_numpy(zero_copy_only=False)
+        flat = pref.flatten().to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, flat), 0, len(keys) - 1)
+            hit = keys[pos] == flat
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        row, flat = row[hit], flat[hit]
+        ids = t["id"].to_numpy(zero_copy_only=False)[row]
+        grams = t["grams"].to_pylist()
+        return pa.table({
+            "key": pa.array(flat, pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+            "grams": pa.array([grams[r] for r in row], pa.list_(pa.int64())),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            k = t["key"].to_numpy(zero_copy_only=False)
-            pos = np.clip(np.searchsorted(self.keys, k), 0,
-                          len(self.keys) - 1)
-            return t.filter(pa.array(self.keys[pos] == k))
+    cand = sigs.map_batches(filter_candidates,
+                            batch_format="pyarrow").to_pandas()
+    if not len(cand):
+        return empty
 
-    cand = exploded.map_batches(FilterHot, batch_format="pyarrow",
-                                concurrency=(1, 4)).to_pandas()
-    pairs = cand.groupby("key", sort=False, group_keys=False).apply(verify) \
-        if len(cand) else pd.DataFrame({"src": [], "dst": [], "jaccard": []})
-    if len(pairs):
-        pairs = pairs.drop_duplicates(["src", "dst"]).sort_values(["src", "dst"])
-    return pairs.reset_index(drop=True)
+    # verify per shared-key run; dedupe doc pairs across keys FIRST so
+    # a pair sharing many prefix keys is intersected once
+    cand = cand.sort_values(["key", "id"]).reset_index(drop=True)
+    seen: set[tuple[int, int]] = set()
+    src_l, dst_l, jac_l = [], [], []
+    key_arr = cand["key"].to_numpy()
+    id_arr = cand["id"].to_numpy()
+    gram_arr = cand["grams"].to_numpy()
+    run_starts = np.flatnonzero(
+        np.concatenate([[True], key_arr[1:] != key_arr[:-1]]))
+    run_ends = np.concatenate([run_starts[1:], [len(key_arr)]])
+    for a, b in zip(run_starts, run_ends):
+        m = b - a
+        if m < 2:
+            continue
+        if m > _MAX_PAIRWISE:
+            import logging
+            logging.getLogger(__name__).warning(
+                "ngram verify: key run of %d docs exceeds pairwise cap "
+                "%d — truncated to the cap (recall may drop)",
+                m, _MAX_PAIRWISE)
+            b = a + _MAX_PAIRWISE
+            m = _MAX_PAIRWISE
+        for i in range(a, b):
+            for j in range(i + 1, b):
+                if id_arr[i] == id_arr[j]:
+                    continue
+                pr = (int(min(id_arr[i], id_arr[j])),
+                      int(max(id_arr[i], id_arr[j])))
+                if pr in seen:
+                    continue
+                seen.add(pr)
+                gi = np.asarray(gram_arr[i], dtype=np.int64)
+                gj = np.asarray(gram_arr[j], dtype=np.int64)
+                inter = len(np.intersect1d(gi, gj, assume_unique=True))
+                jac = inter / (len(gi) + len(gj) - inter)
+                if jac >= threshold:
+                    src_l.append(pr[0]); dst_l.append(pr[1])
+                    jac_l.append(jac)
+    if not src_l:
+        return empty
+    return pd.DataFrame({"src": np.asarray(src_l, np.int64),
+                         "dst": np.asarray(dst_l, np.int64),
+                         "jaccard": np.asarray(jac_l, float)}) \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
 
 
 # ------------------------------------------- embedding-cosine near-dup
+
+def embedding_pairs_exact(ds: ray.data.Dataset, id_col: str, vec_col: str,
+                          cosine_threshold: float = 0.95) -> pd.DataFrame:
+    """EXACT cosine >= threshold pairs: every batch is scored against
+    the full normalized matrix (broadcast once via ``ray.put``), so the
+    O(n^2) compute is distributed across batches while each pair is
+    emitted exactly once (batch id < partner id).
+
+    This is the ground-truth / bounded-corpus path (the matrix must fit
+    a worker: ~n x dim x 8 B); ``embedding_near_dup_pairs`` (hyperplane
+    LSH buckets) is the 100-TB scale path, recall-tested against this
+    in pytest."""
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    V_all = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(V_all, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids_all, V_all / norms))
+
+    def score(batch: pa.Table) -> pa.Table:
+        aid, A = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        V = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        S = (V / n) @ A.T                       # (batch, all)
+        hit = (S >= cosine_threshold) & (ids[:, None] < aid[None, :])
+        bi, aj = np.nonzero(hit)
+        return pa.table({
+            "src": pa.array(ids[bi], pa.int64()),
+            "dst": pa.array(aid[aj], pa.int64()),
+            "cosine": pa.array(S[bi, aj], pa.float64()),
+        })
+
+    pdf = ds.select_columns([id_col, vec_col]).map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    if len(pdf):
+        pdf = pdf.sort_values(["src", "dst"])
+    return pdf.reset_index(drop=True)
 
 def embedding_near_dup_pairs(ds: ray.data.Dataset, id_col: str, vec_col: str,
                              cosine_threshold: float = 0.95,
@@ -571,11 +708,16 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset, id_col: str, vec_col: str,
     threshold straddling a plane can land in different buckets (recall
     < 1, standard LSH trade-off; raise num_planes/bands for recall).
     """
+    # hyperplanes derived once on the driver and broadcast (deterministic
+    # per-batch derivation was correct but wasted work per batch)
+    dim = len(ds.take(1)[0][vec_col])
+    planes_ref = ray.put(
+        np.random.RandomState(seed).randn(dim, num_planes))
+
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(vecs.shape[1], num_planes)
+        planes = ray.get(planes_ref)
         bits = (vecs @ planes) > 0
         bucket = bits @ (1 << np.arange(num_planes))
         return pa.table({"id": pa.array(ids, pa.int64()),

@@ -76,6 +76,42 @@ class TestAnn:
             hits += len(e & a)
         assert hits >= 20  # >= 2/3 average recall
 
+    def test_ivf_pruned_reads_partition_subset(self, embeddings_ds,
+                                               tmp_path):
+        """The on-disk IVF probe must READ only the probed partitions'
+        files, and match the in-memory variant given the same plan."""
+        import glob
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from searchenginesimple_ray.pipelines.similarity import (
+            build_ivf_index, ivf_probed_paths, ivf_topk, ivf_topk_pruned)
+        idx = build_ivf_index(embeddings_ds, "vec_id", "embedding",
+                              str(tmp_path / "ivf"), n_centroids=8)
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in t["embedding"].to_pylist()[:2]])
+        all_parts = sorted(glob.glob(os.path.join(idx, "vectors",
+                                                  "ivf_partition=*")))
+        probed = ivf_probed_paths(idx, qv, nprobe=2)
+        assert 0 < len(probed) < len(all_parts)   # pruned, not full scan
+        pruned = ivf_topk_pruned(idx, "vec_id", "embedding", [0, 1], qv,
+                                 k=5, nprobe=2)
+        centroids = np.load(os.path.join(idx, "centroids.npy"))
+        mem = ivf_topk(embeddings_ds, "vec_id", "embedding", [0, 1], qv,
+                       k=5, centroids=centroids, nprobe=2)
+        assert pruned[["query_id", "rank", "vec_id"]].values.tolist() == \
+            mem[["query_id", "rank", "vec_id"]].values.tolist()
+        # nprobe=all over the pruned index equals the full scan exactly
+        exact = ivf_topk_pruned(idx, "vec_id", "embedding", [0, 1], qv,
+                                k=5, nprobe=8)
+        full = ivf_topk(embeddings_ds, "vec_id", "embedding", [0, 1], qv,
+                        k=5, centroids=centroids, nprobe=8)
+        assert exact[["query_id", "rank", "vec_id"]].values.tolist() == \
+            full[["query_id", "rank", "vec_id"]].values.tolist()
+
     def test_self_match_rank0(self, embeddings_ds):
         from searchenginesimple_ray.pipelines.similarity import \
             brute_force_topk
@@ -140,6 +176,69 @@ class TestDedupFamily:
         assert got.get(5) == 0
         assert 3 not in got and 4 not in got
 
+    def test_minhash_bucket_pairwise_not_star(self):
+        # two docs similar to EACH OTHER but not to the bucket min must
+        # still pair (star-vs-min verification missed these)
+        from searchenginesimple_ray.stages.dedup import minhash_bucket_edges
+        rng = np.random.RandomState(0)
+        sig1 = rng.randint(0, 2**31 - 1, 64).astype(np.uint32)
+        sig2 = rng.randint(0, 2**31 - 1, 64).astype(np.uint32)
+        sig3 = sig2.copy()
+        sig3[:4] = sig3[:4] + 1          # est(2,3) = 60/64 ≈ 0.94
+        sigs = np.stack([sig1, sig2, sig3])
+        edges = minhash_bucket_edges(np.array([1, 2, 3]), sigs,
+                                     threshold=0.8)
+        got = {(int(r.src), int(r.dst)) for r in edges.itertuples()}
+        assert got == {(2, 3)}
+
+    def test_minhash_batch_kernels_match_scalar(self):
+        from searchenginesimple_ray.functions.minhash import (
+            _permutations, char_shingles, lsh_band_keys,
+            lsh_band_keys_batch, minhash_signature,
+            minhash_signatures_batch)
+        texts = ["the quick brown fox", "pack my box with five dozen",
+                 "zz", ""]
+        perms = _permutations(64, 7)
+        sets = [char_shingles(t) for t in texts]
+        batch = minhash_signatures_batch(sets, 64, perms=perms)
+        for i, s in enumerate(sets):
+            np.testing.assert_array_equal(
+                batch[i], minhash_signature(s, 64, perms=perms))
+        keys = lsh_band_keys_batch(batch, 16)
+        for i in range(len(texts)):
+            np.testing.assert_array_equal(keys[i],
+                                          lsh_band_keys(batch[i], 16))
+
+    def test_ngram_exact_vs_bruteforce(self, ray_session):
+        # the prefix filter is candidate-exact: engine pairs must equal
+        # brute-force word-3-gram Jaccard >= t over all pairs
+        from searchenginesimple_ray.functions.minhash import (jaccard,
+                                                              word_ngrams)
+        from searchenginesimple_ray.stages.dedup import ngram_jaccard_pairs
+        rng = np.random.RandomState(11)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = []
+        for i in range(12):
+            base = [vocab[rng.randint(30)] for _ in range(12)]
+            texts.append(" ".join(base))
+            mut = list(base)
+            mut[rng.randint(12)] = vocab[rng.randint(30)]
+            texts.append(" ".join(mut))          # near-dup partner
+        texts.append("a b")                       # < n tokens edge case
+        texts.append("a b")
+        ids = np.arange(len(texts), dtype=np.int64)
+        t = 0.6
+        expect = set()
+        gsets = [word_ngrams(tx.split(), 3) for tx in texts]
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                if jaccard(gsets[i], gsets[j]) >= t:
+                    expect.add((i, j))
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        pairs = ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=t)
+        got = {(int(r.src), int(r.dst)) for r in pairs.itertuples()}
+        assert got == expect
+
     def test_ngram_jaccard_pairs(self, ray_session):
         a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
         ds = ray.data.from_arrow(pa.table({
@@ -165,6 +264,30 @@ class TestDedupFamily:
                                          cosine_threshold=0.99)
         assert (0, 8) in {(int(r.src), int(r.dst))
                           for r in pairs.itertuples()}
+
+    def test_embedding_lsh_subset_of_exact(self, ray_session):
+        """LSH bucketed pairs must be a subset of the exact all-pairs
+        kernel (no false positives) and find the planted near-dup."""
+        rng = np.random.RandomState(3)
+        base = rng.randn(8, 16).astype(np.float32)
+        vecs = np.vstack([base,
+                          base[0] + 0.001 * rng.randn(16).astype(np.float32)])
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": np.arange(9, dtype=np.int64),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        from searchenginesimple_ray.stages.dedup import (
+            embedding_near_dup_pairs, embedding_pairs_exact)
+        exact = {(int(r.src), int(r.dst)) for r in
+                 embedding_pairs_exact(ds, "vec_id", "embedding",
+                                       0.99).itertuples()}
+        lsh = {(int(r.src), int(r.dst)) for r in
+               embedding_near_dup_pairs(ds, "vec_id", "embedding",
+                                        cosine_threshold=0.99).itertuples()}
+        assert (0, 8) in exact
+        assert lsh <= exact
+        assert (0, 8) in lsh   # recall on the planted pair
 
     def test_exact_dedup_first(self, ray_session):
         ds = ray.data.from_arrow(pa.table({
