@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": d.q_ivf_topk,   # nprobe=all: exact over pruned index
         # suggestion (dict G5/A2, char index A7, edit distance G9)
         "suggest_topk": d.q_suggest_topk,
+        # multimodal (image decode/feature stage, fake codec)
+        "img_stats": d.q_img_stats,
         # text analysis
         "doc_token_stats": d.q_doc_token_stats,
         "quality_counts": d.q_quality_counts,
@@ -414,6 +416,51 @@ ranked AS (
   FROM s
 )
 SELECT query_id, rn - 1 AS rank, vec_id FROM ranked WHERE rn <= 10
+""",
+        # multimodal image stage: payload = utf-8 text bytes (ASCII in
+        # this testdata, so char codepoints ARE the bytes), fake decode
+        # tiles the payload to (h, w); mean/std over exact integer sums
+        # match the engine's float64 arithmetic bit-for-bit
+        "img_stats": """
+WITH dims AS (
+  SELECT doc_id AS media_id, length(text) AS L,
+         greatest(4, least(64, length(text) // 4)) AS w
+  FROM documents
+),
+d2 AS (SELECT media_id, L, w, greatest(4, w // 2) AS h FROM dims),
+chars AS (
+  SELECT doc_id, i, unicode(text[i]) AS b
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents)
+),
+agg AS (
+  SELECT doc_id, sum(b) AS S, sum(b * b) AS S2 FROM chars GROUP BY doc_id
+),
+pre AS (
+  SELECT c.doc_id, sum(c.b) AS PS, sum(c.b * c.b) AS PS2
+  FROM chars c JOIN d2 ON d2.media_id = c.doc_id
+  WHERE c.i <= (d2.w * d2.h) % d2.L
+  GROUP BY c.doc_id
+),
+calc AS (
+  SELECT d2.media_id,
+         CAST(d2.w AS BIGINT) AS width, CAST(d2.h AS BIGINT) AS height,
+         d2.w * d2.h AS need,
+         ((d2.w * d2.h) // d2.L) * agg.S + coalesce(pre.PS, 0) AS T,
+         ((d2.w * d2.h) // d2.L) * agg.S2 + coalesce(pre.PS2, 0) AS T2
+  FROM d2 JOIN agg ON agg.doc_id = d2.media_id
+  LEFT JOIN pre ON pre.doc_id = d2.media_id
+),
+fin AS (
+  SELECT media_id, width, height,
+         T * 1.0 / need AS mean,
+         T2 * 1.0 / need - (T * 1.0 / need) * (T * 1.0 / need) AS var
+  FROM calc
+)
+SELECT media_id, width, height,
+       CAST(floor(1000000 * mean) AS BIGINT) AS mean_u,
+       CAST(floor(1000000 * sqrt(greatest(var, 0))) AS BIGINT) AS std_u
+FROM fin
 """,
         "doc_token_stats": r"""
 SELECT doc_id,

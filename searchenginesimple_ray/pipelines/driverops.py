@@ -433,6 +433,39 @@ def q_embedding_sim_pairs(sf_dir: str) -> pd.DataFrame:
     return _embedding_pairs(sf_dir, 0.4)
 
 
+def q_img_stats(sf_dir: str) -> pd.DataFrame:
+    """(media_id, width, height, mean_u, std_u): the multimodal image
+    decode/feature stage over a media table derived deterministically
+    from documents (payload = utf-8 text bytes, dims from payload
+    length — ``media_table_from_texts``).  mean/std are the fake-codec
+    tiled-byte statistics quantized to 1e-6 ints; the arithmetic is
+    integer-exact so the DuckDB oracle reproduces it bit-for-bit."""
+    from ..stages.multimodal import decode_images, media_table_from_texts
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return media_table_from_texts(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(), "image")
+
+    media = _read_documents(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(to_media, batch_format="pyarrow")
+    feats = decode_images(media, batch_size=64)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        mean = t["img_mean"].to_numpy(zero_copy_only=False)
+        std = t["img_std"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_u": pa.array(np.floor(1e6 * mean).astype(np.int64)),
+            "std_u": pa.array(np.floor(1e6 * std).astype(np.int64)),
+        })
+
+    return feats.map_batches(finalize, batch_format="pyarrow") \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 # fixed misspelled queries over the documents vocabulary (ASCII-only so
 # the DuckDB byte-level levenshtein oracle agrees with the engine's
 # codepoint-level distance; CJK parity is covered in pytest)

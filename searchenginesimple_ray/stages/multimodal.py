@@ -78,8 +78,17 @@ class ImageDecodeStage:
             img = self._decode_fake(buf or b"", int(ws[i]), int(hs[i]))
             if self.resize_to:
                 img = self._resize(img, self.resize_to)
-            mean[i] = img.mean()
-            std[i] = img.std()
+            # mean/std via exact integer sums (pixel values are uint8 ->
+            # float64 sums are exact), E[x^2] - mean^2 form: the same
+            # arithmetic is expressible in SQL, so the driver oracle can
+            # reproduce these to the last bit (np.std's two-pass form
+            # rounds differently)
+            need = img.size
+            total = img.sum()
+            total2 = (img * img).sum()
+            mean[i] = total / need
+            var = total2 / need - mean[i] * mean[i]
+            std[i] = np.sqrt(max(var, 0.0))
             if img.shape[0] > 1 and img.shape[1] > 1:
                 gx = np.abs(np.diff(img, axis=1)).mean()
                 gy = np.abs(np.diff(img, axis=0)).mean()
