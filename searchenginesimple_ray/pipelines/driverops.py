@@ -67,7 +67,10 @@ def _read_documents(sf_dir: str) -> ray.data.Dataset:
 def derive_transcripts(sf_dir: str) -> str:
     """documents -> transcripts-shaped parquet (cached).  Deterministic:
     conv_id = source, turn_idx = rank of doc_id within source."""
-    key = hashlib.sha256(f"ts|{sf_dir}".encode()).hexdigest()[:12]
+    from ..state.lineage import input_fingerprint
+    key = hashlib.sha256(
+        f"ts|{sf_dir}|{input_fingerprint([_docs_path(sf_dir)])}"
+        .encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"transcripts_{key}")
     marker = os.path.join(out, "_done")
     if os.path.exists(marker):
@@ -343,8 +346,11 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
 def ivf_index_dir(sf_dir: str, n_centroids: int = 16) -> str:
     """Build (or reuse) the hive-partitioned IVF index for ``sf_dir``."""
     from ..pipelines.similarity import build_ivf_index
+    from ..state.lineage import input_fingerprint
+    emb = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.sha256(
-        f"ivf|{sf_dir}|{n_centroids}".encode()).hexdigest()[:12]
+        f"ivf|{sf_dir}|{n_centroids}|{input_fingerprint([emb])}"
+        .encode()).hexdigest()[:12]
     out = os.path.join(_CACHE_ROOT, f"ivf_{key}")
     if not os.path.exists(os.path.join(out, "_done")):
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),

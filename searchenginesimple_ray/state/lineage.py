@@ -28,10 +28,15 @@ MANIFEST = "_lineage.json"
 
 
 def input_fingerprint(files: list[str]) -> str:
+    """Per-file fingerprint: name + size + mtime_ns.  Size alone lets a
+    regenerated input whose byte count happens to match silently pass
+    ``is_complete`` and resume over stale checkpoints; mtime_ns changes
+    on any rewrite."""
     h = hashlib.sha256()
     for f in sorted(files):
         st = os.stat(f)
-        h.update(f"{os.path.basename(f)}:{st.st_size}\n".encode())
+        h.update(f"{os.path.basename(f)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}\n".encode())
     return h.hexdigest()[:16]
 
 

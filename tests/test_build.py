@@ -135,6 +135,59 @@ class TestPostings:
                 assert (ids % D == shard).all()
 
 
+class TestHotTermSalting:
+    """Exercise the hot-term skew-split path end-to-end: with a tiny
+    ``hot_term_df_threshold`` real terms salt into multiple posting
+    sub-lists, and the scorer's salted-run merge must produce
+    rank-identical results to an unsalted build of the same corpus."""
+
+    @pytest.fixture(scope="class")
+    def salted_index(self, t1_corpus):
+        import shutil
+
+        from searchenginesimple_ray.config import EngineConfig
+        from searchenginesimple_ray.pipelines.index_build import build_index
+        from searchenginesimple_ray.sources.transcripts import \
+            transcripts_files
+        cfg = EngineConfig(num_input_buckets=3, num_doc_shards=4,
+                           hot_term_df_threshold=5)
+        out = "/tmp/sesr_pytest/idx_t1_salted"
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(transcripts_files(t1_corpus), out, cfg)
+        return out
+
+    def test_real_terms_salted(self, salted_index):
+        # read the DIRECTORY so the hive doc_shard partition column
+        # materializes (per-file reads lose it)
+        post = pq.read_table(f"{salted_index}/postings").to_pandas()
+        hot = post[post["salt"] > 0]
+        assert len(hot), "no term salted despite threshold=5"
+        # a hot term splits into >= 2 sub-lists within one doc shard
+        per = post.groupby(["term", "doc_shard"])["salt"].nunique()
+        assert per.max() >= 2
+
+    def test_salted_ranks_identical(self, salted_index, t1_index):
+        from searchenginesimple_ray.pipelines.query import QueryEngine
+        from searchenginesimple_ray.sources.transcripts import \
+            generate_queries
+        eng_s = QueryEngine(salted_index, num_actors=2,
+                            num_cpus_per_actor=0.5)
+        eng_u = QueryEngine(t1_index["dir"], num_actors=2,
+                            num_cpus_per_actor=0.5)
+        try:
+            for q in generate_queries():
+                rs = eng_s.bm25_topk(q, k=10)
+                ru = eng_u.bm25_topk(q, k=10)
+                assert [r["doc_id"] for r in rs] == \
+                    [r["doc_id"] for r in ru], q
+                np.testing.assert_allclose(
+                    [r["score"] for r in rs], [r["score"] for r in ru],
+                    atol=1e-9)
+        finally:
+            eng_s.shutdown()
+            eng_u.shutdown()
+
+
 class TestDocStats:
     def test_doc_stats_match_oracle(self, built, t1_oracle):
         st = _read_dir(f"{built['dir']}/doc_stats")
