@@ -217,6 +217,29 @@ def simhash_combo_keys(hashes, threshold: int = 3) -> np.ndarray:
     return out
 
 
+def simhash_combo_key_band(hashes, threshold: int, band: int) -> np.ndarray:
+    """ONE combo band's keys (column ``band`` of ``simhash_combo_keys``)
+    without computing the other C(B,3)-1 columns — for band-parallel
+    candidate generation where each task owns a single band."""
+    from itertools import combinations
+
+    h = np.asarray(hashes, dtype=np.uint64).reshape(-1)
+    B = threshold + 3
+    bounds = np.linspace(0, 64, B + 1).astype(int)
+    combo = list(combinations(range(B), 3))[band]
+    k = np.zeros_like(h)
+    for b in reversed(combo):
+        w = bounds[b + 1] - bounds[b]
+        blk = (h >> np.uint64(bounds[b])) & np.uint64((1 << w) - 1)
+        k = (k << np.uint64(w)) | blk
+    return k ^ (np.uint64(band) << np.uint64(58))
+
+
+def simhash_num_combo_bands(threshold: int) -> int:
+    from math import comb
+    return comb(threshold + 3, 3)
+
+
 def simhash_bands(hashes, num_bands: int = 4) -> np.ndarray:
     """Split uint64 simhashes into ``num_bands`` equal bit bands.
 

@@ -6,10 +6,9 @@ Replaces the reference's single-threaded ``page`` entry point
 stages.  Layout under ``out_dir``::
 
     conv_bases/bases.json            global docid bases (A5)
-    docs_raw/bucket=K/*.parquet      prep + simhash, per input bucket
+    docs_raw/bucket=K/*.parquet      prep + simhash + term lists, per bucket
     dedup/{drop_ids,clusters}.parquet  near-dup verdicts (A3/A4)
     docs/bucket=K/*.parquet          deduped doc store (S5 analogue)
-    doc_terms/bucket=K/*.parquet     forward index (G1)
     term_df/*.parquet                global DF (G2)
     doc_stats/*.parquet              doc_len + ref L2 norm (G4), by doc_shard
     postings/doc_shard=D/*.parquet   compressed postings (A6), by doc shard
@@ -41,7 +40,8 @@ import ray.data
 from ..config import EngineConfig
 from ..stages.docids import conv_bases
 from ..stages.dedup import components_min_rep, simhash_near_dup_edges
-from ..stages.postings import build_postings, doc_stats, term_document_frequencies
+from ..stages.postings import (build_postings, doc_stats_from_prepped,
+                               term_df_from_prepped)
 from ..stages.prep import prep_transcripts
 from ..stages.tokenizer import doc_terms_from_prepped
 from ..state import lineage
@@ -99,6 +99,44 @@ def _bucket_ranges(files: list[str], n_buckets: int) -> list[list[str]]:
     return [list(c) for c in np.array_split(files, n_buckets) if len(c)]
 
 
+# task-based drop filter with per-worker memo of the broadcast drop
+# array (same rationale as stages.prep._prep_batch: no actor pools for
+# trivial state => no per-job actor spawn overhead)
+_DROP_CACHE: dict = {}
+
+
+def apply_drop(t: pa.Table, drop_ref=None) -> pa.Table:
+    """A3 filter: drop simhash==0 rows and near-dup cluster members."""
+    key = drop_ref.hex()
+    drop = _DROP_CACHE.get(key)
+    if drop is None:
+        drop = ray.get(drop_ref)
+        _DROP_CACHE.clear()
+        _DROP_CACHE[key] = drop
+    t = t.filter(pc.not_equal(t["simhash"], pa.scalar(0, pa.uint64())))
+    if len(drop) == 0 or t.num_rows == 0:
+        return t
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.clip(np.searchsorted(drop, doc), 0, len(drop) - 1)
+    return t.filter(pa.array(drop[pos] != doc))
+
+
+def index_doc_terms(index_dir: str) -> ray.data.Dataset:
+    """Deduped ``doc_terms`` view of a BUILT index: docs_raw's per-doc
+    term lists, drop-filtered and list-exploded lazily (the forward
+    index is derived, not materialized — the former ``doc_terms/``
+    parquet intermediate was pure serial-time cost)."""
+    drop = pq.read_table(os.path.join(
+        index_dir, "dedup", "drop_ids.parquet"))["doc_id"].to_numpy()
+    drop_ref = ray.put(np.sort(drop.astype(np.int64)))
+    ds = _read_parquet(
+        _pq_files(os.path.join(index_dir, "docs_raw")),
+        columns=["doc_id", "simhash", "doc_len", "terms", "tfs"])
+    ds = ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                        batch_format="pyarrow")
+    return doc_terms_from_prepped(ds)
+
+
 def build_index(input_files: list[str], out_dir: str,
                 cfg: EngineConfig | None = None) -> BuildResult:
     cfg = cfg or EngineConfig()
@@ -125,6 +163,7 @@ def build_index(input_files: list[str], out_dir: str,
         (each is its own Ray Data job; the streaming executor
         interleaves them across the cluster — per-job fixed overhead
         would otherwise serialize at small scale)."""
+        import time as _time
         with _lock:
             dep_h = ",".join(stage_hashes[d] for d in deps)
         fp = in_fp + ("|" + dep_h if dep_h else "")
@@ -134,12 +173,15 @@ def build_index(input_files: list[str], out_dir: str,
             with _lock:
                 res.stages_skipped.append(key)
         else:
+            t0 = _time.perf_counter()
             with lineage.atomic_dir(part_dir) as tmp:
                 row_count, extra = fn(tmp)
             m = lineage.seal(part_dir, stage, part, fp, cfg_fp,
                              row_count, extra)
             with _lock:
                 res.stages_run.append(key)
+                res.metrics[f"wall/{key}"] = round(
+                    _time.perf_counter() - t0, 2)
         with _lock:
             stage_hashes[key] = hashlib.sha256(
                 json.dumps(m, sort_keys=True).encode()).hexdigest()[:12]
@@ -224,14 +266,23 @@ def build_index(input_files: list[str], out_dir: str,
     dedup_dir = os.path.join(out_dir, "dedup")
 
     def dedup(tmp):
+        import time as _t
+
         import pandas as pd
+        subs = {}
         if cfg.dedup_enabled:
+            t0 = _t.perf_counter()
+            raw_files = _pq_files(os.path.join(out_dir, "docs_raw"))
             docs_raw = ray.data.read_parquet(
-                _pq_files(os.path.join(out_dir, "docs_raw")),
+                raw_files,
                 columns=["doc_id", "simhash"])   # never read the text
             edges = simhash_near_dup_edges(docs_raw, cfg.num_bands,
-                                           cfg.hamming_threshold)
+                                           cfg.hamming_threshold,
+                                           files=raw_files)
+            subs["edges_sec"] = round(_t.perf_counter() - t0, 2)
+            t0 = _t.perf_counter()
             rep = components_min_rep(edges) if len(edges) else {}
+            subs["unionfind_sec"] = round(_t.perf_counter() - t0, 2)
         else:
             rep = {}
         drop = np.array(sorted(d for d, r in rep.items() if d != r),
@@ -241,7 +292,7 @@ def build_index(input_files: list[str], out_dir: str,
         cl = pd.DataFrame(sorted(rep.items()), columns=["doc_id", "rep_id"])
         pq.write_table(pa.Table.from_pandas(cl, preserve_index=False),
                        os.path.join(tmp, "clusters.parquet"))
-        return len(drop), {"n_clusters": len(set(rep.values()))}
+        return len(drop), {"n_clusters": len(set(rep.values())), **subs}
 
     m = run_or_skip("dedup", "global", dedup_dir, fn=dedup,
                     deps=[f"docs_raw/bucket={k}" for k in range(len(buckets))])
@@ -252,32 +303,24 @@ def build_index(input_files: list[str], out_dir: str,
     res.n_dropped = len(drop_ids)
     drop_ref = ray.put(np.sort(drop_ids))
 
-    # ---- stage 3: per-bucket deduped doc store + tokenize (S5, G1) -----
-    # task-based drop filter with per-worker memo of the broadcast drop
-    # array (same rationale as stages.prep._prep_batch: no actor pools
-    # for trivial state => no per-job actor spawn overhead)
-    _drop_cache: dict = {}
+    def prepped_ds():
+        """Lazy deduped PREPPED rows (per-doc term lists) from docs_raw
+        — each consumer streams read -> drop-filter -> its own fused
+        kernel; the 55M-row ``doc_terms`` parquet intermediate (written
+        once, re-read by three consumers) was pure serial-time cost."""
+        ds = _read_parquet(
+            _pq_files(os.path.join(out_dir, "docs_raw")),
+            columns=["doc_id", "simhash", "doc_len", "terms", "tfs"])
+        return ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                              batch_format="pyarrow")
 
-    def apply_drop(t: pa.Table, drop_ref=None) -> pa.Table:
-        key = drop_ref.hex()
-        drop = _drop_cache.get(key)
-        if drop is None:
-            drop = ray.get(drop_ref)
-            _drop_cache.clear()
-            _drop_cache[key] = drop
-        t = t.filter(pc.not_equal(t["simhash"], pa.scalar(0, pa.uint64())))
-        if len(drop) == 0 or t.num_rows == 0:
-            return t
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(drop, doc), 0, len(drop) - 1)
-        return t.filter(pa.array(drop[pos] != doc))
+    # ---- stage 3: doc store buckets CONCURRENT with term_df ------------
+    # the doc store (S5) depends only on dedup; term_df reads docs_raw
+    # directly — the two no longer serialize behind a doc_terms stage
+    docs_dir_of = lambda k: os.path.join(out_dir, "docs", f"bucket={k}")
 
-    def docs_terms_bucket(k):
-        docs_dir = os.path.join(out_dir, "docs", f"bucket={k}")
-
+    def docs_bucket(k):
         def mk_docs(tmp):
-            # doc STORE: text + provenance only (term lists stay in
-            # docs_raw for the doc_terms explode — not duplicated here)
             ds = _read_parquet(
                 _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")),
                 columns=["conv_id", "turn_idx", "text", "doc_id",
@@ -287,48 +330,30 @@ def build_index(input_files: list[str], out_dir: str,
             ds.write_parquet(tmp)
             return _count_rows(tmp), {}
 
-        m_docs = run_or_skip("docs", f"bucket={k}", docs_dir, mk_docs,
-                             deps=[f"docs_raw/bucket={k}", "dedup/global"])
-
-        dt_dir = os.path.join(out_dir, "doc_terms", f"bucket={k}")
-
-        def mk_terms(tmp):
-            # list-explode of the term counts captured by PrepStage (no
-            # second tokenize); drop filter re-applied on the raw bucket
-            ds = _read_parquet(
-                _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")),
-                columns=["doc_id", "simhash", "doc_len", "terms", "tfs"])
-            ds = ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
-                                batch_format="pyarrow")
-            dt = doc_terms_from_prepped(ds)
-            dt.write_parquet(tmp)
-            return _count_rows(tmp), {}
-
-        m_terms = run_or_skip("doc_terms", f"bucket={k}", dt_dir, mk_terms,
+        return k, run_or_skip("docs", f"bucket={k}", docs_dir_of(k), mk_docs,
                               deps=[f"docs_raw/bucket={k}", "dedup/global"])
-        return k, m_docs, m_terms
 
-    with ThreadPoolExecutor(job_threads) as pool:
-        for k, m_docs, m_terms in pool.map(docs_terms_bucket,
-                                           range(len(buckets))):
-            res.metrics[f"docs/bucket={k}"] = m_docs["row_count"]
-            res.metrics[f"doc_terms/bucket={k}"] = m_terms["row_count"]
-
-    res.n_docs = sum(res.metrics[f"docs/bucket={k}"]
-                     for k in range(len(buckets)))
-
-    # ---- stage 4: global term DF (G2) ----------------------------------
     df_dir = os.path.join(out_dir, "term_df")
+    df_deps = [f"docs_raw/bucket={k}" for k in range(len(buckets))] \
+        + ["dedup/global"]
 
     def mk_df(tmp):
-        dt = ray.data.read_parquet(_pq_files(os.path.join(out_dir, "doc_terms")))
-        df_pdf = term_document_frequencies(dt)
+        df_pdf = term_df_from_prepped(prepped_ds())
         pq.write_table(pa.Table.from_pandas(df_pdf, preserve_index=False),
                        os.path.join(tmp, "term_df.parquet"))
         return len(df_pdf), {}
 
-    m = run_or_skip("term_df", "global", df_dir, mk_df,
-                    deps=[f"doc_terms/bucket={k}" for k in range(len(buckets))])
+    with ThreadPoolExecutor(job_threads + 1) as pool:
+        fut_docs = [pool.submit(docs_bucket, k) for k in range(len(buckets))]
+        fut_df = pool.submit(run_or_skip, "term_df", "global", df_dir,
+                             mk_df, df_deps)
+        for f in fut_docs:
+            k, m_docs = f.result()
+            res.metrics[f"docs/bucket={k}"] = m_docs["row_count"]
+        m = fut_df.result()
+
+    res.n_docs = sum(res.metrics[f"docs/bucket={k}"]
+                     for k in range(len(buckets)))
     res.n_terms = m["row_count"]
     df_pdf = pq.read_table(os.path.join(df_dir, "term_df.parquet")).to_pandas()
     df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
@@ -337,25 +362,24 @@ def build_index(input_files: list[str], out_dir: str,
     stats_dir = os.path.join(out_dir, "doc_stats")
 
     def mk_stats(tmp):
-        dt = ray.data.read_parquet(_pq_files(os.path.join(out_dir, "doc_terms")))
-        st = doc_stats(dt, df_map, n_docs=res.n_docs,
-                       num_doc_shards=cfg.num_doc_shards)
+        st = doc_stats_from_prepped(prepped_ds(), df_map,
+                                    n_docs=res.n_docs,
+                                    num_doc_shards=cfg.num_doc_shards)
         st.write_parquet(tmp, partition_cols=["doc_shard"])
         return _count_rows(tmp), {}
 
-    stats_deps = [f"doc_terms/bucket={k}" for k in range(len(buckets))] \
-        + ["term_df/global"]
+    stats_deps = df_deps + ["term_df/global"]
 
     # ---- stage 6: postings (A1/A6 + skew salt) -------------------------
     postings_dir = os.path.join(out_dir, "postings")
 
     def mk_postings(tmp):
-        dt = ray.data.read_parquet(_pq_files(os.path.join(out_dir, "doc_terms")))
-        po = build_postings(dt, df_map,
+        po = build_postings(prepped_ds(), df_map,
                             num_term_shards=cfg.num_term_shards,
                             num_doc_shards=cfg.num_doc_shards,
                             hot_term_df_threshold=cfg.hot_term_df_threshold,
-                            posting_block_size=cfg.posting_block_size)
+                            posting_block_size=cfg.posting_block_size,
+                            prepped=True)
         po.write_parquet(tmp, partition_cols=["doc_shard"])
         per_shard = {}
         for f in glob.glob(os.path.join(tmp, "**", "*.parquet"),

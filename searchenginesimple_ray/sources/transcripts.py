@@ -77,10 +77,16 @@ def generate_transcripts(
     max_turns: int = 16,
     n_files: int = 8,
     vocab_size: int = 5000,
+    skew_hot_frac: float = 0.0,
 ) -> str:
-    """Generate (or reuse) the corpus under ``out_dir``.  Returns out_dir."""
+    """Generate (or reuse) the corpus under ``out_dir``.  Returns out_dir.
+
+    ``skew_hot_frac > 0`` prepends the hottest vocab term to that
+    fraction of turns (e.g. 0.5 => one term in half of all docs) — the
+    skew fixture for the hot-term salt path."""
     params = dict(n_convs=n_convs, seed=seed, min_turns=min_turns,
                   max_turns=max_turns, n_files=n_files, vocab_size=vocab_size,
+                  skew_hot_frac=skew_hot_frac,
                   version=6)
     manifest_path = os.path.join(out_dir, "_corpus_manifest.json")
     if os.path.exists(manifest_path):
@@ -128,6 +134,15 @@ def generate_transcripts(
     toks_list = toks.tolist()
     for i in range(total):
         texts[i] = " ".join(toks_list[offsets[i]:offsets[i + 1]])
+
+    if skew_hot_frac > 0:
+        # prepend the Zipf-head term to a fixed fraction of turns
+        # BEFORE duplicate crafting, so truth-pair hamming guarantees
+        # are computed over the final texts
+        skew_rows = rng.random(total) < skew_hot_frac
+        hot_w = str(vocab[0])
+        for i in np.flatnonzero(skew_rows):
+            texts[i] = hot_w + " " + texts[i]
 
     # short texts (~0.5%): dropped by the min_text_len rule
     short_mask = rng.random(total) < 0.005

@@ -82,7 +82,11 @@ def _band_explode(batch: pa.Table, threshold: int) -> pa.Table:
 
 
 def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
-                           threshold: int = 3) -> pd.DataFrame:
+                           threshold: int = 3,
+                           driver_limit: int = 2_000_000,
+                           band_task_limit: int = 20_000_000,
+                           files: list[str] | None = None
+                           ) -> pd.DataFrame:
     """All verified hamming<=threshold edges among docs (simhash != 0).
 
     Shape (SCALE): a naive ``groupby(band).map_groups`` makes one Python
@@ -101,69 +105,159 @@ def simhash_near_dup_edges(docs: ray.data.Dataset, num_bands: int = 4,
     # keys come from the threshold-derived block combinations
     exploded = slim.map_batches(
         lambda t: _band_explode(t, threshold), batch_format="pyarrow")
-    # consumed twice (counts, then filter): materialize the 28-byte rows
-    # once instead of re-reading + re-exploding the corpus.  At extreme
-    # scale swap for a parquet spill of the exploded keys.
-    exploded = exploded.materialize()
 
-    # fast path: below ~50M band rows (28 B/row => <1.5 GB) the key
-    # table fits the driver — verify directly.  The count-shuffle
-    # prefilter only pays off beyond that (Ray's hash aggregate over
-    # ~n mostly-unique keys costs far more than one driver lexsort:
-    # measured 85 s vs 5 s at 12M rows).  Scale path past 50M: replace
-    # groupby().count() with a distributed sort + per-block run
-    # detection (boundary runs reconciled on the driver).
-    if exploded.count() <= 50_000_000:
+    _empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                           "dst": pd.Series([], dtype=np.int64)})
+    # path choice on a metadata-only UPPER BOUND (input rows x combo
+    # count) — counting the exploded dataset would force an extra full
+    # execution just to pick a plan
+    from ..functions.hashing import simhash_num_combo_bands
+    n_combos = simhash_num_combo_bands(threshold)
+    n_docs_est = docs.count()
+    n_est = n_docs_est * n_combos
+    if n_est == 0:
+        return _empty
+    # tiny inputs: one driver lexsort beats any distributed plan
+    if n_est <= driver_limit:
         cand = exploded.to_pandas()
         if not len(cand):
-            return pd.DataFrame({"src": [], "dst": []})
-        if len(cand) <= 2_000_000:
-            return _edges_from_candidates(cand, threshold)
-        # large key table: verify each combo band in its OWN Ray task —
-        # driver-bound verification is a fixed cost that wrecks cluster
-        # scaling.  A true pair surfaces in several bands (so some
-        # hamming work repeats across tasks), but each band's table is
-        # 1/C of the total and all C tasks run in parallel; edges are
-        # deduped on concat.
-        verify = ray.remote(_edges_from_candidates)
-        futs = [verify.remote(sub, threshold)
-                for _, sub in cand.groupby("band_id", sort=False)]
+            return _empty
+        return _edges_from_candidates(cand, threshold)
+
+    # mid path (up to ~20M docs per task's memory): BAND-PARALLEL tasks
+    # over shared blocks.  The slim (doc_id, simhash) columns — 16 B/doc
+    # — materialize once in the object store; each of the C(B,3) tasks
+    # zero-copy-reads them, computes only ITS combo key, sorts locally
+    # and verifies.  No all-to-all exchange and no driver data pull —
+    # a range-partition groupby on a 20-value key was measured slower
+    # AND mostly serial (degenerate sort key).  Beyond per-task memory,
+    # fall through to the distributed groupby with count-prefilter.
+    if n_docs_est <= band_task_limit:
+        # consolidate into ONE object-store entry first: each band task
+        # then resolves a single shared zero-copy ref instead of paying
+        # per-object fetch overhead for every block (measured 10x worse
+        # with ~140 blocks).  When the caller can name the parquet
+        # files, the consolidate task reads the two pruned columns
+        # straight from storage — a multithreaded arrow read beats a
+        # full Dataset materialize round-trip for a 16 B/row projection.
+        if files is not None:
+            # driver-side pruned read: Ray workers run with
+            # OMP_NUM_THREADS=1, so an in-task arrow read decodes
+            # single-threaded (measured ~10x slower); the driver keeps
+            # its full thread pool and the pull is 16 B/doc, bounded by
+            # band_task_limit
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+            t = _pq.read_table(list(files), columns=["doc_id", "simhash"])
+            t = t.filter(_pc.not_equal(t["simhash"],
+                                       pa.scalar(0, pa.uint64())))
+            t = t.combine_chunks()
+            cons = ray.put(
+                (t["simhash"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64),
+                 t["doc_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64)))
+            del t
+        else:
+            blocks = [r for r in slim.materialize().to_arrow_refs()]
+            cons = _consolidate_slim.remote(blocks)
+        futs = [_band_edges_task.remote(cons, k, threshold)
+                for k in range(n_combos)]
         parts = [p for p in ray.get(futs) if len(p)]
         if not parts:
-            return pd.DataFrame({"src": [], "dst": []})
+            return _empty
         return pd.concat(parts).drop_duplicates().reset_index(drop=True)
+    n_rows = n_est
 
-    counts = exploded.groupby(["band_id", "band_val"]).count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)),
-        batch_format="pyarrow").to_pandas()
-    if not len(hot):
-        return pd.DataFrame({"src": [], "dst": []})
-    # per-band sorted hot value arrays, broadcast once
-    hot_by_band = {int(b): np.sort(g["band_val"].to_numpy().astype(np.int64))
-                   for b, g in hot.groupby("band_id")}
-    hot_ref = ray.put(hot_by_band)
+    # DISTRIBUTED verify: the exploded keys never land on the driver.
+    # Rows range-partition by combo band (C ~ 20 coarse groups, each
+    # ~n_docs rows — no tiny-group trap) and each band verifies its own
+    # candidate runs vectorized; only the verified edge list
+    # (O(duplicates)) returns.  Beyond 50M rows a native count
+    # aggregate prefilters to non-singleton band values first, so the
+    # band shuffle moves only genuine candidates.
+    work = exploded
+    if n_rows > 50_000_000:
+        # consumed twice here (counts, then filter): materialize the
+        # 28-byte rows once instead of re-exploding the corpus
+        exploded = exploded.materialize()
+        counts = exploded.groupby(["band_id", "band_val"]).count()
+        hot = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], 1)),
+            batch_format="pyarrow").to_pandas()
+        if not len(hot):
+            return _empty
+        hot_by_band = {int(b): np.sort(g["band_val"].to_numpy()
+                                       .astype(np.int64))
+                       for b, g in hot.groupby("band_id")}
+        hot_ref = ray.put(hot_by_band)
 
-    class FilterHot:
-        def __init__(self):
-            self.hot = ray.get(hot_ref)
+        class FilterHot:
+            def __init__(self):
+                self.hot = ray.get(hot_ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bid = t["band_id"].to_numpy(zero_copy_only=False)
-            bval = t["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = np.zeros(len(bid), dtype=bool)
-            for b, vals in self.hot.items():
-                m = bid == b
-                if m.any() and len(vals):
-                    pos = np.searchsorted(vals, bval[m])
-                    pos = np.clip(pos, 0, len(vals) - 1)
-                    keep[m] = vals[pos] == bval[m]
-            return t.filter(pa.array(keep))
+            def __call__(self, t: pa.Table) -> pa.Table:
+                bid = t["band_id"].to_numpy(zero_copy_only=False)
+                bval = t["band_val"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                keep = np.zeros(len(bid), dtype=bool)
+                for b, vals in self.hot.items():
+                    m = bid == b
+                    if m.any() and len(vals):
+                        pos = np.searchsorted(vals, bval[m])
+                        pos = np.clip(pos, 0, len(vals) - 1)
+                        keep[m] = vals[pos] == bval[m]
+                return t.filter(pa.array(keep))
 
-    cand = exploded.map_batches(FilterHot, batch_format="pyarrow",
-                                concurrency=(1, 4)).to_pandas()
-    if not len(cand):
-        return pd.DataFrame({"src": [], "dst": []})
+        work = exploded.map_batches(FilterHot, batch_format="pyarrow",
+                                    concurrency=(1, 4))
+
+    edges = work.groupby("band_id").map_groups(
+        lambda g: _edges_from_candidates(g, threshold),
+        batch_format="pandas").to_pandas()
+    if not len(edges):
+        return _empty
+    return edges.drop_duplicates().reset_index(drop=True)
+
+
+@ray.remote
+def _consolidate_slim(block_refs: list):
+    """Concat the slim (doc_id, simhash) blocks into one numpy pair —
+    stored as a single object the band tasks share zero-copy."""
+    tabs = [t for t in ray.get(list(block_refs)) if t.num_rows]
+    if not tabs:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    t = pa.concat_tables(tabs).combine_chunks()
+    return (t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+@ray.remote
+def _consolidate_from_files(files: list):
+    """Direct pruned-column read of (doc_id, simhash) -> numpy pair."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(files, columns=["doc_id", "simhash"])
+    t = t.filter(pc.not_equal(t["simhash"], pa.scalar(0, pa.uint64())))
+    t = t.combine_chunks()
+    return (t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+@ray.remote
+def _band_edges_task(consolidated, band: int,
+                     threshold: int) -> pd.DataFrame:
+    """Verify ONE combo band: zero-copy read of the shared
+    (simhash, doc_id) arrays, single-band key, local sort + verify."""
+    from ..functions.hashing import simhash_combo_key_band
+    h, d = consolidated
+    if not len(h):
+        return pd.DataFrame({"src": np.empty(0, np.int64),
+                             "dst": np.empty(0, np.int64)})
+    key = simhash_combo_key_band(h, threshold, band).view(np.int64)
+    cand = pd.DataFrame({
+        "band_id": np.full(len(d), band, dtype=np.int32),
+        "band_val": key, "doc_id": d, "simhash": h})
     return _edges_from_candidates(cand, threshold)
 
 
@@ -260,7 +354,8 @@ def _edges_from_candidates(cand: pd.DataFrame, threshold: int) -> pd.DataFrame:
     s = np.concatenate(src)
     t = np.concatenate(dst)
     if not len(s):
-        return pd.DataFrame({"src": [], "dst": []})
+        return pd.DataFrame({"src": np.empty(0, np.int64),
+                              "dst": np.empty(0, np.int64)})
     return pd.DataFrame({"src": s, "dst": t}).drop_duplicates() \
         .reset_index(drop=True)
 
@@ -456,7 +551,8 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     def edges_of_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"src": [], "dst": []})
+            return pd.DataFrame({"src": np.empty(0, np.int64),
+                              "dst": np.empty(0, np.int64)})
         g = g.sort_values("id")
         return minhash_bucket_edges(g["id"].to_numpy(),
                                     np.stack(g["sig"].to_numpy()),

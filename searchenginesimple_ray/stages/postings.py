@@ -5,6 +5,10 @@ process (`include/Page/Page.hpp:295-321`), TF·IDF weighted
 (``IDF = log2(N / (DF+1))``, `Page.hpp:313-321`) and L2-normalized per
 doc (`Page.hpp:323-333`).  The Ray-Data-native layout (north star):
 
+- shuffle rows are INT-ONLY: terms are encoded to int32 vocabulary ids
+  (rank in the df table) before the exchange, and the term string /
+  df are gathered back from broadcast arrays on the group side —
+  no strings and no per-row df cross the wire;
 - shuffle key: ``(term, doc_shard, salt)`` where
   ``doc_shard = doc_id % D`` — the secondary doc partition makes
   conjunctive intersection (A8) shard-local at query time, and is
@@ -60,39 +64,149 @@ def term_document_frequencies(doc_terms: ray.data.Dataset) -> pd.DataFrame:
     return pdf.rename(columns={col: "df"}).sort_values("term").reset_index(drop=True)
 
 
-class StampShards:
-    """Add term_shard / doc_shard / salt / df columns.
+def term_df_from_prepped(prepped: ray.data.Dataset,
+                         combine_partitions: int = 32) -> pd.DataFrame:
+    """Global DF straight from the per-doc term LISTS (no exploded
+    intermediate): a doc's list holds each term once, so flattening the
+    list column and Arrow-native ``value_counts`` per batch IS the
+    partial df — C++ hash counting instead of ``np.unique`` over a
+    Python-object string array, and only the ``terms`` column is read.
 
-    Hot-term map and global-DF map are fetched from the object store
-    once per actor (broadcast via ``ray.put``), never per batch/task.
+    Aggregation is a TREE: per-batch partials -> ``combine_partitions``
+    arrow-native combines -> one driver merge over at most
+    ``combine_partitions x vocab`` rows.  A full Ray ``groupby(term)``
+    hash-shuffle on the partials measured 10.6 s where this takes ~0.2 s
+    at 600k docs / 5k vocab; the driver merge is vocab-bounded, the same
+    bound the df broadcast already assumes (per-term-shard df service is
+    the documented beyond-vocab-bound scale path)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch["terms"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col.flatten())
+        return pa.table({"term": vc.field("values"),
+                         "partial_df": pc.cast(vc.field("counts"), "int64")})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("term").aggregate([("partial_df", "sum")])
+        return agg.rename_columns(
+            ["partial_df" if c == "partial_df_sum" else c
+             for c in agg.column_names])
+
+    parts = prepped.select_columns(["terms"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .repartition(combine_partitions) \
+        .map_batches(combine, batch_format="pyarrow")
+    pdf = parts.to_pandas()
+    out = pdf.groupby("term", sort=True)["partial_df"].sum().reset_index()
+    out.columns = ["term", "df"]
+    return out
+
+
+def doc_stats_from_prepped(prepped: ray.data.Dataset, df_map: dict[str, int],
+                           n_docs: int,
+                           num_doc_shards: int = 8) -> ray.data.Dataset:
+    """doc_stats WITHOUT a shuffle: every doc's terms live in ONE list
+    row, so the G4 norm is a per-row reduction (``np.add.reduceat`` at
+    the list offsets) — the explode + ``groupby(doc_id)`` re-aggregation
+    the exploded layout forced was pure exchange overhead.
+    """
+    assert n_docs > 0, "doc_stats called with n_docs=0"
+    df_ref = ray.put(df_map)
+    n_docs_f = float(n_docs)
+    _cache: dict = {}
+
+    def stats_batch(batch: pa.Table, ref=None) -> pa.Table:
+        key = ref.hex()
+        state = _cache.get(key)
+        if state is None:
+            state = {"df": ray.get(ref), "idf": {}}
+            _cache.clear()
+            _cache[key] = state
+        df, idf_cache = state["df"], state["idf"]
+        terms = batch["terms"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        tfs = batch["tfs"]
+        if isinstance(tfs, pa.ChunkedArray):
+            tfs = tfs.combine_chunks()
+        import pyarrow.compute as pc
+        flat = terms.flatten()
+        denc = flat.dictionary_encode()
+        uniq = denc.dictionary.to_pylist()
+        idf_u = np.empty(len(uniq))
+        for i, t in enumerate(uniq):
+            v = idf_cache.get(t)
+            if v is None:
+                v = np.log2(n_docs_f / (df.get(t, 0) + 1.0))
+                idf_cache[t] = v
+            idf_u[i] = v
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        tf_flat = tfs.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        w2 = (idf_u[idx] * tf_flat) ** 2
+        lens = pc.list_value_length(terms).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        nz = lens > 0
+        sums = np.zeros(len(lens))
+        if nz.any():
+            sums[nz] = np.add.reduceat(w2, offsets[nz]) if w2.size else 0.0
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = nz   # docs with zero kept terms have no stats row
+        return pa.table({
+            "doc_id": pa.array(doc_id[keep], pa.int64()),
+            "doc_shard": pa.array(
+                (doc_id[keep] % num_doc_shards).astype(np.int32)),
+            "doc_len": pa.array(
+                batch["doc_len"].to_numpy(zero_copy_only=False)[keep]
+                .astype(np.int32), pa.int32()),
+            "ref_norm": pa.array(np.sqrt(sums[keep]), pa.float64()),
+        })
+
+    return prepped.select_columns(["doc_id", "doc_len", "terms", "tfs"]) \
+        .map_batches(stats_batch, fn_kwargs={"ref": df_ref},
+                     batch_format="pyarrow")
+
+
+class StampShards:
+    """term string -> int32 ``tid`` + term_shard / doc_shard / salt.
+
+    The vocabulary tables (term -> id, per-id term_shard and salt
+    counts) are fetched from the object store once per worker
+    (broadcast via ``ray.put``), never per batch.  Only INT columns
+    enter the shuffle — ``(tid, doc_id, tf, shards, salt)`` is 24 B/row
+    vs ~44 B with the term string and per-row df, and the exchange
+    hash/sort runs on int32 keys instead of strings.
     """
 
-    def __init__(self, hot_ref, df_ref, num_term_shards: int,
-                 num_doc_shards: int):
-        self.hot = ray.get(hot_ref) if not isinstance(hot_ref, dict) else hot_ref
-        self.df = ray.get(df_ref) if not isinstance(df_ref, dict) else df_ref
-        self.S = num_term_shards
+    def __init__(self, vocab_ref, num_doc_shards: int):
+        v = ray.get(vocab_ref) if not isinstance(vocab_ref, tuple) else vocab_ref
+        self.id_map, self.tshard_arr, self.nsalt_arr = v
         self.D = num_doc_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_numpy(zero_copy_only=False)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        tshard = fnv1a32_array(terms, self.S)
-        dshard = (doc_ids % self.D).astype(np.int32)
-        salt = np.zeros(len(terms), dtype=np.int32)
         uniq, inv = np.unique(terms, return_inverse=True)
-        dfs = np.array([self.df.get(u, 1) for u in uniq], dtype=np.int64)[inv]
-        if self.hot:
-            nsalts = np.array([self.hot.get(u, 1) for u in uniq], dtype=np.int64)
-            hot_rows = nsalts[inv] > 1
-            if hot_rows.any():
-                salt[hot_rows] = ((doc_ids[hot_rows] // self.D)
-                                  % nsalts[inv][hot_rows]).astype(np.int32)
-        return (batch
-                .append_column("term_shard", pa.array(tshard, pa.int32()))
-                .append_column("doc_shard", pa.array(dshard, pa.int32()))
-                .append_column("salt", pa.array(salt, pa.int32()))
-                .append_column("df", pa.array(dfs, pa.int64())))
+        id_map = self.id_map
+        uids = np.fromiter((id_map[u] for u in uniq), np.int64, len(uniq))
+        tid = uids[inv]
+        dshard = (doc_ids % self.D).astype(np.int32)
+        nsalts = self.nsalt_arr[tid]
+        salt = np.where(nsalts > 1,
+                        (doc_ids // self.D) % np.maximum(nsalts, 1),
+                        0).astype(np.int32)
+        return pa.table({
+            "tid": pa.array(tid.astype(np.int32), pa.int32()),
+            "doc_id": batch["doc_id"],
+            "tf": batch["tf"],
+            "term_shard": pa.array(self.tshard_arr[tid], pa.int32()),
+            "doc_shard": pa.array(dshard, pa.int32()),
+            "salt": pa.array(salt, pa.int32()),
+        })
 
 
 def build_postings(doc_terms: ray.data.Dataset,
@@ -100,60 +214,127 @@ def build_postings(doc_terms: ray.data.Dataset,
                    num_term_shards: int = 10,
                    num_doc_shards: int = 8,
                    hot_term_df_threshold: int = 250_000,
-                   posting_block_size: int = 128) -> ray.data.Dataset:
-    """doc_terms(doc_id, term, tf, doc_len) -> postings dataset."""
-    hot = {t: int(np.ceil(df / num_doc_shards / hot_term_df_threshold))
-           for t, df in df_map.items()
-           if df / num_doc_shards > hot_term_df_threshold}
-    hot_ref = ray.put(hot)
-    df_ref = ray.put(df_map)
+                   posting_block_size: int = 128,
+                   prepped: bool = False) -> ray.data.Dataset:
+    """doc_terms(doc_id, term, tf, doc_len) -> postings dataset.
+    With ``prepped=True`` the input is the PREPPED list layout
+    (doc_id, terms: list<str>, tfs: list<int32>) and the explode fuses
+    into the stamp stage.
+
+    Vocabulary encoding: terms are int32-id-encoded BEFORE the shuffle
+    (ids = lexicographic rank in the already-computed df table, the
+    same order ``build_dict`` uses); per-id df / term string / salt
+    count live in broadcast numpy arrays gathered back on the group
+    side, so the exchange carries no strings and no per-row df.
+    """
+    vocab = np.array(sorted(df_map), dtype=object)
+    df_arr = np.fromiter((df_map[t] for t in vocab), np.int64, len(vocab))
+    nsalt_arr = np.maximum(
+        np.ceil(df_arr / num_doc_shards / hot_term_df_threshold)
+        .astype(np.int64), 1)
+    tshard_arr = fnv1a32_array(vocab, num_term_shards) if len(vocab) \
+        else np.empty(0, np.int32)
+    id_map = {t: i for i, t in enumerate(vocab)}
+    stamp_ref = ray.put((id_map, tshard_arr, nsalt_arr))
+    group_ref = ray.put((vocab, df_arr))
 
     _stamp_cache: dict = {}
 
-    def stamp(batch: pa.Table, refs=None) -> pa.Table:
-        # per-worker memo of the broadcast hot/df maps (task-based: no
+    def stamp(batch: pa.Table, ref=None) -> pa.Table:
+        # per-worker memo of the broadcast vocab tables (task-based: no
         # per-job actor spawn; workers persist across jobs)
-        key = tuple(r.hex() for r in refs)
+        key = ref.hex()
         st = _stamp_cache.get(key)
         if st is None:
-            st = StampShards(refs[0], refs[1], num_term_shards,
-                             num_doc_shards)
+            st = StampShards(ref, num_doc_shards)
             _stamp_cache.clear()
             _stamp_cache[key] = st
         return st(batch)
 
-    stamped = doc_terms.map_batches(
-        stamp, fn_kwargs={"refs": (hot_ref, df_ref)},
-        batch_format="pyarrow")
+    if prepped:
+        # PREPPED list layout: fuse explode + stamp in one batch fn —
+        # the flat term column is dictionary-encoded by Arrow (C++) and
+        # only the per-batch UNIQUE terms touch the Python id_map
+        def stamp_lists(batch: pa.Table, ref=None) -> pa.Table:
+            import pyarrow.compute as pc
+            key = ref.hex()
+            st = _stamp_cache.get(key)
+            if st is None:
+                st = ray.get(ref)
+                _stamp_cache.clear()
+                _stamp_cache[key] = st
+            id_map_w, tshard_w, nsalt_w = st
+            terms = batch["terms"]
+            if isinstance(terms, pa.ChunkedArray):
+                terms = terms.combine_chunks()
+            tfs = batch["tfs"]
+            if isinstance(tfs, pa.ChunkedArray):
+                tfs = tfs.combine_chunks()
+            lens = pc.list_value_length(terms) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_ids = np.repeat(
+                batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+            denc = terms.flatten().dictionary_encode()
+            uniq = denc.dictionary.to_pylist()
+            uids = np.fromiter((id_map_w[u] for u in uniq), np.int64,
+                               len(uniq))
+            tid = uids[denc.indices.to_numpy(zero_copy_only=False)]
+            nsalts = nsalt_w[tid]
+            salt = np.where(nsalts > 1,
+                            (doc_ids // num_doc_shards)
+                            % np.maximum(nsalts, 1), 0).astype(np.int32)
+            return pa.table({
+                "tid": pa.array(tid.astype(np.int32), pa.int32()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tf": tfs.flatten(),
+                "term_shard": pa.array(tshard_w[tid], pa.int32()),
+                "doc_shard": pa.array(
+                    (doc_ids % num_doc_shards).astype(np.int32)),
+                "salt": pa.array(salt, pa.int32()),
+            })
 
-    def build_group(g: pd.DataFrame) -> pd.DataFrame:
+        stamped = doc_terms.select_columns(["doc_id", "terms", "tfs"]) \
+            .map_batches(stamp_lists, fn_kwargs={"ref": stamp_ref},
+                         batch_format="pyarrow")
+    else:
+        stamped = doc_terms.select_columns(["doc_id", "term", "tf"]) \
+            .map_batches(stamp, fn_kwargs={"ref": stamp_ref},
+                         batch_format="pyarrow")
+
+    _group_cache: dict = {}
+
+    def build_group(g: pd.DataFrame, ref=None) -> pd.DataFrame:
         # ONE coarse (term_shard, doc_shard) group carries ALL its terms:
         # a per-(term,salt) map_groups would make one pandas call per
         # vocabulary entry — the Ray-side shuffle stays identical but the
-        # per-group work is a single lexsort + run-detection here
-        terms = g["term"].to_numpy()
+        # per-group work is a single int lexsort + run-detection here
+        key = ref.hex()
+        vt = _group_cache.get(key)
+        if vt is None:
+            vt = ray.get(ref)
+            _group_cache.clear()
+            _group_cache[key] = vt
+        vocab_arr, dfs_arr = vt
+        tids = g["tid"].to_numpy()
         doc_ids = g["doc_id"].to_numpy().astype(np.int64)
         tfs = g["tf"].to_numpy().astype(np.uint64)
         salts = g["salt"].to_numpy()
-        dfs_col = g["df"].to_numpy()
-        order = np.lexsort((doc_ids, salts, terms))
-        t_s = terms[order]
+        order = np.lexsort((doc_ids, salts, tids))
+        t_s = tids[order]
         s_s = salts[order]
         d_s = doc_ids[order].astype(np.uint64)
         tf_s = tfs[order]
-        df_s = dfs_col[order]
         change = np.flatnonzero(
             (t_s[1:] != t_s[:-1]) | (s_s[1:] != s_s[:-1])) + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [len(t_s)]])
-        out_term, out_salt, out_df, out_n = [], [], [], []
+        out_tid, out_salt, out_n = [], [], []
         out_dvb, out_tvb, out_bl, out_bm = [], [], [], []
         for a, b in zip(starts, ends):
             dvb, tvb, block_last, block_max = encode_postings(
                 d_s[a:b], tf_s[a:b], posting_block_size)
-            out_term.append(t_s[a])
+            out_tid.append(t_s[a])
             out_salt.append(s_s[a])
-            out_df.append(df_s[a])
             out_n.append(b - a)
             out_dvb.append(dvb)
             out_tvb.append(tvb)
@@ -161,13 +342,14 @@ def build_postings(doc_terms: ray.data.Dataset,
             # schema metadata round-trippable
             out_bl.append(np.asarray(block_last).tolist())
             out_bm.append(np.asarray(block_max).tolist())
-        n = len(out_term)
+        n = len(out_tid)
+        tid_arr = np.asarray(out_tid, dtype=np.int64)
         return pd.DataFrame({
-            "term": out_term,
+            "term": vocab_arr[tid_arr],
             "term_shard": np.full(n, g["term_shard"].iloc[0], dtype=np.int32),
             "doc_shard": np.full(n, g["doc_shard"].iloc[0], dtype=np.int32),
             "salt": np.asarray(out_salt, dtype=np.int32),
-            "df": np.asarray(out_df, dtype=np.int64),
+            "df": dfs_arr[tid_arr],
             "n_local": np.asarray(out_n, dtype=np.int32),
             "doc_ids_vb": out_dvb,
             "tfs_vb": out_tvb,
@@ -176,7 +358,7 @@ def build_postings(doc_terms: ray.data.Dataset,
         })
 
     return stamped.groupby(["term_shard", "doc_shard"]).map_groups(
-        build_group, batch_format="pandas")
+        build_group, fn_kwargs={"ref": group_ref}, batch_format="pandas")
 
 
 def doc_stats(doc_terms: ray.data.Dataset, df_map: dict[str, int],

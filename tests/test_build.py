@@ -135,6 +135,35 @@ class TestPostings:
                 assert (ids % D == shard).all()
 
 
+class TestDedupPathParity:
+    def test_all_three_candidate_paths_agree(self, built):
+        """driver lexsort, band-parallel tasks and distributed groupby
+        must produce the same verified edge set."""
+        import glob as g
+
+        import ray.data
+        from searchenginesimple_ray.stages.dedup import \
+            simhash_near_dup_edges
+        files = sorted(f for f in g.glob(
+            f"{built['dir']}/docs_raw/**/*.parquet", recursive=True)
+            if ".tmp-" not in f)
+
+        def edges(**kw):
+            ds = ray.data.read_parquet(files,
+                                       columns=["doc_id", "simhash"])
+            df = simhash_near_dup_edges(ds, threshold=3, **kw)
+            return {(min(int(r.src), int(r.dst)),
+                     max(int(r.src), int(r.dst)))
+                    for r in df.itertuples()}
+
+        e_driver = edges()
+        e_band = edges(driver_limit=0)
+        e_dist = edges(driver_limit=0, band_task_limit=0)
+        assert e_band == e_driver
+        assert e_dist == e_driver
+        assert len(e_driver) > 0   # t1 corpus plants near-dups
+
+
 class TestHotTermSalting:
     """Exercise the hot-term skew-split path end-to-end: with a tiny
     ``hot_term_df_threshold`` real terms salt into multiple posting

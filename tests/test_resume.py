@@ -61,13 +61,13 @@ class TestResume:
         its downstream stages — sibling buckets are not re-tokenized."""
         from searchenginesimple_ray.pipelines.index_build import build_index
         from searchenginesimple_ray.sources.transcripts import transcripts_files
-        victim = os.path.join(t1_index["dir"], "doc_terms", "bucket=1",
+        victim = os.path.join(t1_index["dir"], "docs", "bucket=1",
                               "_lineage.json")
         os.remove(victim)
         res = build_index(transcripts_files(t1_index["corpus"]),
                           t1_index["dir"], t1_index["cfg"])
-        assert "doc_terms/bucket=1" in res.stages_run
-        assert "doc_terms/bucket=0" in res.stages_skipped
+        assert "docs/bucket=1" in res.stages_run
+        assert "docs/bucket=0" in res.stages_skipped
         assert "docs_raw/bucket=0" in res.stages_skipped
         assert "docs_raw/bucket=1" in res.stages_skipped  # no re-tokenize
 

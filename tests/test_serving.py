@@ -40,9 +40,9 @@ class TestSuggesterActorCache:
 
         from searchenginesimple_ray.pipelines.suggest import (
             SuggesterActor, build_char_index, build_dict, write_dict_index)
-        dt = ray.data.read_parquet(sorted(glob.glob(
-            f"{t1_index['dir']}/doc_terms/**/*.parquet", recursive=True)))
-        d = build_dict(dt)
+        from searchenginesimple_ray.pipelines.index_build import \
+            index_doc_terms
+        d = build_dict(index_doc_terms(t1_index["dir"]))
         write_dict_index(str(tmp_path), d, build_char_index(d))
         actor = SuggesterActor.options(num_cpus=0.5).remote(str(tmp_path))
         try:

@@ -46,12 +46,8 @@ class TestLevenshtein:
 
 @pytest.fixture(scope="module")
 def suggester(ray_session, t1_index):
-    import glob
-
-    import ray.data
-    dt = ray.data.read_parquet(sorted(glob.glob(
-        f"{t1_index['dir']}/doc_terms/**/*.parquet", recursive=True)))
-    d = build_dict(dt)
+    from searchenginesimple_ray.pipelines.index_build import index_doc_terms
+    d = build_dict(index_doc_terms(t1_index["dir"]))
     return Suggester(d, build_char_index(d)), d
 
 
