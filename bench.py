@@ -10,9 +10,10 @@ Runs the headline pipelines and prints ONE JSON line::
   Headline = index build over the deterministic synthetic transcript
   corpus sized to the sf (FIXTURES.md bench scale) + the 100-query BM25
   set; the training-data ops run over the sf tables.
-- ``--scaling``: runs the headline index build twice in FRESH processes
-  at N and 4N CPUs (default 2 and 8; RAY_GRAFT_SCALE_N overrides) on
-  the SAME corpus and reports both throughputs + scaling efficiency =
+- ``--scaling``: runs the headline index build in FRESH processes at
+  N and 4N CPUs (default 1 and 4; RAY_GRAFT_SCALE_N overrides),
+  best-of-RAY_GRAFT_SCALE_TRIALS interleaved trials per level on the
+  SAME corpus, and reports both throughputs + scaling efficiency =
   throughput@4N / (4 * throughput@N)  (BASELINE.md protocol — the
   sandbox substitute for N vs 4N nodes; see scaling_main for why the
   low-CPU pair is the meaningful one on a single box).
@@ -189,7 +190,12 @@ def scaling_main():
     # regime this sandbox can emulate that in is one where bandwidth is
     # not the binding constraint, i.e. the low-CPU pair.  Both pairs
     # are recorded in BASELINE.md.
-    base_n = int(os.environ.get("RAY_GRAFT_SCALE_N", "4"))
+    # default pair 1 -> 4 CPUs: the only regime this box can express
+    # 4x more compute in — at the low level work dominates fixed
+    # latency (W/1 >> F), and 4 CPUs is far below the box's DRAM
+    # bandwidth ceiling (16+ CPU builds measure the memory system, not
+    # the pipeline; see BASELINE.md).  Override with RAY_GRAFT_SCALE_N.
+    base_n = int(os.environ.get("RAY_GRAFT_SCALE_N", "1"))
     # this VM sees heavy, bursty host-level steal (load average > 7
     # while "idle"; identical runs vary 2x) — run each parallelism
     # level several times INTERLEAVED and score the BEST per level,

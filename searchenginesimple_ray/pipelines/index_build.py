@@ -8,7 +8,7 @@ stages.  Layout under ``out_dir``::
     conv_bases/bases.json            global docid bases (A5)
     docs_raw/bucket=K/*.parquet      prep + simhash + term lists, per bucket
     dedup/{drop_ids,clusters}.parquet  near-dup verdicts (A3/A4)
-    docs/bucket=K/*.parquet          deduped doc store (S5 analogue)
+    docs/*.parquet                   deduped doc store (S5 analogue)
     term_df/*.parquet                global DF (G2)
     doc_stats/*.parquet              doc_len + ref L2 norm (G4), by doc_shard
     postings/doc_shard=D/*.parquet   compressed postings (A6), by doc shard
@@ -235,7 +235,11 @@ def build_index(input_files: list[str], out_dir: str,
     # concurrent bucket jobs sized to the cluster: enough to overlap
     # per-job fixed latency, few enough not to thrash a small cluster
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    job_threads = max(1, min(8, len(buckets), ncpu // 2))
+    # floor of 2: even on a tiny cluster one job's fixed startup
+    # (planning, worker handshake) overlaps the other's compute; prep
+    # jobs are task-based so excess jobs just queue, they can't
+    # deadlock the CPU pool the way actor pools could
+    job_threads = max(2, min(8, len(buckets), ncpu // 2))
 
     def prep_bucket(k_files):
         k, bucket_files = k_files
@@ -314,28 +318,28 @@ def build_index(input_files: list[str], out_dir: str,
         return ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
                               batch_format="pyarrow")
 
-    # ---- stage 3: doc store buckets CONCURRENT with term_df ------------
+    # ---- stage 3: doc store CONCURRENT with term_df --------------------
     # the doc store (S5) depends only on dedup; term_df reads docs_raw
-    # directly — the two no longer serialize behind a doc_terms stage
-    docs_dir_of = lambda k: os.path.join(out_dir, "docs", f"bucket={k}")
+    # directly.  ONE job for the whole store: per-bucket doc-store jobs
+    # paid ~8x Ray job startup latency for trivial filter+rewrite work
+    # (resume granularity stays per-bucket where it matters — the
+    # expensive tokenize stage docs_raw — while the cheap store is
+    # recomputed whole on a resume miss).
+    docs_dir = os.path.join(out_dir, "docs")
+    all_raw_deps = [f"docs_raw/bucket={k}" for k in range(len(buckets))]
 
-    def docs_bucket(k):
-        def mk_docs(tmp):
-            ds = _read_parquet(
-                _pq_files(os.path.join(out_dir, "docs_raw", f"bucket={k}")),
-                columns=["conv_id", "turn_idx", "text", "doc_id",
-                         "simhash", "text_len"])
-            ds = ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
-                                batch_format="pyarrow")
-            ds.write_parquet(tmp)
-            return _count_rows(tmp), {}
-
-        return k, run_or_skip("docs", f"bucket={k}", docs_dir_of(k), mk_docs,
-                              deps=[f"docs_raw/bucket={k}", "dedup/global"])
+    def mk_docs(tmp):
+        ds = _read_parquet(
+            _pq_files(os.path.join(out_dir, "docs_raw")),
+            columns=["conv_id", "turn_idx", "text", "doc_id",
+                     "simhash", "text_len"])
+        ds = ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                            batch_format="pyarrow")
+        ds.write_parquet(tmp)
+        return _count_rows(tmp), {}
 
     df_dir = os.path.join(out_dir, "term_df")
-    df_deps = [f"docs_raw/bucket={k}" for k in range(len(buckets))] \
-        + ["dedup/global"]
+    df_deps = all_raw_deps + ["dedup/global"]
 
     def mk_df(tmp):
         df_pdf = term_df_from_prepped(prepped_ds())
@@ -343,17 +347,16 @@ def build_index(input_files: list[str], out_dir: str,
                        os.path.join(tmp, "term_df.parquet"))
         return len(df_pdf), {}
 
-    with ThreadPoolExecutor(job_threads + 1) as pool:
-        fut_docs = [pool.submit(docs_bucket, k) for k in range(len(buckets))]
+    with ThreadPoolExecutor(2) as pool:
+        fut_docs = pool.submit(run_or_skip, "docs", "global", docs_dir,
+                               mk_docs, df_deps)
         fut_df = pool.submit(run_or_skip, "term_df", "global", df_dir,
                              mk_df, df_deps)
-        for f in fut_docs:
-            k, m_docs = f.result()
-            res.metrics[f"docs/bucket={k}"] = m_docs["row_count"]
+        m_docs = fut_docs.result()
         m = fut_df.result()
+    res.metrics["docs/rows"] = m_docs["row_count"]
 
-    res.n_docs = sum(res.metrics[f"docs/bucket={k}"]
-                     for k in range(len(buckets)))
+    res.n_docs = m_docs["row_count"]
     res.n_terms = m["row_count"]
     df_pdf = pq.read_table(os.path.join(df_dir, "term_df.parquet")).to_pandas()
     df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))

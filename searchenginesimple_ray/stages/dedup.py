@@ -500,6 +500,22 @@ class MinhashStage:
         })
 
 
+_MH_CACHE: dict = {}
+
+
+def _minhash_batch(batch: pa.Table, num_perm, num_bands, shingle_k,
+                   seed) -> pa.Table:
+    """Task-based MinhashStage with a per-worker memo — no actor-pool
+    spawn latency per job (workers persist across jobs)."""
+    key = (num_perm, num_bands, shingle_k, seed)
+    st = _MH_CACHE.get(key)
+    if st is None:
+        st = MinhashStage(num_perm, num_bands, shingle_k, seed)
+        _MH_CACHE.clear()
+        _MH_CACHE[key] = st
+    return st(batch)
+
+
 def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                       num_perm: int = 64, num_bands: int = 16,
                       jaccard_threshold: float = 0.8,
@@ -509,36 +525,43 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
     import pyarrow.compute as pc
 
     sel = ds.select_columns([id_col, text_col])
-    exploded = sel.map_batches(MinhashStage, batch_format="pyarrow",
-                               fn_constructor_kwargs={"num_perm": num_perm,
-                                                      "num_bands": num_bands},
-                               concurrency=concurrency)
+    exploded = sel.map_batches(
+        _minhash_batch,
+        fn_kwargs={"num_perm": num_perm, "num_bands": num_bands,
+                   "shingle_k": 5, "seed": 7},
+        batch_format="pyarrow")
     exploded = exploded.materialize()   # consumed twice (counts + filter)
 
-    # native count-aggregate -> broadcast hot band keys -> vectorized
-    # filter (same shape as simhash_near_dup_edges; avoids one Python
-    # call per mostly-singleton bucket)
-    counts = exploded.select_columns(["band_id", "band_key"]) \
-        .groupby(["band_id", "band_key"]).count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)),
-        batch_format="pyarrow").to_pandas()
-    if not len(hot):
-        return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
-                             "rep_id": pd.Series([], dtype=np.int64)})
-    hot_by_band = {int(b): np.sort(g["band_key"].to_numpy().astype(np.int64))
-                   for b, g in hot.groupby("band_id")}
-    hot_ref = ray.put(hot_by_band)
+    if exploded.count() <= 5_000_000:
+        # bounded fast path: the vectorized verify below skips
+        # singleton runs for free, so just pull the band rows — the
+        # count-aggregate + filter jobs only pay off when the exploded
+        # table outgrows the driver
+        cand = exploded.to_pandas()
+    else:
+        # native count-aggregate -> broadcast hot band keys ->
+        # vectorized filter (same shape as simhash_near_dup_edges;
+        # avoids one Python call per mostly-singleton bucket)
+        counts = exploded.select_columns(["band_id", "band_key"]) \
+            .groupby(["band_id", "band_key"]).count()
+        hot = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], 1)),
+            batch_format="pyarrow").to_pandas()
+        if not len(hot):
+            return pd.DataFrame({"id": pd.Series([], dtype=np.int64),
+                                 "rep_id": pd.Series([], dtype=np.int64)})
+        hot_by_band = {int(b): np.sort(g["band_key"].to_numpy()
+                                       .astype(np.int64))
+                       for b, g in hot.groupby("band_id")}
+        hot_ref = ray.put(hot_by_band)
 
-    class FilterHot:
-        def __init__(self):
-            self.hot = ray.get(hot_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
+        def filter_hot(t: pa.Table, ref=None) -> pa.Table:
+            hot_w = ray.get(ref)
             bid = t["band_id"].to_numpy(zero_copy_only=False)
-            bkey = t["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bkey = t["band_key"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             keep = np.zeros(len(bid), dtype=bool)
-            for b, vals in self.hot.items():
+            for b, vals in hot_w.items():
                 m = bid == b
                 if m.any() and len(vals):
                     pos = np.clip(np.searchsorted(vals, bkey[m]), 0,
@@ -546,26 +569,70 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                     keep[m] = vals[pos] == bkey[m]
             return t.filter(pa.array(keep))
 
-    cand = exploded.map_batches(FilterHot, batch_format="pyarrow",
-                                concurrency=concurrency).to_pandas()
+        cand = exploded.map_batches(filter_hot, fn_kwargs={"ref": hot_ref},
+                                    batch_format="pyarrow").to_pandas()
 
-    def edges_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"src": np.empty(0, np.int64),
-                              "dst": np.empty(0, np.int64)})
-        g = g.sort_values("id")
-        return minhash_bucket_edges(g["id"].to_numpy(),
-                                    np.stack(g["sig"].to_numpy()),
-                                    jaccard_threshold)
-
-    edges = cand.groupby(["band_id", "band_key"], sort=False,
-                         group_keys=False)[["id", "sig"]] \
-        .apply(edges_of_group) \
-        if len(cand) else pd.DataFrame({"src": [], "dst": []})
-    rep = components_min_rep(edges.drop_duplicates()) if len(edges) else {}
+    # verify ALL buckets in one vectorized pass: sort by bucket, build
+    # every within-run pair's (i, j) index arrays grouped by run size,
+    # then one (n_pairs, num_perm) signature-equality reduction — a
+    # per-bucket pandas apply paid ~1 ms x thousands of hot buckets
+    rep: dict = {}
+    if len(cand):
+        cand = cand.sort_values(["band_id", "band_key", "id"]) \
+            .reset_index(drop=True)
+        sigs = np.stack(cand["sig"].to_numpy())
+        bid = cand["band_id"].to_numpy()
+        bkey = cand["band_key"].to_numpy()
+        ids = cand["id"].to_numpy().astype(np.int64)
+        same = (bid[1:] == bid[:-1]) & (bkey[1:] == bkey[:-1])
+        run_id = np.concatenate([[0], np.cumsum(~same)])
+        sizes = np.bincount(run_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        sel_r = sizes >= 2
+        sz_a, st_a = sizes[sel_r].astype(np.int64), starts[sel_r]
+        pi_parts, pj_parts = [], []
+        order2 = np.argsort(sz_a, kind="stable")
+        sz_s, st_s = sz_a[order2], st_a[order2]
+        cuts = np.concatenate([[0], np.flatnonzero(np.diff(sz_s)) + 1,
+                               [len(sz_s)]])
+        W = 8
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            sz = int(sz_s[a])
+            sts = st_s[a:b]
+            if sz <= _MAX_PAIRWISE:
+                ii, jj = np.triu_indices(sz, k=1)
+            else:   # degenerate bucket: windowed neighbours (logged)
+                import logging
+                logging.getLogger(__name__).warning(
+                    "minhash bucket run of %d exceeds pairwise cap %d: "
+                    "windowed verify", sz, _MAX_PAIRWISE)
+                ii = np.concatenate([np.arange(sz - w)
+                                     for w in range(1, min(W, sz - 1) + 1)])
+                jj = np.concatenate([np.arange(w, sz)
+                                     for w in range(1, min(W, sz - 1) + 1)])
+            pi_parts.append((sts[:, None] + ii[None, :]).ravel())
+            pj_parts.append((sts[:, None] + jj[None, :]).ravel())
+        if pi_parts:
+            pi = np.concatenate(pi_parts)
+            pj = np.concatenate(pj_parts)
+            # dedupe doc pairs across bands BEFORE the signature compare
+            a_id, b_id = ids[pi], ids[pj]
+            lo = np.minimum(a_id, b_id)
+            hi = np.maximum(a_id, b_id)
+            po = np.lexsort((hi, lo))
+            keep = np.concatenate([[True], (lo[po][1:] != lo[po][:-1])
+                                   | (hi[po][1:] != hi[po][:-1])])
+            pi, pj = pi[po[keep]], pj[po[keep]]
+            est = (sigs[pi] == sigs[pj]).mean(axis=1)
+            hit = est >= jaccard_threshold
+            edges = pd.DataFrame({
+                "src": np.minimum(ids[pi[hit]], ids[pj[hit]]),
+                "dst": np.maximum(ids[pi[hit]], ids[pj[hit]])})
+            rep = components_min_rep(edges) if len(edges) else {}
     rows = sorted((d, r) for d, r in rep.items())
-    return pd.DataFrame({"id": [r[0] for r in rows],
-                         "rep_id": [r[1] for r in rows]})
+    return pd.DataFrame({"id": np.asarray([r[0] for r in rows], np.int64),
+                         "rep_id": np.asarray([r[1] for r in rows],
+                                              np.int64)})
 
 
 # ------------------------------------------------- n-gram Jaccard (generic)

@@ -48,22 +48,6 @@ from ..functions.hashing import fnv1a32_array
 from ..functions.varbyte import encode_postings
 
 
-def term_document_frequencies(doc_terms: ray.data.Dataset) -> pd.DataFrame:
-    """Global DF per term (G2) via partial per-batch counts."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        terms = batch["term"].to_numpy(zero_copy_only=False)
-        uniq, counts = np.unique(terms, return_counts=True)
-        return pa.table({"term": pa.array(uniq, pa.string()),
-                         "partial_df": pa.array(counts.astype(np.int64))})
-
-    agg = doc_terms.select_columns(["term"]).map_batches(
-        partial, batch_format="pyarrow").groupby("term").sum("partial_df")
-    pdf = agg.to_pandas()
-    col = [c for c in pdf.columns if c != "term"][0]
-    return pdf.rename(columns={col: "df"}).sort_values("term").reset_index(drop=True)
-
-
 def term_df_from_prepped(prepped: ray.data.Dataset,
                          combine_partitions: int = 32) -> pd.DataFrame:
     """Global DF straight from the per-doc term LISTS (no exploded
@@ -359,63 +343,3 @@ def build_postings(doc_terms: ray.data.Dataset,
 
     return stamped.groupby(["term_shard", "doc_shard"]).map_groups(
         build_group, fn_kwargs={"ref": group_ref}, batch_format="pandas")
-
-
-def doc_stats(doc_terms: ray.data.Dataset, df_map: dict[str, int],
-              n_docs: int, num_doc_shards: int = 8) -> ray.data.Dataset:
-    """doc_stats(doc_id, doc_shard, doc_len, ref_norm).
-
-    ``ref_norm`` is the reference's per-doc L2 norm over TF·IDF weights
-    (`Page.hpp:323-333`): sqrt(sum_t (log2(N/(df_t+1)) * tf_td)^2).
-    Computed with per-batch partial sums (broadcast df map) + a small
-    groupby(doc_id) combine — no full-text shuffle.
-    """
-    assert n_docs > 0, "doc_stats called with n_docs=0"
-    df_ref = ray.put(df_map)
-    n_docs_f = float(n_docs)
-
-    class PartialNorm:
-        def __init__(self):
-            self.df = ray.get(df_ref)
-            self.idf_cache: dict[str, float] = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            terms = batch["term"].to_numpy(zero_copy_only=False)
-            tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            doc_lens = batch["doc_len"].to_numpy(zero_copy_only=False)
-            uniq, inv = np.unique(terms, return_inverse=True)
-            idf = np.empty(len(uniq))
-            for i, t in enumerate(uniq):
-                v = self.idf_cache.get(t)
-                if v is None:
-                    v = np.log2(n_docs_f / (self.df.get(t, 0) + 1.0))
-                    self.idf_cache[t] = v
-                idf[i] = v
-            w2 = (idf[inv] * tfs) ** 2
-            udoc, dinv = np.unique(doc_ids, return_inverse=True)
-            s = np.zeros(len(udoc))
-            np.add.at(s, dinv, w2)
-            dl = np.zeros(len(udoc), dtype=np.int64)
-            np.maximum.at(dl, dinv, doc_lens.astype(np.int64))
-            return pa.table({"doc_id": pa.array(udoc, pa.int64()),
-                             "w2": pa.array(s, pa.float64()),
-                             "doc_len": pa.array(dl, pa.int64())})
-
-    partial = doc_terms.map_batches(PartialNorm(), batch_format="pyarrow")
-    from ray.data.aggregate import Max, Sum
-    agg = partial.groupby("doc_id").aggregate(
-        Sum("w2", alias_name="w2_sum"), Max("doc_len", alias_name="doc_len"))
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-        w2 = batch["w2_sum"].to_numpy(zero_copy_only=False)
-        dl = batch["doc_len"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array(doc_id, pa.int64()),
-            "doc_shard": pa.array((doc_id % num_doc_shards).astype(np.int32)),
-            "doc_len": pa.array(dl.astype(np.int32), pa.int32()),
-            "ref_norm": pa.array(np.sqrt(w2), pa.float64()),
-        })
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
