@@ -285,7 +285,18 @@ def build_index(input_files: list[str], out_dir: str,
                                            files=raw_files)
             subs["edges_sec"] = round(_t.perf_counter() - t0, 2)
             t0 = _t.perf_counter()
-            rep = components_min_rep(edges) if len(edges) else {}
+            if len(edges) > 20_000_000:
+                # edge set too big for a driver union-find: iterated
+                # min-label propagation over task-sharded buckets
+                from ..stages.dedup import components_min_label_distributed
+                comp = components_min_label_distributed(
+                    ray.data.from_arrow(
+                        pa.Table.from_pandas(edges, preserve_index=False)))
+                rep = dict(zip(comp["id"].astype(int),
+                               comp["rep_id"].astype(int)))
+                rep = {k: v for k, v in rep.items() if k != v}
+            else:
+                rep = components_min_rep(edges) if len(edges) else {}
             subs["unionfind_sec"] = round(_t.perf_counter() - t0, 2)
         else:
             rep = {}

@@ -124,6 +124,26 @@ class TestResume:
         assert (a.doc_ids_vb == b.doc_ids_vb).all()
         assert (a.tfs_vb == b.tfs_vb).all()
 
+    def test_touched_input_invalidates_resume(self, ray_session):
+        """A regenerated input whose SIZE happens to be unchanged must
+        still invalidate the resume (fingerprints include mtime_ns —
+        the round-1 gap let stale checkpoints pass silently)."""
+        from searchenginesimple_ray.config import EngineConfig
+        from searchenginesimple_ray.pipelines.index_build import build_index
+        from searchenginesimple_ray.sources.transcripts import (
+            generate_transcripts, transcripts_files)
+        corp = generate_transcripts(f"{TEST_ROOT}/corpus_touch",
+                                    n_convs=30, seed=9, n_files=2)
+        out = f"{TEST_ROOT}/idx_touch"
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = EngineConfig(num_input_buckets=2, num_doc_shards=2)
+        files = transcripts_files(corp)
+        build_index(files, out, cfg)
+        os.utime(files[0])   # same bytes, new mtime
+        res = build_index(files, out, cfg)
+        assert any(s.startswith("docs_raw/") for s in res.stages_run)
+        assert res.stages_skipped == []   # whole chain invalidated
+
     def test_changed_input_invalidates(self, t1_index, tmp_path):
         """A different input fingerprint must not reuse checkpoints."""
         from searchenginesimple_ray.state import lineage

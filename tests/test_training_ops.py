@@ -289,6 +289,32 @@ class TestDedupFamily:
         assert lsh <= exact
         assert (0, 8) in lsh   # recall on the planted pair
 
+    def test_min_label_components_match_unionfind(self, ray_session):
+        """The distributed min-label-propagation scale path must give
+        the same components as the driver union-find on random graphs
+        (including chains, which need multiple propagation rounds)."""
+        from searchenginesimple_ray.stages.dedup import (
+            components_min_label_distributed, components_min_rep)
+        rng = np.random.RandomState(5)
+        edges = []
+        # random sparse graph over 0..199
+        for _ in range(120):
+            a, b = rng.randint(0, 200, 2)
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        # a long chain 500..540 (diameter 40: exercises many rounds)
+        edges += [(i, i + 1) for i in range(500, 540)]
+        pdf = pd.DataFrame(edges, columns=["src", "dst"]).astype(np.int64)
+        want = components_min_rep(pdf)
+        ds = ray.data.from_arrow(pa.Table.from_pandas(pdf,
+                                                      preserve_index=False))
+        got_df = components_min_label_distributed(ds, num_buckets=8)
+        got = {int(k): int(v) for k, v in
+               zip(got_df["id"], got_df["rep_id"]) if int(k) != int(v)}
+        # union-find returns only non-root members; the label version
+        # also returns the roots (mapped to themselves) — same clusters
+        assert got == {k: v for k, v in want.items() if k != v}
+
     def test_exact_dedup_first(self, ray_session):
         ds = ray.data.from_arrow(pa.table({
             "doc_id": np.array([5, 3, 9, 7], dtype=np.int64),
