@@ -78,3 +78,82 @@ class TestClickSink:
         assert len(days) == 2
         total = sum(pq.read_metadata(f).num_rows for f in files)
         assert total == 2
+
+
+class TestHttpGateway:
+    """End-to-end HTTP topology (WebServer.cc parity): /s, /sug, /link
+    over the real scorer actor pool + suggester + click sink."""
+
+    def test_endpoints(self, ray_session, t1_engine, t1_index, tmp_path):
+        import json
+        import urllib.parse
+        import urllib.request
+
+        from searchenginesimple_ray.functions.urlcodec import \
+            base64url_encode
+        from searchenginesimple_ray.pipelines.index_build import \
+            index_doc_terms
+        from searchenginesimple_ray.pipelines.serve import (SearchGateway,
+                                                            start_server)
+        from searchenginesimple_ray.pipelines.suggest import (
+            Suggester, build_char_index, build_dict)
+        from searchenginesimple_ray.sources.transcripts import \
+            generate_queries
+        d = build_dict(index_doc_terms(t1_index["dir"]))
+        gw = SearchGateway(t1_engine, Suggester(d, build_char_index(d)),
+                           clicks_dir=str(tmp_path / "clicks"))
+        srv, _ = start_server(gw)
+        port = srv.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        try:
+            q = generate_queries()[0]
+            # /s/<key>: double-encoded query -> same results as direct
+            enc = urllib.parse.quote(urllib.parse.quote(q, safe=""),
+                                     safe="")
+            with urllib.request.urlopen(f"{base}/s/{enc}") as r:
+                got = json.loads(r.read())
+            want = t1_engine.bm25_topk(q, k=10)
+            assert got == want and len(got) > 0
+
+            # /sug/<key>
+            term = d["term"].iloc[0]
+            enc = urllib.parse.quote(urllib.parse.quote(term, safe=""),
+                                     safe="")
+            with urllib.request.urlopen(f"{base}/sug/{enc}") as r:
+                sug = json.loads(r.read())
+            assert sug and sug[0]["distance"] == 0
+
+            # /link/<b64(json)>: 302 + click recorded
+            info = {"ts": 1_700_000_000_000_000,
+                    "url": "http://example.test/doc",
+                    "data": {"query": q, "doc_id": int(want[0]["doc_id"]),
+                             "rank": 0}}
+            b64 = base64url_encode(json.dumps(info).encode())
+            req = urllib.request.Request(f"{base}/link/{b64}")
+
+            class NoRedirect(urllib.request.HTTPRedirectHandler):
+                def redirect_request(self, *a, **kw):
+                    return None
+            opener = urllib.request.build_opener(NoRedirect)
+            try:
+                opener.open(req)
+                assert False, "expected 302"
+            except urllib.error.HTTPError as e:
+                assert e.code == 302
+                assert e.headers["Location"] == info["url"]
+            assert gw.flush_clicks() == 1
+            import glob as g
+            files = g.glob(str(tmp_path / "clicks" / "**" / "*.parquet"),
+                           recursive=True)
+            t = pq.read_table(files)
+            assert t.num_rows == 1
+            assert t["url"][0].as_py() == info["url"]
+
+            # unknown path -> 404
+            try:
+                urllib.request.urlopen(f"{base}/nope")
+                assert False
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            srv.shutdown()
