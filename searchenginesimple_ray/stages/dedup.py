@@ -639,9 +639,13 @@ def _minhash_batch(batch: pa.Table, num_perm, num_bands, shingle_k,
 def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                       num_perm: int = 64, num_bands: int = 16,
                       jaccard_threshold: float = 0.8,
-                      concurrency=(1, 4)) -> pd.DataFrame:
+                      concurrency=(1, 4),
+                      driver_limit: int = 5_000_000) -> pd.DataFrame:
     """Returns dataframe (id, rep_id) for every doc in a near-dup cluster
-    (rep = min id), verified by estimated Jaccard >= threshold."""
+    (rep = min id), verified by estimated Jaccard >= threshold.
+    ``driver_limit``: band rows under which the exploded table is
+    pulled whole (the verify skips singletons for free); above it a
+    count-aggregate prefilters to shared band keys first."""
     import pyarrow.compute as pc
 
     sel = ds.select_columns([id_col, text_col])
@@ -652,7 +656,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
         batch_format="pyarrow")
     exploded = exploded.materialize()   # consumed twice (counts + filter)
 
-    if exploded.count() <= 5_000_000:
+    if exploded.count() <= driver_limit:
         # bounded fast path: the vectorized verify below skips
         # singleton runs for free, so just pull the band rows — the
         # count-aggregate + filter jobs only pay off when the exploded

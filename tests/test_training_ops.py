@@ -175,6 +175,10 @@ class TestDedupFamily:
         # 0, 1, 2, 5 are near-identical; 3 and 4 are not
         assert got.get(5) == 0
         assert 3 not in got and 4 not in got
+        # the count-prefilter (distributed) path must agree
+        pairs2 = minhash_lsh_dedup(ds, "doc_id", "text",
+                                   jaccard_threshold=0.7, driver_limit=0)
+        assert pairs2.values.tolist() == pairs.values.tolist()
 
     def test_minhash_bucket_pairwise_not_star(self):
         # two docs similar to EACH OTHER but not to the bucket min must
