@@ -65,8 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": d.q_ivf_topk,   # nprobe=all: exact over pruned index
         # suggestion (dict G5/A2, char index A7, edit distance G9)
         "suggest_topk": d.q_suggest_topk,
-        # multimodal (image decode/feature stage, fake codec)
+        # multimodal (image / audio / video stages, fake codec)
         "img_stats": d.q_img_stats,
+        "audio_stats": d.q_audio_stats,
+        "video_stats": d.q_video_stats,
         # text analysis
         "doc_token_stats": d.q_doc_token_stats,
         "quality_counts": d.q_quality_counts,
@@ -461,6 +463,113 @@ SELECT media_id, width, height,
        CAST(floor(1000000 * mean) AS BIGINT) AS mean_u,
        CAST(floor(1000000 * sqrt(greatest(var, 0))) AS BIGINT) AS std_u
 FROM fin
+""",
+        # multimodal audio stage: payload = utf-8 text bytes, fake
+        # decode = raw bytes, frame_len=256 / hop=128 / max 64 frames;
+        # frame RMS = sqrt(sum((b-128)^2) / (cnt * 128^2)) over exact
+        # integer sums, matching AudioFrameStage bit-for-bit (empty
+        # payload pads one silent 256-sample frame)
+        "audio_stats": """
+WITH docs AS (
+  SELECT doc_id AS media_id, length(text) AS L FROM documents
+),
+f AS (
+  SELECT media_id, L,
+         least(64, (greatest(1, L - 255) + 127) // 128) AS n_frames
+  FROM docs
+),
+f2 AS (
+  SELECT media_id, L, n_frames, 128 * (n_frames - 1) AS s,
+         CASE WHEN L = 0 THEN 256 ELSE least(256, L) END AS cnt_f,
+         CASE WHEN L = 0 THEN 256
+              ELSE least(256, L - 128 * (n_frames - 1)) END AS cnt_l
+  FROM f
+),
+chars AS (
+  SELECT doc_id, i,
+         (unicode(text[i]) - 128) * (unicode(text[i]) - 128) AS dd
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents)
+),
+agg AS (
+  SELECT f2.media_id,
+         sum(CASE WHEN c.i <= 256 THEN c.dd ELSE 0 END) AS ssq_f,
+         sum(CASE WHEN c.i > f2.s AND c.i <= f2.s + 256
+                  THEN c.dd ELSE 0 END) AS ssq_l
+  FROM f2 JOIN chars c ON c.doc_id = f2.media_id
+  GROUP BY f2.media_id
+)
+SELECT f2.media_id,
+       CAST(f2.n_frames AS BIGINT) AS n_frames,
+       CAST(floor(1000000 * sqrt(coalesce(agg.ssq_f, 0) * 1.0
+                                 / (f2.cnt_f * 16384))) AS BIGINT)
+           AS rms_first_u,
+       CAST(floor(1000000 * sqrt(coalesce(agg.ssq_l, 0) * 1.0
+                                 / (f2.cnt_l * 16384))) AS BIGINT)
+           AS rms_last_u
+FROM f2 LEFT JOIN agg ON agg.media_id = f2.media_id
+""",
+        # multimodal video stage: payload = utf-8 text bytes tiled to
+        # n_frames_total x (w x h); every 2nd frame sampled (max 16);
+        # frame mean over the tiled range [a, a+F) = (P(a+F) - P(a))/F
+        # with P(x) = (x // L)*S + prefix(x mod L) — exact integer
+        # sums, matching VideoFrameSampleStage bit-for-bit
+        "video_stats": """
+WITH docs AS (
+  SELECT doc_id AS media_id, length(text) AS L0,
+         greatest(length(text), 1) AS L FROM documents
+),
+dims AS (
+  SELECT media_id, L,
+         greatest(4, least(32, L0 // 8)) AS w,
+         greatest(1, least(100, L0 // 16)) AS nf
+  FROM docs
+),
+d2 AS (
+  SELECT media_id, L, w, greatest(4, w // 2) AS h,
+         least(16, (nf + 1) // 2) AS n_sampled
+  FROM dims
+),
+d3 AS (
+  SELECT media_id, L, n_sampled, w * h AS F,
+         2 * (n_sampled - 1) * w * h AS a
+  FROM d2
+),
+chars AS (
+  SELECT doc_id, i, unicode(text[i]) AS b
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents)
+),
+tot AS (
+  SELECT doc_id, sum(b) AS S FROM chars GROUP BY doc_id
+),
+pre AS (
+  SELECT c.doc_id,
+         sum(CASE WHEN c.i <= d3.F % d3.L THEN c.b ELSE 0 END) AS pF,
+         sum(CASE WHEN c.i <= d3.a % d3.L THEN c.b ELSE 0 END) AS pa,
+         sum(CASE WHEN c.i <= (d3.a + d3.F) % d3.L THEN c.b ELSE 0 END)
+             AS paF
+  FROM chars c JOIN d3 ON d3.media_id = c.doc_id
+  GROUP BY c.doc_id
+),
+calc AS (
+  SELECT d3.media_id, CAST(d3.n_sampled AS BIGINT) AS n_sampled,
+         (d3.F // d3.L) * coalesce(tot.S, 0) + coalesce(pre.pF, 0)
+             AS num_first,
+         ((d3.a + d3.F) // d3.L) * coalesce(tot.S, 0)
+             + coalesce(pre.paF, 0)
+             - ((d3.a // d3.L) * coalesce(tot.S, 0) + coalesce(pre.pa, 0))
+             AS num_last,
+         d3.F AS F
+  FROM d3 LEFT JOIN tot ON tot.doc_id = d3.media_id
+  LEFT JOIN pre ON pre.doc_id = d3.media_id
+)
+SELECT media_id, n_sampled,
+       CAST(floor(1000000 * (num_first * 1.0 / F)) AS BIGINT)
+           AS mean_first_u,
+       CAST(floor(1000000 * (num_last * 1.0 / F)) AS BIGINT)
+           AS mean_last_u
+FROM calc
 """,
         "doc_token_stats": r"""
 SELECT doc_id,

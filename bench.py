@@ -113,6 +113,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("embedding_near_dup", d.q_embedding_near_dup),
                      ("embedding_sim_pairs", d.q_embedding_sim_pairs),
                      ("img_stats", d.q_img_stats),
+                     ("audio_stats", d.q_audio_stats),
+                     ("video_stats", d.q_video_stats),
                      ("lang_hist", d.q_lang_hist),
                      ("doc_token_stats", d.q_doc_token_stats)]:
         t0 = time.perf_counter()

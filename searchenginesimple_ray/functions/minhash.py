@@ -48,6 +48,74 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique(hashes)
 
 
+def char_shingles_flat(col, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Batch shingling: Arrow string array -> (flat_hashes, seg_counts).
+
+    Doc ``d``'s shingle hashes are ``flat[counts[:d].sum() :
+    counts[:d+1].sum()]``.  The whole batch is hashed in ONE pass over
+    the column's concatenated utf-8 buffer (Horner polynomial over k
+    byte-shifted views — no (N, k) window materialization), with
+    windows that cross doc boundaries masked out via a range-diff
+    cumsum.  Hash values match ``char_shingles`` exactly; duplicates
+    are RETAINED for long docs (callers feed minima, which don't care),
+    while docs shorter than k characters fall back to per-doc
+    ``char_shingles`` (multi-byte padding parity) and are spliced in.
+    Lowercasing uses Arrow ``utf8_lower`` (identical to ``str.lower``
+    on ASCII; exotic case maps may differ — acceptable for a hash)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    low = pc.utf8_lower(col)
+    char_len = pc.utf8_length(low).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(low.type) else np.int32
+    offs = np.frombuffer(low.buffers()[1], dtype=off_dtype)[
+        low.offset: low.offset + n + 1].astype(np.int64)
+    data_buf = low.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)[offs[0]: offs[-1]]
+            if data_buf is not None else np.empty(0, np.uint8))
+    offs = offs - offs[0]
+    short = char_len < k
+    counts = np.where(short, 0, np.diff(offs) - k + 1)
+    m = data.size - k + 1
+    if m > 0 and counts.sum() > 0:
+        flat_u = data.astype(np.uint64)
+        base = np.uint64(257)
+        with np.errstate(over="ignore"):
+            h = np.zeros(m, np.uint64)
+            for j in range(k):
+                h = h * base + flat_u[j: j + m]
+        h &= _MAX_HASH
+        starts = offs[:-1][counts > 0]
+        ends = (offs[:-1] + counts)[counts > 0]
+        delta = np.zeros(m + 1, np.int32)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        flat = h[np.cumsum(delta[:-1]) > 0]
+    else:
+        flat = np.empty(0, np.uint64)
+        counts = np.zeros(n, np.int64)
+    seg_counts = counts.copy()
+    if short.any():
+        idx_short = np.flatnonzero(short)
+        pos_in_flat = (np.cumsum(counts) - counts)[idx_short]
+        short_strs = low.take(pa.array(idx_short)).to_pylist()
+        ins_pos, ins_vals = [], []
+        for d, p, s in zip(idx_short, pos_in_flat, short_strs):
+            hs = char_shingles(s, k)
+            seg_counts[d] = len(hs)
+            ins_vals.append(hs)
+            ins_pos.append(np.full(len(hs), p, np.int64))
+        flat = np.insert(flat, np.concatenate(ins_pos),
+                         np.concatenate(ins_vals))
+    return flat, seg_counts
+
+
 def word_ngrams(tokens: list[str], n: int = 3) -> set:
     if len(tokens) < n:
         return {tuple(tokens)} if tokens else set()
@@ -75,30 +143,44 @@ def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64,
     return vals.min(axis=1).astype(np.uint32)
 
 
+def minhash_signatures_flat(flat_hashes: np.ndarray, offsets: np.ndarray,
+                            num_perm: int = 64, seed: int = 7,
+                            perms=None) -> np.ndarray:
+    """(n_docs, num_perm) uint32 signatures from a FLAT shingle-hash
+    array: doc ``d``'s shingles are ``flat_hashes[offsets[d]:
+    offsets[d+1]]`` (``offsets`` has one entry per doc, no total; every
+    segment must be non-empty).  One permutation at a time keeps the
+    working set at O(total_shingles); per-doc minima via
+    ``np.minimum.reduceat``.  Duplicate hashes within a segment are
+    harmless — the minimum is unaffected — so callers need not dedup."""
+    a, b = perms if perms is not None else _permutations(num_perm, seed)
+    n = len(offsets)
+    out = np.empty((n, len(a)), dtype=np.uint32)
+    if n == 0:
+        return out
+    flat = flat_hashes.astype(np.uint64) % _MERSENNE_P
+    for j in range(len(a)):
+        vals = (a[j] * flat + b[j]) % _MERSENNE_P
+        out[:, j] = np.minimum.reduceat(vals, offsets).astype(np.uint32)
+    return out
+
+
 def minhash_signatures_batch(shingle_sets: list[np.ndarray],
                              num_perm: int = 64, seed: int = 7,
                              perms=None) -> np.ndarray:
     """(n_docs, num_perm) uint32 signatures in ONE vectorized pass.
 
-    Concatenates every doc's shingle hashes, applies all permutations to
-    the flat array once, then takes per-doc segment minima with
-    ``np.minimum.reduceat`` — no per-doc Python work beyond building the
-    offsets (batch-scale replacement for per-row ``minhash_signature``
-    calls, which pay the (num_perm x n) broadcast per doc)."""
-    a, b = perms if perms is not None else _permutations(num_perm, seed)
+    Concatenates every doc's shingle hashes then delegates to
+    ``minhash_signatures_flat`` (batch-scale replacement for per-row
+    ``minhash_signature`` calls, which pay the (num_perm x n) broadcast
+    per doc)."""
     lens = np.fromiter((max(len(s), 1) for s in shingle_sets),
                        np.int64, len(shingle_sets))
     flat = np.concatenate(
         [s if len(s) else np.zeros(1, np.uint64) for s in shingle_sets]) \
         if shingle_sets else np.zeros(0, np.uint64)
-    flat = flat.astype(np.uint64) % _MERSENNE_P
     offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    out = np.empty((len(shingle_sets), len(a)), dtype=np.uint32)
-    # one permutation at a time keeps the working set at O(total_shingles)
-    for j in range(len(a)):
-        vals = (a[j] * flat + b[j]) % _MERSENNE_P
-        out[:, j] = np.minimum.reduceat(vals, offsets).astype(np.uint32)
-    return out
+    return minhash_signatures_flat(flat, offsets, num_perm, seed, perms)
 
 
 def lsh_band_keys(signature: np.ndarray, num_bands: int = 16) -> np.ndarray:

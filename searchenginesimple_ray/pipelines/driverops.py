@@ -472,6 +472,74 @@ def q_img_stats(sf_dir: str) -> pd.DataFrame:
         .to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
+def q_video_stats(sf_dir: str) -> pd.DataFrame:
+    """(media_id, n_sampled, mean_first_u, mean_last_u): the multimodal
+    video frame-sample stage (stride=2, max 16 frames) over a media
+    table derived from documents (payload = utf-8 text bytes).  Frame
+    means are exact integer byte sums over the tiled stream, quantized
+    to 1e-6 ints — the DuckDB oracle reproduces them via modular
+    prefix sums."""
+    from ..stages.multimodal import (media_table_from_texts,
+                                     sample_video_frames)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return media_table_from_texts(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(), "video")
+
+    media = _read_documents(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(to_media, batch_format="pyarrow")
+    feats = sample_video_frames(media, batch_size=64)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        means = t["frame_mean"].to_pylist()
+        first = np.array([m[0] for m in means])
+        last = np.array([m[-1] for m in means])
+        return pa.table({
+            "media_id": t["media_id"],
+            "n_sampled": pc.cast(t["n_sampled"], pa.int64()),
+            "mean_first_u": pa.array(np.floor(1e6 * first).astype(np.int64)),
+            "mean_last_u": pa.array(np.floor(1e6 * last).astype(np.int64)),
+        })
+
+    return feats.map_batches(finalize, batch_format="pyarrow") \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q_audio_stats(sf_dir: str) -> pd.DataFrame:
+    """(media_id, n_frames, rms_first_u, rms_last_u): the multimodal
+    audio frame-sample stage over a media table derived from documents
+    (payload = utf-8 text bytes — ``media_table_from_texts``).  Frame
+    RMS uses exact integer sums of (byte-128)^2 (frame_len=256,
+    hop=128), quantized to 1e-6 ints, so the DuckDB oracle reproduces
+    first/last-frame RMS bit-for-bit."""
+    from ..stages.multimodal import frame_audio, media_table_from_texts
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return media_table_from_texts(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(), "audio")
+
+    media = _read_documents(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(to_media, batch_format="pyarrow")
+    feats = frame_audio(media, batch_size=64,
+                        frame_len=256, hop=128, max_frames=64)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rms = t["frame_rms"].to_pylist()
+        first = np.array([r[0] for r in rms])
+        last = np.array([r[-1] for r in rms])
+        return pa.table({
+            "media_id": t["media_id"],
+            "n_frames": pc.cast(t["n_frames"], pa.int64()),
+            "rms_first_u": pa.array(np.floor(1e6 * first).astype(np.int64)),
+            "rms_last_u": pa.array(np.floor(1e6 * last).astype(np.int64)),
+        })
+
+    return feats.map_batches(finalize, batch_format="pyarrow") \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 # fixed misspelled queries over the documents vocabulary (ASCII-only so
 # the DuckDB byte-level levenshtein oracle agrees with the engine's
 # codepoint-level distance; CJK parity is covered in pytest)

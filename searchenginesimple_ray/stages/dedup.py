@@ -42,7 +42,6 @@ import ray
 import ray.data
 
 from ..functions.hashing import hamming64, simhash_combo_keys
-from ..functions.minhash import char_shingles
 
 # guard: max unique simhash values pairwise-verified within one band group
 # (beyond this the group is almost certainly a degenerate band value; we
@@ -583,57 +582,82 @@ def minhash_bucket_edges(ids: np.ndarray, sigs: np.ndarray,
                          "dst": np.maximum(a, b).astype(np.int64)})
 
 class MinhashStage:
-    """(id, text) batch -> (id, band_id, band_key) rows + signature.
+    """(id, text) batch -> ONE (id, sig list<uint32>) row per doc.
 
-    Signatures and band keys are computed for the WHOLE batch in one
-    vectorized pass (``minhash_signatures_batch`` segment-min +
-    ``lsh_band_keys_batch``); the only per-doc Python step left is the
-    string shingling itself."""
+    The whole batch is shingled in one vectorized pass over the
+    column's concatenated utf-8 buffer (``char_shingles_flat``) and
+    signatures are per-doc segment minima (``minhash_signatures_flat``)
+    — the only per-doc Python left is the rare short-doc (< k chars)
+    padding fallback.
 
-    def __init__(self, num_perm: int = 64, num_bands: int = 16,
-                 shingle_k: int = 5, seed: int = 7):
+    Band keys are deliberately NOT emitted here: exploding to
+    ``num_bands`` rows each carrying a copy of the 256-byte signature
+    multiplies the exchange payload 16x (the round-1 scale bug).
+    ``_bands_batch`` derives the 24-byte (id, band_id, band_key) rows
+    from this compact table instead, and the verify step fetches
+    signatures only for candidate ids."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5,
+                 seed: int = 7):
         from ..functions.minhash import _permutations
         self.perms = _permutations(num_perm, seed)
         self.num_perm = num_perm
-        self.num_bands = num_bands
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.minhash import (lsh_band_keys_batch,
-                                         minhash_signatures_batch)
+        from ..functions.minhash import (char_shingles_flat,
+                                         minhash_signatures_flat)
         ids = batch[batch.column_names[0]].to_numpy(zero_copy_only=False)
-        texts = batch[batch.column_names[1]].to_pylist()
         n = len(ids)
-        shingle_sets = [char_shingles(tx, self.k) for tx in texts]
-        sigs = minhash_signatures_batch(shingle_sets, self.num_perm,
-                                        perms=self.perms)
-        all_keys = lsh_band_keys_batch(sigs, self.num_bands)
-        return pa.table({
-            "id": pa.array(np.repeat(ids, self.num_bands), pa.int64()),
-            "band_id": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
-            # int64 view: uint64 > 2^63 breaks Arrow conversion in
-            # Ray's aggregate (pickled-object fallback)
-            "band_key": pa.array(all_keys.reshape(-1).view(np.int64),
-                                 pa.int64()),
-            "sig": pa.array(list(np.repeat(sigs, self.num_bands, axis=0)),
-                            pa.list_(pa.uint32())),
-        })
+        flat, seg_counts = char_shingles_flat(batch[batch.column_names[1]],
+                                              self.k)
+        offsets = np.concatenate([[0], np.cumsum(seg_counts)[:-1]]) \
+            if n else np.empty(0, np.int64)
+        sigs = minhash_signatures_flat(flat, offsets, self.num_perm,
+                                       perms=self.perms)
+        sig_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * self.num_perm),
+            pa.array(sigs.reshape(-1)))
+        return pa.table({"id": pa.array(ids.astype(np.int64)),
+                         "sig": sig_col})
 
 
 _MH_CACHE: dict = {}
 
 
-def _minhash_batch(batch: pa.Table, num_perm, num_bands, shingle_k,
-                   seed) -> pa.Table:
+def _minhash_sig_batch(batch: pa.Table, num_perm, shingle_k, seed) -> pa.Table:
     """Task-based MinhashStage with a per-worker memo — no actor-pool
     spawn latency per job (workers persist across jobs)."""
-    key = (num_perm, num_bands, shingle_k, seed)
+    key = (num_perm, shingle_k, seed)
     st = _MH_CACHE.get(key)
     if st is None:
-        st = MinhashStage(num_perm, num_bands, shingle_k, seed)
+        st = MinhashStage(num_perm, shingle_k, seed)
         _MH_CACHE.clear()
         _MH_CACHE[key] = st
     return st(batch)
+
+
+def _bands_batch(t: pa.Table, num_bands: int) -> pa.Table:
+    """(id, sig) rows -> (id, band_id, band_key) LSH band rows
+    (24 bytes/row; no signature payload enters the exchange)."""
+    from ..functions.minhash import lsh_band_keys_batch
+    n = t.num_rows
+    sig_col = t["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    vals = np.asarray(sig_col.flatten())
+    sigs = vals.reshape(n, -1) if n else vals.reshape(0, 1)
+    keys = lsh_band_keys_batch(sigs.astype(np.uint32), num_bands) if n \
+        else np.empty((0, num_bands), np.uint64)
+    ids = t["id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "id": pa.array(np.repeat(ids, num_bands), pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32),
+                                    n)),
+        # int64 view: uint64 > 2^63 breaks Arrow conversion in
+        # Ray's aggregate (pickled-object fallback)
+        "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+    })
 
 
 def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
@@ -643,30 +667,41 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                       driver_limit: int = 5_000_000) -> pd.DataFrame:
     """Returns dataframe (id, rep_id) for every doc in a near-dup cluster
     (rep = min id), verified by estimated Jaccard >= threshold.
-    ``driver_limit``: band rows under which the exploded table is
-    pulled whole (the verify skips singletons for free); above it a
-    count-aggregate prefilters to shared band keys first."""
+    ``driver_limit``: band rows under which the band table is pulled
+    whole (the verify skips singletons for free); above it a
+    count-aggregate prefilters to shared band keys first.
+
+    SCALE: the materialized intermediate is the compact per-doc
+    signature table (id + num_perm x uint32); the 16x band explosion
+    carries only (id, band_id, band_key) 24-byte rows and signatures
+    are fetched per candidate id at verify time — no payload
+    multiplication in the exchange."""
     import pyarrow.compute as pc
 
     sel = ds.select_columns([id_col, text_col])
-    exploded = sel.map_batches(
-        _minhash_batch,
-        fn_kwargs={"num_perm": num_perm, "num_bands": num_bands,
-                   "shingle_k": 5, "seed": 7},
+    sigs_ds = sel.map_batches(
+        _minhash_sig_batch,
+        fn_kwargs={"num_perm": num_perm, "shingle_k": 5, "seed": 7},
         batch_format="pyarrow")
-    exploded = exploded.materialize()   # consumed twice (counts + filter)
+    # consumed twice: band derivation + candidate signature fetch
+    sigs_ds = sigs_ds.materialize()
+    n_docs = sigs_ds.count()   # metadata-only on a materialized ds
 
-    if exploded.count() <= driver_limit:
+    bands = sigs_ds.map_batches(_bands_batch,
+                                fn_kwargs={"num_bands": num_bands},
+                                batch_format="pyarrow")
+    if n_docs * num_bands <= driver_limit:
         # bounded fast path: the vectorized verify below skips
         # singleton runs for free, so just pull the band rows — the
-        # count-aggregate + filter jobs only pay off when the exploded
+        # count-aggregate + filter jobs only pay off when the band
         # table outgrows the driver
-        cand = exploded.to_pandas()
+        cand = bands.to_pandas()
     else:
         # native count-aggregate -> broadcast hot band keys ->
         # vectorized filter (same shape as simhash_near_dup_edges;
         # avoids one Python call per mostly-singleton bucket)
-        counts = exploded.select_columns(["band_id", "band_key"]) \
+        bands = bands.materialize()   # consumed twice (counts + filter)
+        counts = bands.select_columns(["band_id", "band_key"]) \
             .groupby(["band_id", "band_key"]).count()
         hot = counts.map_batches(
             lambda t: t.filter(pc.greater(t["count()"], 1)),
@@ -693,8 +728,8 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                     keep[m] = vals[pos] == bkey[m]
             return t.filter(pa.array(keep))
 
-        cand = exploded.map_batches(filter_hot, fn_kwargs={"ref": hot_ref},
-                                    batch_format="pyarrow").to_pandas()
+        cand = bands.map_batches(filter_hot, fn_kwargs={"ref": hot_ref},
+                                 batch_format="pyarrow").to_pandas()
 
     # verify ALL buckets in one vectorized pass: sort by bucket, build
     # every within-run pair's (i, j) index arrays grouped by run size,
@@ -704,7 +739,6 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
     if len(cand):
         cand = cand.sort_values(["band_id", "band_key", "id"]) \
             .reset_index(drop=True)
-        sigs = np.stack(cand["sig"].to_numpy())
         bid = cand["band_id"].to_numpy()
         bkey = cand["band_key"].to_numpy()
         ids = cand["id"].to_numpy().astype(np.int64)
@@ -747,7 +781,30 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
             keep = np.concatenate([[True], (lo[po][1:] != lo[po][:-1])
                                    | (hi[po][1:] != hi[po][:-1])])
             pi, pj = pi[po[keep]], pj[po[keep]]
-            est = (sigs[pi] == sigs[pj]).mean(axis=1)
+            # fetch signatures for the PAIR MEMBERS only (broadcast the
+            # sorted needed-id array; the sig table never leaves the
+            # cluster whole)
+            need = np.unique(ids[np.concatenate([pi, pj])])
+            need_ref = ray.put(need)
+
+            def filter_ids(t: pa.Table, ref=None) -> pa.Table:
+                w = ray.get(ref)
+                idv = t["id"].to_numpy(zero_copy_only=False)
+                if not len(w) or not len(idv):
+                    return t.slice(0, 0)
+                pos = np.clip(np.searchsorted(w, idv), 0, len(w) - 1)
+                return t.filter(pa.array(w[pos] == idv))
+
+            sig_tab = sigs_ds.map_batches(
+                filter_ids, fn_kwargs={"ref": need_ref},
+                batch_format="pyarrow").to_pandas()
+            sid = sig_tab["id"].to_numpy().astype(np.int64)
+            so = np.argsort(sid)
+            sid_sorted = sid[so]
+            S = np.stack(sig_tab["sig"].to_numpy())[so]
+            row_sig = np.clip(np.searchsorted(sid_sorted, ids), 0,
+                              len(sid_sorted) - 1)
+            est = (S[row_sig[pi]] == S[row_sig[pj]]).mean(axis=1)
             hit = est >= jaccard_threshold
             edges = pd.DataFrame({
                 "src": np.minimum(ids[pi[hit]], ids[pj[hit]]),

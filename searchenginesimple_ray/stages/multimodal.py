@@ -104,6 +104,13 @@ class AudioFrameStage:
 
     Output: ``n_frames`` (int32) and ``frame_rms`` (list<float64>, one
     value per hop) per row.  Real codec stubbed as in ImageDecodeStage.
+
+    RMS is computed from the EXACT integer sum of squared deviations
+    ((b-128)^2, summed in int64 via a cumulative sum, so frame ssq is a
+    range difference) then normalized once in float64:
+    ``sqrt(ssq / (cnt * 128^2))``.  Summation-order-independent, so a
+    SQL oracle reproduces every value bit-for-bit (same trick as
+    ImageDecodeStage mean/std).
     """
 
     def __init__(self, payload_col: str = "payload",
@@ -120,28 +127,92 @@ class AudioFrameStage:
         self.max_frames = max_frames
 
     def _decode_fake(self, buf: bytes) -> np.ndarray:
-        """Bytes -> centred float samples in [-1, 1)."""
+        """Bytes -> raw uint8 samples (centring happens in the exact
+        integer RMS path of __call__)."""
         raw = np.frombuffer(buf, dtype=np.uint8)
         if raw.size == 0:
-            raw = np.zeros(self.frame_len, dtype=np.uint8)
-        return (raw.astype(np.float64) - 128.0) / 128.0
+            raw = np.full(self.frame_len, 128, dtype=np.uint8)
+        return raw
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         n_frames = np.zeros(len(payloads), np.int32)
-        rms_rows: list[list[float]] = []
+        rms_rows: list[np.ndarray] = []
+        fl, hop = self.frame_len, self.hop
         for i, buf in enumerate(payloads):
-            x = self._decode_fake(buf or b"")
-            starts = np.arange(0, max(1, x.size - self.frame_len + 1),
-                               self.hop)[: self.max_frames]
-            rms = [float(np.sqrt(np.mean(
-                x[s:s + self.frame_len] ** 2))) for s in starts]
-            n_frames[i] = len(rms)
+            raw = self._decode_fake(buf or b"")
+            d = raw.astype(np.int64) - 128
+            csum = np.concatenate(([0], np.cumsum(d * d)))
+            starts = np.arange(0, max(1, raw.size - fl + 1),
+                               hop)[: self.max_frames]
+            ends = np.minimum(starts + fl, raw.size)
+            ssq = csum[ends] - csum[starts]
+            cnt = np.maximum(ends - starts, 1)
+            rms = np.sqrt(ssq / (cnt * 16384.0))
+            n_frames[i] = len(starts)
             rms_rows.append(rms)
         return (batch
                 .append_column("n_frames", pa.array(n_frames, pa.int32()))
                 .append_column("frame_rms",
-                               pa.array(rms_rows, pa.list_(pa.float64()))))
+                               pa.array([r.tolist() for r in rms_rows],
+                                        pa.list_(pa.float64()))))
+
+
+class VideoFrameSampleStage:
+    """binary payload -> sampled frames + per-frame mean intensity.
+
+    The fake video stream is the payload tiled to ``n_frames_total x
+    (w x h)`` bytes; frame ``f`` is stream[f*w*h : (f+1)*w*h].  Every
+    ``stride``-th frame is sampled (up to ``max_frames``).  Output:
+    ``n_sampled`` (int32) + ``frame_mean`` (list<float64>).  Frame
+    means are exact integer byte sums / (w*h) — reproducible by a SQL
+    oracle via modular prefix sums over the payload (the tiled range
+    [a, b) sums to P(b) - P(a) with P(x) = (x // L)*S + prefix(x % L)).
+    Real codec stubbed as in ImageDecodeStage.
+    """
+
+    def __init__(self, payload_col: str = "payload", width_col: str = "width",
+                 height_col: str = "height",
+                 n_frames_col: str = "n_frames_total", codec: str = "fake",
+                 stride: int = 2, max_frames: int = 16):
+        if codec == "real":
+            raise NotImplementedError(
+                "real video decode requires ffmpeg/pyav (not in this "
+                "container); plug the frame extractor in here")
+        self.payload_col = payload_col
+        self.width_col = width_col
+        self.height_col = height_col
+        self.n_frames_col = n_frames_col
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        ws = batch[self.width_col].to_numpy(zero_copy_only=False)
+        hs = batch[self.height_col].to_numpy(zero_copy_only=False)
+        nt = batch[self.n_frames_col].to_numpy(zero_copy_only=False)
+        n_sampled = np.zeros(len(payloads), np.int32)
+        mean_rows: list[list[float]] = []
+        for i, buf in enumerate(payloads):
+            raw = np.frombuffer(buf or b"\x00", dtype=np.uint8)
+            L = raw.size
+            F = int(ws[i]) * int(hs[i])
+            samples = np.arange(0, int(nt[i]), self.stride)[: self.max_frames]
+            # P(x) over the tiled stream from one prefix-sum of the payload
+            pref = np.concatenate(([0], np.cumsum(raw, dtype=np.int64)))
+            S = int(pref[-1])
+
+            def P(x: np.ndarray) -> np.ndarray:
+                return (x // L) * S + pref[x % L]
+
+            a = samples.astype(np.int64) * F
+            means = (P(a + F) - P(a)) / float(F)
+            n_sampled[i] = len(samples)
+            mean_rows.append(means.tolist())
+        return (batch
+                .append_column("n_sampled", pa.array(n_sampled, pa.int32()))
+                .append_column("frame_mean",
+                               pa.array(mean_rows, pa.list_(pa.float64()))))
 
 
 def media_table_from_texts(ids: np.ndarray, texts: list[str],
@@ -158,6 +229,18 @@ def media_table_from_texts(ids: np.ndarray, texts: list[str],
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array(ws.astype(np.int32)),
             "height": pa.array(hs.astype(np.int32)),
+        })
+    if kind == "video":
+        ws = np.array([max(4, min(32, len(p) // 8)) for p in payloads])
+        hs = np.maximum(4, ws // 2)
+        nf = np.array([max(1, min(100, len(p) // 16)) for p in payloads])
+        return pa.table({
+            "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "media_type": pa.array(["video/fake"] * len(payloads)),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(ws.astype(np.int32)),
+            "height": pa.array(hs.astype(np.int32)),
+            "n_frames_total": pa.array(nf.astype(np.int32)),
         })
     return pa.table({
         "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
@@ -181,5 +264,14 @@ def decode_images(ds: ray.data.Dataset, concurrency=(1, 4),
 def frame_audio(ds: ray.data.Dataset, concurrency=(1, 4),
                 batch_size: int = 32, **kw) -> ray.data.Dataset:
     return ds.map_batches(AudioFrameStage, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_video_frames(ds: ray.data.Dataset, concurrency=(1, 4),
+                        batch_size: int = 16, **kw) -> ray.data.Dataset:
+    """Actor-pool video frame-sample stage (smallest default batch of
+    the three modalities: video payloads are the largest binaries)."""
+    return ds.map_batches(VideoFrameSampleStage, fn_constructor_kwargs=kw,
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)

@@ -217,3 +217,38 @@ class TestMinhash:
         assert M.jaccard({1, 2, 3}, {2, 3, 4}) == 0.5
         assert M.jaccard(set(), set()) == 1.0
         assert M.jaccard({1}, set()) == 0.0
+
+    def test_char_shingles_flat_matches_per_doc(self):
+        import pyarrow as pa
+        texts = ["the quick brown fox", "Short", "ab", "", "xyz" * 50,
+                 "MIXED Case Text with  spaces", "漢字 cjk 短"]
+        flat, counts = M.char_shingles_flat(pa.array(texts), 5)
+        assert counts.sum() == len(flat)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for i, t in enumerate(texts):
+            got = set(flat[offs[i]:offs[i + 1]].tolist())
+            want = set(M.char_shingles(t, 5).tolist())
+            assert got == want, f"doc {i}"
+
+    @given(st.lists(st.text(
+        alphabet=st.characters(codec="utf-8"), max_size=40),
+        min_size=1, max_size=12))
+    @settings(max_examples=60, deadline=None)
+    def test_char_shingles_flat_property(self, texts):
+        import pyarrow as pa
+        flat, counts = M.char_shingles_flat(pa.array(texts), 5)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for i, t in enumerate(texts):
+            got = set(flat[offs[i]:offs[i + 1]].tolist())
+            want = set(M.char_shingles(t, 5).tolist())
+            assert got == want
+
+    def test_flat_signatures_match_per_doc(self):
+        import pyarrow as pa
+        texts = ["the quick brown fox jumps", "tiny", "", "repeat " * 30]
+        flat, counts = M.char_shingles_flat(pa.array(texts), 5)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        got = M.minhash_signatures_flat(flat, offsets, 64)
+        want = np.stack([M.minhash_signature(M.char_shingles(t, 5), 64)
+                         for t in texts])
+        assert (got == want).all()

@@ -180,6 +180,21 @@ class TestDedupFamily:
                                    jaccard_threshold=0.7, driver_limit=0)
         assert pairs2.values.tolist() == pairs.values.tolist()
 
+    def test_minhash_exchange_carries_no_signatures(self, ray_session):
+        # SCALE invariant: the 16x band explosion must be 24-byte rows —
+        # signatures live only in the compact per-doc table
+        from searchenginesimple_ray.stages.dedup import (_bands_batch,
+                                                         _minhash_sig_batch)
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["some document text here", "another one"]})
+        sig_t = _minhash_sig_batch(t, 64, 5, 7)
+        assert sig_t.column_names == ["id", "sig"]
+        assert sig_t.num_rows == 2          # one row per doc, no explosion
+        bands = _bands_batch(sig_t, 16)
+        assert bands.column_names == ["id", "band_id", "band_key"]
+        assert bands.num_rows == 32
+        assert "sig" not in bands.column_names
+
     def test_minhash_bucket_pairwise_not_star(self):
         # two docs similar to EACH OTHER but not to the bucket min must
         # still pair (star-vs-min verification missed these)
@@ -357,7 +372,56 @@ class TestMultimodal:
         assert (out.n_frames >= 1).all()
         assert all(len(r) == n for r, n in zip(out.frame_rms, out.n_frames))
 
+    def test_audio_rms_integer_exact(self, ray_session):
+        # frame RMS must equal sqrt(sum((b-128)^2) / (cnt * 128^2)) on
+        # exact integer sums — the property the SQL oracle relies on
+        from searchenginesimple_ray.stages.multimodal import (
+            frame_audio, media_table_from_texts)
+        texts = ["x" * 700, "short", "", "y" * 256, "z" * 257]
+        t = media_table_from_texts(np.arange(5), texts, kind="audio")
+        out = (frame_audio(ray.data.from_arrow(t),
+                           frame_len=256, hop=128, max_frames=64)
+               .to_pandas().sort_values("media_id").reset_index(drop=True))
+        for i, txt in enumerate(texts):
+            raw = np.frombuffer(txt.encode(), dtype=np.uint8)
+            if raw.size == 0:
+                raw = np.full(256, 128, np.uint8)
+            starts = np.arange(0, max(1, raw.size - 256 + 1), 128)[:64]
+            assert out.n_frames[i] == len(starts)
+            for j, s in enumerate(starts):
+                seg = raw[s:s + 256].astype(np.int64) - 128
+                want = np.sqrt(int((seg * seg).sum())
+                               / (max(len(seg), 1) * 16384.0))
+                assert out.frame_rms[i][j] == want  # bitwise, not approx
+
+    def test_video_stage_plumbing(self, ray_session):
+        from searchenginesimple_ray.stages.multimodal import (
+            media_table_from_texts, sample_video_frames)
+        texts = ["frame data " * 40, "tiny", "x" * 2000]
+        t = media_table_from_texts(np.arange(3), texts, kind="video")
+        out = (sample_video_frames(ray.data.from_arrow(t), batch_size=2)
+               .to_pandas().sort_values("media_id").reset_index(drop=True))
+        assert (out.n_sampled >= 1).all()
+        assert all(len(m) == n for m, n in zip(out.frame_mean,
+                                               out.n_sampled))
+        # frame means are exact integer sums over the tiled stream
+        for i, txt in enumerate(texts):
+            p = txt.encode()
+            w = max(4, min(32, len(p) // 8))
+            h = max(4, w // 2)
+            nf = max(1, min(100, len(p) // 16))
+            raw = np.frombuffer(p or b"\x00", dtype=np.uint8)
+            tiled = np.tile(raw, int(np.ceil(nf * w * h / raw.size)) + 1)
+            for j, f in enumerate(range(0, nf, 2)[:16]):
+                seg = tiled[f * w * h:(f + 1) * w * h]
+                assert out.frame_mean[i][j] == int(seg.sum()) / float(w * h)
+
     def test_real_codec_is_stubbed(self):
-        from searchenginesimple_ray.stages.multimodal import ImageDecodeStage
+        from searchenginesimple_ray.stages.multimodal import (
+            AudioFrameStage, ImageDecodeStage, VideoFrameSampleStage)
         with pytest.raises(NotImplementedError):
             ImageDecodeStage(codec="real")
+        with pytest.raises(NotImplementedError):
+            AudioFrameStage(codec="real")
+        with pytest.raises(NotImplementedError):
+            VideoFrameSampleStage(codec="real")
