@@ -73,6 +73,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": d.q_doc_token_stats,
         "quality_counts": d.q_quality_counts,
         "lang_hist": d.q_lang_hist,
+        # event-stream temporal operators (windowed agg / sessions /
+        # as-of join — custom operators Ray Data lacks natively)
+        "event_window_agg": d.q_event_window_agg,
+        "sessionize": d.q_sessionize,
+        "asof_join": d.q_asof_join,
     }
 
 
@@ -628,5 +633,57 @@ pred AS (
   FROM base
 )
 SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+""",
+        # tumbling 1h windows aligned to the epoch; exact cent sums
+        "event_window_agg": """
+SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
+           AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(100 * value) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+        # per-user sessions split at >30min inactivity gaps
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(100 * value) AS BIGINT) AS cents
+  FROM events
+),
+o AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts_us) AS BIGINT) AS start_us,
+       CAST(max(ts_us) AS BIGINT) AS end_us,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY 1, 2
+""",
+        # purchase ASOF LEFT JOIN signup (backward, exact match allowed;
+        # right deduped to max event_id per (user, ts) for tie order)
+        "asof_join": """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS event_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+),
+l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, CAST(l.ts_us AS BIGINT) AS ts_us,
+       CAST(coalesce(r.event_id, -1) AS BIGINT) AS asof_event_id,
+       CAST(coalesce(r.ts_us, -1) AS BIGINT) AS asof_ts_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
 """,
     }

@@ -116,7 +116,10 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("audio_stats", d.q_audio_stats),
                      ("video_stats", d.q_video_stats),
                      ("lang_hist", d.q_lang_hist),
-                     ("doc_token_stats", d.q_doc_token_stats)]:
+                     ("doc_token_stats", d.q_doc_token_stats),
+                     ("event_window_agg", d.q_event_window_agg),
+                     ("sessionize", d.q_sessionize),
+                     ("asof_join", d.q_asof_join)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

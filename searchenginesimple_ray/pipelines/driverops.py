@@ -567,6 +567,39 @@ def q_suggest_topk(sf_dir: str) -> pd.DataFrame:
                  "distance": np.int64})
 
 
+# --------------------------------------------------- events operators
+
+def _read_events(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+
+def q_event_window_agg(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h window x event_type counts + exact cent sums."""
+    from ..stages.events import event_window_agg
+    pdf = event_window_agg(_read_events(sf_dir), window_sec=3600) \
+        .to_pandas()
+    return pdf.sort_values(["window_start_us", "event_type"]) \
+        .reset_index(drop=True)
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Per-user 30-min-gap sessions with exact integer stats."""
+    from ..stages.events import sessionize_events
+    pdf = sessionize_events(_read_events(sf_dir), gap_sec=1800) \
+        .to_pandas()
+    return pdf.sort_values(["user_id", "session_idx"]) \
+        .reset_index(drop=True)
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """purchase ASOF LEFT JOIN signup per user (backward, -1 fill)."""
+    from ..stages.events import asof_join_events
+    pdf = asof_join_events(_read_events(sf_dir)).to_pandas()
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)

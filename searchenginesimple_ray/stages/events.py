@@ -1,0 +1,208 @@
+"""Event-stream operators: tumbling-window aggregate, sessionization,
+and as-of join over the ``events`` table.
+
+These are the streaming/temporal operators a training-data pipeline
+needs that Ray Data has no built-in for (the brief's "windowed
+aggregate / as-of join" custom-operator class).  The reference engine
+has no counterpart (its only event stream is the Kafka click sink,
+``src/Server/WebServer.cc``); semantics here follow the standard
+definitions and each operator has a DuckDB oracle in
+``__ray_entry__.oracle_sql``.
+
+Scale design (100 TB):
+
+- ``event_window_agg`` is a PARTIAL aggregation: each Arrow batch is
+  pre-aggregated to (window, type) rows inside ``map_batches``, so the
+  global ``groupby`` shuffles only ``n_windows x n_types`` rows per
+  block, never raw events.
+- ``sessionize_events`` / ``asof_join_events`` need all of one user's
+  rows co-located and time-sorted.  They hash-partition on a COARSE
+  ``user_id % n_buckets`` key (one shuffle of narrow int64/float
+  columns — text/props are never read) and run a fully vectorized
+  kernel per bucket (lexsort + gap-diff / ``pd.merge_asof``), following
+  the coarse-key pattern: per-user groups would be catastrophically
+  small for ``map_groups``.  ``n_buckets`` should scale with the
+  cluster so one bucket (~total/n_buckets rows) fits a worker's heap;
+  user skew is bounded because a single user's events are tiny
+  relative to a bucket.
+
+Money values are carried as integer cents (``round(value * 100)``),
+timestamps as int64 epoch-microseconds — every aggregate is
+integer-exact, so oracle comparison is bit-stable.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
+    return batch[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _cents(batch: pa.Table, col: str = "value") -> np.ndarray:
+    v = batch[col].to_numpy(zero_copy_only=False)
+    return np.round(v * 100.0).astype(np.int64)
+
+
+# ------------------------------------------------- tumbling window agg
+
+def event_window_agg(events: ray.data.Dataset,
+                     window_sec: int = 3600) -> ray.data.Dataset:
+    """(window_start_us, event_type) -> n_events, sum_value_cents.
+
+    Tumbling windows of ``window_sec`` aligned to the epoch.  Partial
+    per-batch combine; the global exchange carries only aggregate rows.
+    """
+    window_us = np.int64(window_sec) * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch)
+        win = (ts // window_us) * window_us
+        etype = batch["event_type"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch)
+        # group within the batch on (win, etype)
+        order = np.lexsort((win, etype))
+        win, etype, cents = win[order], etype[order], cents[order]
+        new = np.empty(len(win), dtype=bool)
+        new[:1] = True
+        new[1:] = (win[1:] != win[:-1]) | (etype[1:] != etype[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(win))
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pa.table({
+            "window_start_us": pa.array(win[starts], pa.int64()),
+            "event_type": pa.array(etype[starts], pa.string()),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "sum_value_cents": pa.array(csum[ends] - csum[starts]),
+        })
+
+    agg = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start_us", "event_type"]) \
+        .sum(["n_events", "sum_value_cents"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {c: c.replace("sum(", "").replace(")", "")
+                for c in batch.column_names}
+        return batch.rename_columns([cols[c] for c in batch.column_names])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ sessionization
+
+def sessionize_events(events: ray.data.Dataset, gap_sec: int = 1800,
+                      n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user sessions split at inactivity gaps > ``gap_sec``.
+
+    Output: (user_id, session_idx, n_events, start_us, end_us,
+    sum_value_cents); ``session_idx`` is the 0-based per-user session
+    ordinal in time order.
+    """
+    gap_us = np.int64(gap_sec) * 1_000_000
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pa.array(_ts_us(batch)),
+            "cents": pa.array(_cents(batch)),
+            "bucket": pa.array((uid % n_buckets).astype(np.int32)),
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts, cents = uid[order], ts[order], cents[order]
+        n = len(uid)
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[:1] = True
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n)
+        new_user = np.empty(len(starts), dtype=bool)
+        new_user[:1] = True
+        new_user[1:] = uid[starts[1:]] != uid[starts[:-1]]
+        # per-user session ordinal: running count reset at user change
+        run = np.arange(len(starts), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(new_user, run, 0))
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "session_idx": run - base,
+            "n_events": (ends - starts).astype(np.int64),
+            "start_us": ts[starts],
+            "end_us": ts[ends - 1],
+            "sum_value_cents": csum[ends] - csum[starts],
+        })
+
+    return events.map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .map_groups(kernel, batch_format="pandas")
+
+
+# ----------------------------------------------------------- asof join
+
+def asof_join_events(events: ray.data.Dataset,
+                     left_type: str = "purchase",
+                     right_type: str = "signup",
+                     n_buckets: int = 64) -> ray.data.Dataset:
+    """For each ``left_type`` event, the most recent ``right_type``
+    event of the same user at or before its timestamp (ASOF backward
+    join, exact matches allowed — DuckDB ``ASOF LEFT JOIN`` parity).
+
+    Unmatched lefts get -1.  The right side is deduplicated to the max
+    event_id per (user_id, ts) so tie order is deterministic.  Output:
+    (event_id, user_id, ts_us, asof_event_id, asof_ts_us).
+    """
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        batch = batch.filter(mask)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pa.array(_ts_us(batch)),
+            "is_left": pc.equal(batch["event_type"], left_type),
+            "bucket": pa.array((uid % n_buckets).astype(np.int32)),
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]].sort_values("ts_us", kind="stable")
+        right = g[~g["is_left"]]
+        if right.empty:
+            out = left[["event_id", "user_id", "ts_us"]].copy()
+            out["asof_event_id"] = np.int64(-1)
+            out["asof_ts_us"] = np.int64(-1)
+            return out
+        right = (right.groupby(["user_id", "ts_us"], as_index=False)
+                 ["event_id"].max().sort_values("ts_us", kind="stable"))
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts_us"]], right,
+            on="ts_us", by="user_id", direction="backward",
+            allow_exact_matches=True, suffixes=("", "_r"))
+        m = m.rename(columns={"event_id_r": "asof_event_id"})
+        m["asof_ts_us"] = np.where(m["asof_event_id"].notna(),
+                                   m["ts_us"], np.int64(-1))
+        # asof_ts_us must be the RIGHT row's ts; merge_asof drops it,
+        # so recover via a lookup on the deduped right side
+        key = right.set_index("event_id")["ts_us"]
+        matched = m["asof_event_id"].notna()
+        m.loc[matched, "asof_ts_us"] = (
+            key.reindex(m.loc[matched, "asof_event_id"]).to_numpy())
+        m["asof_event_id"] = m["asof_event_id"].fillna(-1).astype(np.int64)
+        m["asof_ts_us"] = m["asof_ts_us"].astype(np.int64)
+        return m[["event_id", "user_id", "ts_us",
+                  "asof_event_id", "asof_ts_us"]]
+
+    return events.map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .map_groups(kernel, batch_format="pandas")
