@@ -78,6 +78,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_window_agg": d.q_event_window_agg,
         "sessionize": d.q_sessionize,
         "asof_join": d.q_asof_join,
+        # deterministic train/val/test carve + per-source quota
+        # (stages/sampling.py)
+        "hash_split": d.q_hash_split,
+        "source_quota": d.q_source_quota,
     }
 
 
@@ -685,5 +689,33 @@ SELECT l.event_id, l.user_id, CAST(l.ts_us AS BIGINT) AS ts_us,
        CAST(coalesce(r.ts_us, -1) AS BIGINT) AS asof_ts_us
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+""",
+        # deterministic 80/10/10 split — the engine's exact hash
+        # arithmetic (stages/sampling.py: ((k % 2^31) * 2654435761)
+        # % 2^32, every intermediate BIGINT-safe); threshold literals
+        # are int(frac_cum * 2^32) as computed by split_thresholds()
+        "hash_split": """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hv < 3435973836 THEN 'train'
+            WHEN hv < 3865470566 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+        # per-source quota sample: row_number over the same hash, ties
+        # broken by doc_id on both sides
+        "source_quota": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                      doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10
 """,
     }

@@ -42,6 +42,10 @@ class EngineConfig:
     # ---- doc prep ----
     min_text_len: int = 10           # drop shorter turns (Page.hpp:143-146 analogue, M8)
     stop_words: tuple = tuple(DEFAULT_STOP_WORDS)
+    # registry.py names (§2.9 user-extension surface) — part of the
+    # fingerprint, so swapping a stage invalidates lineage checkpoints
+    tokenizer: str = "ref"           # registry "tokenizer" entry
+    dedup_policy: str = "simhash"    # registry "dedup" entry (A4 edges)
 
     # ---- simhash / dedup ----
     simhash_top_n: int = 0           # 0 = all-term simhash (default);

@@ -600,6 +600,30 @@ def q_asof_join(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("event_id").reset_index(drop=True)
 
 
+def q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, split): deterministic 80/10/10 train/val/test assignment
+    by the int64-exact multiplicative hash (stages/sampling.py) — the
+    same arithmetic the BIGINT SQL oracle runs."""
+    from ..stages.sampling import hash_split
+    pdf = hash_split(
+        _read_documents(sf_dir).select_columns(["doc_id"]),
+        key="doc_id", splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=0).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_source_quota(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, source): per-source quota sample (<=10 docs per source,
+    smallest split-hash first) — deterministic corpus balancing."""
+    from ..stages.sampling import quota_by_group
+    pdf = quota_by_group(
+        ray.data.read_parquet(_docs_path(sf_dir),
+                              columns=["doc_id", "source"]),
+        group_col="source", quota=10, key="doc_id", seed=0).to_pandas()
+    return pdf[["doc_id", "source"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)

@@ -38,8 +38,9 @@ import ray
 import ray.data
 
 from ..config import EngineConfig
+from ..registry import resolve as registry_resolve
 from ..stages.docids import conv_bases
-from ..stages.dedup import components_min_rep, simhash_near_dup_edges
+from ..stages.dedup import components_min_rep
 from ..stages.postings import (build_postings, doc_stats_from_prepped,
                                term_df_from_prepped)
 from ..stages.prep import prep_transcripts
@@ -253,7 +254,8 @@ def build_index(input_files: list[str], out_dir: str,
             # pin every CPU in actors and starve the read/write tasks
             ds = prep_transcripts(ds, bases_ref, stop_words=stop,
                                   top_n=cfg.simhash_top_n, min_len=min_len,
-                                  batch_size=cfg.tokenize_batch_size)
+                                  batch_size=cfg.tokenize_batch_size,
+                                  tokenizer=cfg.tokenizer)
             ds.write_parquet(tmp)
             return _count_rows(tmp), {}
 
@@ -280,9 +282,9 @@ def build_index(input_files: list[str], out_dir: str,
             docs_raw = ray.data.read_parquet(
                 raw_files,
                 columns=["doc_id", "simhash"])   # never read the text
-            edges = simhash_near_dup_edges(docs_raw, cfg.num_bands,
-                                           cfg.hamming_threshold,
-                                           files=raw_files)
+            # §2.9 injectable dedup policy (default: simhash A3/A4)
+            policy = registry_resolve("dedup", cfg.dedup_policy)
+            edges = policy(docs_raw, cfg, files=raw_files)
             subs["edges_sec"] = round(_t.perf_counter() - t0, 2)
             t0 = _t.perf_counter()
             if len(edges) > 20_000_000:

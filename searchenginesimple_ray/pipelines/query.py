@@ -422,11 +422,24 @@ class QueryEngine:
         return [{"rank": i, "doc_id": d, "score": s}
                 for i, (s, d, _n) in enumerate(merged[:k])]
 
+    def topk(self, sentence: str, scorer: str = "bm25",
+             k: int | None = None) -> list[dict]:
+        """Registry-dispatched top-k (§2.9): ``scorer`` names a
+        ``registry.py`` "scorer" entry — built-ins ``bm25`` /
+        ``ref_cosine``, or any user-registered
+        ``fn(engine, sentence, k) -> list[dict]``."""
+        from ..registry import resolve
+        return resolve("scorer", scorer)(self, sentence, k)
+
     def batch(self, sentences: list[str], scorer: str = "bm25",
               k: int | None = None, **kw) -> list[list[dict]]:
         """Pipelined batch mode: all shard calls for all queries are in
-        flight at once; results keep input order."""
+        flight at once; results keep input order.  The two built-in
+        scorers get the pipelined fast path; any other registered
+        scorer falls back to per-query registry dispatch."""
         k = k or self.k_default
+        if scorer not in ("bm25", "ref", "ref_cosine"):
+            return [self.topk(s, scorer=scorer, k=k) for s in sentences]
         futs_per_q = []
         for s in sentences:
             if scorer == "bm25":

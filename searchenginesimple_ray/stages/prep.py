@@ -24,9 +24,10 @@ class PrepStage:
     pass over every text (tokenization is the build's dominant CPU)."""
 
     def __init__(self, bases_ref, stop_words=(), top_n: int = 0,
-                 min_len: int = 10):
+                 min_len: int = 10, tokenizer_factory=None):
         self.assign = AssignDocIds(bases_ref)
-        self.simhash = SimhashStage(stop_words=stop_words, top_n=top_n)
+        self.simhash = SimhashStage(stop_words=stop_words, top_n=top_n,
+                                    tokenizer_factory=tokenizer_factory)
         self.min_len = min_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -72,12 +73,14 @@ _PREP_CACHE: dict = {}
 
 
 def _prep_batch(batch: pa.Table, bases_ref, stop_words, top_n,
-                min_len) -> pa.Table:
+                min_len, tokenizer="ref",
+                tokenizer_factory=None) -> pa.Table:
     key = (getattr(bases_ref, "hex", lambda: str(id(bases_ref)))(),
-           stop_words, top_n, min_len)
+           stop_words, top_n, min_len, tokenizer)
     stage = _PREP_CACHE.get(key)
     if stage is None:
-        stage = PrepStage(bases_ref, stop_words, top_n, min_len)
+        stage = PrepStage(bases_ref, stop_words, top_n, min_len,
+                          tokenizer_factory=tokenizer_factory)
         _PREP_CACHE.clear()   # one live config per worker is plenty
         _PREP_CACHE[key] = stage
     return stage(batch)
@@ -86,10 +89,18 @@ def _prep_batch(batch: pa.Table, bases_ref, stop_words, top_n,
 def prep_transcripts(ds: ray.data.Dataset, bases_ref, stop_words=(),
                      top_n: int = 0, min_len: int = 10,
                      concurrency=None,
-                     batch_size: int = 2048) -> ray.data.Dataset:
+                     batch_size: int = 2048,
+                     tokenizer: str = "ref") -> ray.data.Dataset:
+    # resolve the registry name on the DRIVER and ship the factory by
+    # value — custom tokenizers registered in user code need not be
+    # importable on workers (registry.py §2.9)
+    from ..registry import resolve
+    factory = resolve("tokenizer", tokenizer)
     return ds.map_batches(
         _prep_batch,
         fn_kwargs={"bases_ref": bases_ref,
                    "stop_words": tuple(stop_words),
-                   "top_n": top_n, "min_len": min_len},
+                   "top_n": top_n, "min_len": min_len,
+                   "tokenizer": tokenizer,
+                   "tokenizer_factory": factory},
         batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,142 @@
+"""Deterministic splits & samples for training-data pipelines.
+
+A 100-TB corpus is carved into train/val/test (and down-sampled) by a
+pure function of each row's int64 key — no shuffle, no state, no RNG:
+every worker computes the same assignment for the same row, so splits
+are stable across runs, resumes and cluster sizes, and any engine
+(including the DuckDB oracle) can reproduce them bit-for-bit.
+
+Hash: ``h(k) = (((k + seed) % 2^31) * 2654435761) % 2^32`` — Knuth's
+multiplicative hash (TAOCP vol. 3 §6.4, public domain constant
+0x9E3779B1), with the pre-reduction mod 2^31 chosen so every
+intermediate fits in a signed 64-bit integer: the SAME expression is
+exact in numpy int64 and in ANSI-SQL BIGINT (DuckDB), which is what
+makes the driver's value-hash oracle check possible.  Keys must be
+non-negative (SQL ``%`` keeps the dividend's sign; numpy the
+divisor's — they agree only for non-negative operands).
+
+The unit interval is then cut at the cumulative split fractions:
+``u = h / 2^32 in [0, 1)``; a row lands in the first split whose
+cumulative bound exceeds ``u``.  A Bernoulli(p) sample is the special
+case ``u < p``.  Per-row independence means a split is a pure
+``map_batches`` filter — it streams, prunes at the read, and never
+materializes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_MULT = 2654435761          # 0x9E3779B1, Knuth multiplicative constant
+_M31 = 2_147_483_648        # 2^31
+_M32 = 4_294_967_296        # 2^32
+
+
+def hash_u32(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized split hash; int64-exact (no wraparound anywhere)."""
+    k = keys.astype(np.int64, copy=False)
+    if k.size and k.min() < 0:
+        raise ValueError("split keys must be non-negative")
+    return ((k + int(seed)) % _M31) * _MULT % _M32
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, int]]:
+    """[(name, upper_bound_u32)] with the last bound forced to 2^32 so
+    fractions that don't sum exactly to 1.0 can't orphan rows."""
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    names = list(splits)
+    for i, name in enumerate(names):
+        acc += splits[name]
+        bound = _M32 if i == len(names) - 1 else int(acc * _M32)
+        out.append((name, bound))
+    return out
+
+
+def assign_split_batch(batch: pa.Table, key: str, seed: int,
+                       thresholds: list[tuple[str, int]]) -> pa.Table:
+    h = hash_u32(batch[key].to_numpy(zero_copy_only=False), seed)
+    bounds = np.array([b for _, b in thresholds], dtype=np.int64)
+    idx = np.searchsorted(bounds, h, side="right")
+    names = np.array([n for n, _ in thresholds], dtype=object)
+    return batch.append_column("split", pa.array(names[idx], pa.string()))
+
+
+def hash_split(ds: ray.data.Dataset, key: str = "doc_id",
+               splits: dict[str, float] | None = None,
+               seed: int = 0) -> ray.data.Dataset:
+    """Append a ``split`` column; rows stream through untouched."""
+    th = split_thresholds(splits or {"train": 0.8, "val": 0.1, "test": 0.1})
+    return ds.map_batches(
+        assign_split_batch,
+        fn_kwargs={"key": key, "seed": seed, "thresholds": th},
+        batch_format="pyarrow")
+
+
+def split_datasets(ds: ray.data.Dataset, key: str = "doc_id",
+                   splits: dict[str, float] | None = None,
+                   seed: int = 0) -> dict[str, ray.data.Dataset]:
+    """One filtered (lazy) Dataset per split — e.g. to ``write_parquet``
+    each split to its own partition directory."""
+    th = split_thresholds(splits or {"train": 0.8, "val": 0.1, "test": 0.1})
+    out: dict[str, ray.data.Dataset] = {}
+    lo = 0
+    for name, hi in th:
+        def keep(batch: pa.Table, key=key, seed=seed, lo=lo, hi=hi):
+            h = hash_u32(batch[key].to_numpy(zero_copy_only=False), seed)
+            return batch.filter(pa.array((h >= lo) & (h < hi)))
+        out[name] = ds.map_batches(keep, batch_format="pyarrow")
+        lo = hi
+    return out
+
+
+def bernoulli_sample(ds: ray.data.Dataset, frac: float,
+                     key: str = "doc_id",
+                     seed: int = 0) -> ray.data.Dataset:
+    """Deterministic Bernoulli(frac) sample: keep rows with u < frac."""
+    bound = int(frac * _M32)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch[key].to_numpy(zero_copy_only=False), seed)
+        return batch.filter(pa.array(h < bound))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def quota_by_group(ds: ray.data.Dataset, group_col: str, quota: int,
+                   key: str = "doc_id",
+                   seed: int = 0) -> ray.data.Dataset:
+    """Per-group quota sample: for each group keep the ``quota`` rows
+    with the smallest ``(hash_u32(key), key)`` — the deterministic
+    analogue of "at most K pages per domain" corpus balancing.
+
+    Scale shape: a per-batch PARTIAL top-K per group first (each batch
+    emits at most K rows per group it contains), so the exchange
+    carries <= K x blocks rows per group instead of the full corpus;
+    the exact per-group cut then runs in ``groupby().map_groups`` over
+    those survivors.  Group count is assumed moderate (domains/sources,
+    not unique keys); the selection is equivalent to SQL
+    ``row_number() OVER (PARTITION BY group ORDER BY hv, key) <= K``.
+    """
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        pdf = batch.select([group_col, key]).to_pandas()
+        pdf["_hv"] = hash_u32(pdf[key].to_numpy(), seed)
+        pdf = pdf.sort_values(["_hv", key]).groupby(
+            group_col, sort=False).head(quota)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def final_topk(pdf):
+        pdf = pdf.sort_values(["_hv", key]).head(quota)
+        return pdf.drop(columns=["_hv"])
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(final_topk, batch_format="pandas"))

@@ -17,8 +17,12 @@ from .tokenizer import TokenCounter
 
 
 class SimhashStage:
-    def __init__(self, stop_words=(), top_n: int = 0):
-        self.counter = TokenCounter(stop_words=stop_words)
+    def __init__(self, stop_words=(), top_n: int = 0,
+                 tokenizer_factory=None):
+        # tokenizer_factory: a registry.py "tokenizer" entry (§2.9);
+        # default is the reference-exact TokenCounter
+        mk = tokenizer_factory or TokenCounter
+        self.counter = mk(stop_words=stop_words)
         self.top_n = top_n
         self.hash_cache: dict[str, int] = {}
 

@@ -425,3 +425,81 @@ class TestMultimodal:
             AudioFrameStage(codec="real")
         with pytest.raises(NotImplementedError):
             VideoFrameSampleStage(codec="real")
+
+
+class TestHashSplit:
+    """stages/sampling.py: deterministic, SQL-exact split & sample."""
+
+    def test_split_matches_duckdb_oracle(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from searchenginesimple_ray.stages.sampling import hash_split
+        docs = pd.DataFrame({"doc_id": np.arange(10_000, dtype=np.int64)})
+        got = hash_split(ray.data.from_pandas(docs), key="doc_id",
+                         splits={"train": 0.8, "val": 0.1, "test": 0.1},
+                         seed=0).to_pandas().sort_values("doc_id")
+        want = duckdb.sql("""
+            SELECT doc_id,
+                   CASE WHEN hv < 3435973836 THEN 'train'
+                        WHEN hv < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id % 2147483648) * 2654435761)
+                             % 4294967296 AS hv
+                  FROM docs) ORDER BY doc_id""").df()
+        assert got["split"].tolist() == want["split"].tolist()
+        # all three splits populated, fractions roughly right
+        frac = got["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.02
+        assert abs(frac["val"] - 0.1) < 0.02
+
+    def test_split_datasets_partition_and_bernoulli(self, ray_session):
+        import ray.data
+
+        from searchenginesimple_ray.stages.sampling import (
+            bernoulli_sample, hash_split, split_datasets)
+        docs = pd.DataFrame({"doc_id": np.arange(5_000, dtype=np.int64)})
+        ds = ray.data.from_pandas(docs)
+        parts = {k: set(v.to_pandas()["doc_id"])
+                 for k, v in split_datasets(ds, key="doc_id").items()}
+        assert sum(len(s) for s in parts.values()) == 5_000
+        assert parts["train"] | parts["val"] | parts["test"] \
+            == set(range(5_000))
+        # the split column agrees with the filtered datasets
+        col = hash_split(ds, key="doc_id").to_pandas()
+        for name, ids in parts.items():
+            assert set(col.loc[col["split"] == name, "doc_id"]) == ids
+        # Bernoulli(0.8) with the same seed == the train split
+        samp = set(bernoulli_sample(ds, 0.8, key="doc_id")
+                   .to_pandas()["doc_id"])
+        assert samp == parts["train"]
+
+    def test_seed_changes_assignment_and_negative_key_raises(self):
+        from searchenginesimple_ray.stages.sampling import hash_u32
+        k = np.arange(1000, dtype=np.int64)
+        assert not np.array_equal(hash_u32(k, 0), hash_u32(k, 1))
+        with pytest.raises(ValueError):
+            hash_u32(np.array([-1], dtype=np.int64))
+
+    def test_quota_by_group_matches_window_oracle(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from searchenginesimple_ray.stages.sampling import quota_by_group
+        rng = np.random.default_rng(7)
+        docs = pd.DataFrame({
+            "doc_id": np.arange(2_000, dtype=np.int64),
+            "source": rng.integers(0, 17, 2_000).astype(str)})
+        got = quota_by_group(ray.data.from_pandas(docs), "source", 13,
+                             key="doc_id", seed=0).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = duckdb.sql("""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY ((doc_id % 2147483648) * 2654435761)
+                           % 4294967296, doc_id) AS rn
+              FROM docs) WHERE rn <= 13 ORDER BY doc_id""").df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert (got.groupby("source").size() <= 13).all()
