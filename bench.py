@@ -117,6 +117,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("video_stats", d.q_video_stats),
                      ("lang_hist", d.q_lang_hist),
                      ("doc_token_stats", d.q_doc_token_stats),
+                     ("hash_split", d.q_hash_split),
+                     ("source_quota", d.q_source_quota),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),
                      ("asof_join", d.q_asof_join)]:
@@ -207,13 +209,19 @@ def scaling_main():
     # which approximates the machine's uncontended capability the same
     # way at both levels.  All raw trials are reported.
     trials = int(os.environ.get("RAY_GRAFT_SCALE_TRIALS", "3"))
-    # corpus = the headline sf (600k turns at sf0.1).  A 4x corpus was
-    # tried and makes the ratio WORSE on this box: beyond ~1M turns the
-    # 16-CPU build saturates the single box's fixed DRAM bandwidth
-    # (T(16) measured 145 s vs the 77 s the T=F+W/N model predicts), a
-    # constraint real 4N-node clusters don't share since bandwidth
-    # scales with node count.  See BASELINE.md for the full analysis.
-    scale_mult = float(os.environ.get("RAY_GRAFT_SCALE_CORPUS_MULT", "1"))
+    # corpus = 4x the headline sf (2.4M turns at sf0.1) — the largest
+    # input whose 1-CPU build stays tolerable, so per-level work
+    # dominates fixed job latency (W/N >> F) the way per-node work
+    # does on a real cluster.  NB the corpus-size sweet spot is
+    # PAIR-dependent: at 4->16 CPUs a 4x corpus makes the ratio WORSE
+    # (beyond ~1M turns the 16-CPU build saturates the box's fixed
+    # DRAM bandwidth: T(16) measured 145 s vs the 77 s the T=F+W/N
+    # model predicts — a constraint real 4N-node clusters don't share
+    # since aggregate bandwidth scales with node count), while at
+    # 1->4 CPUs both levels sit far below the bandwidth ceiling and
+    # the bigger corpus amortizes F at both levels (measured 0.70 at
+    # 600k -> 0.88 at 2.4M).  See BASELINE.md for the full analysis.
+    scale_mult = float(os.environ.get("RAY_GRAFT_SCALE_CORPUS_MULT", "4"))
     corpus_dir, n_turns = _bench_corpus(sf * scale_mult)
 
     def one(cpus: int) -> dict:
