@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_cosine_topk": d.q_ref_cosine_topk,
         # training-data suite: dedup family
         "exact_dedup": d.q_exact_dedup,
-        "minhash_pairs": d.q_minhash_pairs,            # rows-only (LSH)
+        "minhash_pairs": d.q_minhash_pairs,
         "ngram_jaccard_pairs": d.q_ngram_jaccard,
         "simhash_fingerprints": d.q_simhash_fingerprints,  # rows-only
         "embedding_near_dup": d.q_embedding_near_dup,
@@ -160,6 +160,15 @@ def _suggest_values() -> str:
     from searchenginesimple_ray.pipelines.driverops import SUGGEST_QUERIES
     return ", ".join(f"({i}::BIGINT, '{q}')"
                      for i, q in enumerate(SUGGEST_QUERIES))
+
+
+def _minhash_perm_values() -> str:
+    """The engine's 64 (a, b) universal-hash constants, inlined as SQL
+    VALUES rows — same seed-7 family as ``MinhashStage``."""
+    from searchenginesimple_ray.functions.minhash import _permutations
+    a, b = _permutations(64, 7)
+    return ", ".join(f"({j + 1}, {int(a[j])}, {int(b[j])})"
+                     for j in range(64))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -307,6 +316,61 @@ SELECT query_id, rn - 1 AS rank, doc_id FROM ranked WHERE rn <= 10
 """,
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        # MinHash+LSH near-dup clusters, EXACT oracle.  The engine emits
+        # a pair iff some LSH band (16 bands x 4 rows) matches AND the
+        # estimated Jaccard (matching signature positions / 64) >= 0.8.
+        # 0.8 * 64 = 51.2 means >= 52 matching positions, and with no
+        # fully-matching band at most 16 * 3 = 48 positions can match —
+        # so the verify threshold IMPLIES a band match (pigeonhole) and
+        # the banding step has provable recall 1 at these parameters.
+        # Plain all-pairs signature comparison is therefore a true
+        # oracle, no LSH modeling needed.  Signatures are recomputed
+        # exactly: 5-byte shingle windows of the lowercased text
+        # (Horner base-257 mod 2^32 — character-based substr equals the
+        # engine's byte windows on this all-ASCII corpus), texts under
+        # 5 chars space-padded, then min over shingles of
+        # (a*x + b) mod 2^31-1 per permutation.  Cluster rep = min id
+        # via recursive min-label propagation; reps' own rows are
+        # omitted, matching components_min_rep's output.
+        "minhash_pairs": f"""
+WITH RECURSIVE perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
+mh_docs AS (
+  SELECT doc_id, CASE WHEN length(lower(text)) < 5
+      THEN lower(text) || repeat(' ', 5 - length(lower(text)))
+      ELSE lower(text) END AS t
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(t) - 3), i ->
+      ((((ord(substr(t, i, 1))::BIGINT * 257
+         + ord(substr(t, i + 1, 1))) * 257
+         + ord(substr(t, i + 2, 1))) * 257
+         + ord(substr(t, i + 3, 1))) * 257
+         + ord(substr(t, i + 4, 1))) % 4294967296)) AS x
+  FROM mh_docs
+),
+sig AS (
+  SELECT doc_id, j,
+         min((p.a * (shingles.x % 2147483647) + p.b) % 2147483647) AS s
+  FROM shingles CROSS JOIN perms p GROUP BY doc_id, j
+),
+sigv AS (SELECT doc_id, list(s ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigv a JOIN sigv b ON a.doc_id < b.doc_id
+  WHERE list_sum(list_transform(range(1, 65),
+        i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / 64.0 >= 0.8
+),
+und AS (SELECT src AS u, dst AS v FROM edges
+        UNION ALL SELECT dst, src FROM edges),
+reach(id, lab) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT w.v, r.lab FROM reach r JOIN und w ON w.u = r.id
+)
+SELECT id, min(lab) AS rep_id FROM reach GROUP BY id
+HAVING min(lab) <> id
 """,
         # exact word-3-gram Jaccard >= 0.8 pairs.  The engine's prefix
         # filter (Bayardo WWW'07) is candidate-EXACT, so plain all-pairs
