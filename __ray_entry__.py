@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_doc_len": d.q_ts_doc_len,
         "bm25_topk": d.q_bm25_topk,
         "ref_cosine_topk": d.q_ref_cosine_topk,
+        # training-data suite: quality / contamination
+        "repetition_stats": d.q_repetition_stats,
+        "decontaminate": d.q_decontaminate,
         # training-data suite: dedup family
         "exact_dedup": d.q_exact_dedup,
         "minhash_pairs": d.q_minhash_pairs,
@@ -316,6 +319,78 @@ SELECT query_id, rn - 1 AS rank, doc_id FROM ranked WHERE rn <= 10
 """,
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        # Gopher-style word-repetition counters (Rae et al. 2021,
+        # public recipe).  Tokens = whitespace split; n-gram identity
+        # in the engine is a 64-bit hash fold (collision odds
+        # ~m^2/2^65/doc — the accepted ngram_jaccard trade), strings
+        # here.  Docs with < 2 (< 3) tokens report 0 bigram (trigram)
+        # counters.  All counters CAST to BIGINT (the ts_doc_len
+        # HUGEINT dtype lesson).
+        "repetition_stats": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+big AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM tok WHERE len(toks) >= 2)
+),
+bigc AS (
+  SELECT doc_id, max(c) AS mx
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+  FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' '
+                       || toks[i + 2] AS g
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM tok WHERE len(toks) >= 3))
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t.toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(coalesce(bigc.mx, 0) AS BIGINT) AS top_bigram_count,
+       CAST(coalesce(tri.total - tri.dist, 0) AS BIGINT) AS n_dup_trigrams
+FROM tok t
+LEFT JOIN bigc ON bigc.doc_id = t.doc_id
+LEFT JOIN tri ON tri.doc_id = t.doc_id
+""",
+        # 13-gram benchmark decontamination (GPT-3 appendix C-style
+        # overlap check, public recipe).  Benchmark = doc_id % 50 == 0
+        # docs; corpus = the rest; n_overlap counts the corpus doc's
+        # DISTINCT 13-grams that occur anywhere in the benchmark.
+        "decontaminate": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i + 12], ' ') AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS i
+        FROM tok WHERE len(toks) >= 13)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+ov AS (
+  SELECT corp.doc_id, count(*) AS hits
+  FROM corp JOIN bench ON bench.g = corp.g
+  GROUP BY corp.doc_id
+),
+ng AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(ng.n, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(ov.hits, 0) AS BIGINT) AS n_overlap
+FROM tok t
+LEFT JOIN ng ON ng.doc_id = t.doc_id
+LEFT JOIN ov ON ov.doc_id = t.doc_id
+WHERE t.doc_id % 50 <> 0
 """,
         # MinHash+LSH near-dup clusters, EXACT oracle.  The engine emits
         # a pair iff some LSH band (16 bands x 4 rows) matches AND the

@@ -244,6 +244,37 @@ def q_lang_hist(sf_dir: str) -> pd.DataFrame:
     return pdf.reset_index(drop=True)
 
 
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, top_bigram_count,
+    n_dup_trigrams): Gopher-style word-repetition counters per doc."""
+    from ..stages.textstages import repetition_stats
+    return repetition_stats(_read_documents(sf_dir)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+DECONTAM_BENCH_MOD = 50   # doc_id % MOD == 0 plays the benchmark set
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_grams, n_overlap): 13-gram benchmark-contamination
+    counts for every corpus doc (benchmark = doc_id % 50 == 0 docs,
+    a deterministic stand-in for an external eval set)."""
+    from ..stages.textstages import decontaminate
+    docs = _read_documents(sf_dir)
+
+    def split(t: pa.Table, bench_side: bool) -> pa.Table:
+        m = t["doc_id"].to_numpy(zero_copy_only=False) \
+            % DECONTAM_BENCH_MOD == 0
+        return t.filter(pa.array(m if bench_side else ~m))
+
+    bench = docs.map_batches(split, fn_kwargs={"bench_side": True},
+                             batch_format="pyarrow")
+    corpus = docs.map_batches(split, fn_kwargs={"bench_side": False},
+                              batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=13) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_transcript_prep(sf_dir: str) -> pd.DataFrame:
     """(doc_id, conv_id, turn_idx, text): doc-prep output (A5 docids +
     min-length filter) over the derived transcripts — the per-turn text

@@ -94,5 +94,162 @@ def lang_histogram(ds: ray.data.Dataset, text_col: str = "text"):
     return stats.groupby("lang_pred").count()
 
 
+# --------------------------------------------- repetition / contamination
+
+def _flat_token_hashes(texts: list[str]):
+    """Whitespace-split every text; returns (flat uint64 token hashes,
+    per-row counts).  Token identity = fnv1a64, one dict probe per
+    token occurrence; all downstream n-gram work is numpy over the
+    flat array (no per-row Python in the gram/count kernels)."""
+    from ..functions.hashing import fnv1a64
+
+    tok_lists = [tx.split() for tx in texts]
+    token_hash: dict = {}
+    for tl in tok_lists:
+        for t in tl:
+            if t not in token_hash:
+                token_hash[t] = fnv1a64(t)
+    counts = np.fromiter((len(tl) for tl in tok_lists), np.int64,
+                         len(tok_lists))
+    flat = np.fromiter((token_hash[t] for tl in tok_lists for t in tl),
+                       np.uint64, int(counts.sum()))
+    return flat, counts
+
+
+def _gram_keys(flat: np.ndarray, rows: np.ndarray, n: int):
+    """FNV-fold n-gram keys over a flat token-hash array; grams that
+    would span row boundaries are masked out.  Returns (keys, row_of_key).
+    Same gram identity as ``dedup._gram_signature`` (collision odds
+    ~m^2/2^65 per doc — the accepted ngram_jaccard_pairs trade)."""
+    from .dedup import _GRAM_INIT, _GRAM_PRIME
+    m = flat.size - n + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    with np.errstate(over="ignore"):
+        g = np.full(m, _GRAM_INIT, np.uint64)
+        for j in range(n):
+            g = (g ^ flat[j: m + j]) * _GRAM_PRIME
+    ok = rows[: m] == rows[n - 1:]
+    return g[ok], rows[: m][ok]
+
+
+def _per_row_distinct(keys: np.ndarray, rows: np.ndarray, n_rows: int):
+    """(#occurrences, #distinct, max-multiplicity) of ``keys`` per row,
+    via one lexsort + run detection — no per-row loop."""
+    total = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    dist = np.zeros(n_rows, np.int64)
+    top = np.zeros(n_rows, np.int64)
+    if keys.size:
+        o = np.lexsort((keys, rows))
+        k, r = keys[o], rows[o]
+        new = np.concatenate([[True], (r[1:] != r[:-1]) | (k[1:] != k[:-1])])
+        starts = np.flatnonzero(new)
+        run_rows = r[starts]
+        run_len = np.diff(np.concatenate([starts, [k.size]]))
+        np.add.at(dist, run_rows, 1)
+        np.maximum.at(top, run_rows, run_len)
+    return total, dist, top
+
+
+def _repetition_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(id, text) batch -> per-doc repetition counters (all int64, so
+    the driver value-hash is dtype-stable):
+
+    - n_tokens / n_distinct_tokens: whitespace tokens and their
+      distinct count (Gopher's word-level repetition signals, Rae et
+      al. 2021 "Scaling Language Models", table A1 — public recipe);
+    - top_bigram_count: occurrences of the most frequent word 2-gram
+      (0 when fewer than 2 tokens);
+    - n_dup_trigrams: 3-gram occurrences minus distinct 3-grams
+      (0 when fewer than 3 tokens)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    flat, counts = _flat_token_hashes(texts)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    n_tok, n_dist, _ = _per_row_distinct(flat, rows, n)
+    k2, r2 = _gram_keys(flat, rows, 2)
+    _, _, top2 = _per_row_distinct(k2, r2, n)
+    k3, r3 = _gram_keys(flat, rows, 3)
+    t3, d3, _ = _per_row_distinct(k3, r3, n)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(n_tok),
+        "n_distinct_tokens": pa.array(n_dist),
+        "top_bigram_count": pa.array(top2),
+        "n_dup_trigrams": pa.array(t3 - d3),
+    })
+
+
+def repetition_stats(ds: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     batch_size: int = 4096) -> ray.data.Dataset:
+    """Per-doc word-repetition counters for quality filtering.  Pure
+    streaming map — no shuffle; each batch is one lexsort over its
+    flat token-hash array."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _repetition_batch,
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def decontaminate(ds: ray.data.Dataset, benchmark: ray.data.Dataset,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 13, batch_size: int = 4096) -> ray.data.Dataset:
+    """Benchmark decontamination: per corpus doc, how many of its
+    distinct word ``n``-grams appear in the benchmark set (GPT-3
+    appendix C / PaLM-style 13-gram overlap check, public recipe).
+
+    The benchmark gram set is aggregated ONCE (distinct gram hashes per
+    block -> driver union -> sorted array in the object store via
+    ``ray.put``) and every corpus task does a vectorized searchsorted
+    membership probe against the broadcast — a shuffle-free semi-join,
+    the small-side-broadcast shape the 100-TB design calls for
+    (benchmarks are MBs; the corpus never moves).  Docs with fewer than
+    ``n`` tokens have no grams and report 0.  Output columns (all
+    int64): doc_id, n_grams (distinct n-grams), n_overlap.
+    """
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        flat, counts = _flat_token_hashes(texts)
+        rows = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        k, _ = _gram_keys(flat, rows, n)
+        return pa.table({"g": pa.array(np.unique(k).view(np.int64))})
+
+    parts = benchmark.select_columns([text_col]) \
+        .map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bench_sorted = np.unique(parts["g"].to_numpy().astype(np.int64))
+    bench_ref = ray.put(bench_sorted)
+
+    def probe(batch: pa.Table, ref=None) -> pa.Table:
+        bg = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        m = len(texts)
+        flat, counts = _flat_token_hashes(texts)
+        rows = np.repeat(np.arange(m, dtype=np.int64), counts)
+        k, r = _gram_keys(flat, rows, n)
+        n_grams = np.zeros(m, np.int64)
+        n_over = np.zeros(m, np.int64)
+        if k.size:
+            o = np.lexsort((k, r))
+            k, r = k[o], r[o]
+            new = np.concatenate([[True],
+                                  (r[1:] != r[:-1]) | (k[1:] != k[:-1])])
+            k, r = k[new].view(np.int64), r[new]
+            np.add.at(n_grams, r, 1)
+            if bg.size:
+                pos = np.clip(np.searchsorted(bg, k), 0, bg.size - 1)
+                hit = bg[pos] == k
+                np.add.at(n_over, r[hit], 1)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(n_grams),
+                         "n_overlap": pa.array(n_over)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        probe, fn_kwargs={"ref": bench_ref},
+        batch_format="pyarrow", batch_size=batch_size)
+
+
 __all__ = ["TextStatsStage", "text_stats", "lang_histogram",
-           "LANG_MARKERS"]
+           "repetition_stats", "decontaminate", "LANG_MARKERS"]

@@ -156,6 +156,59 @@ class TestTextStats:
         assert ((out.quality_score >= 0) & (out.quality_score <= 1)).all()
 
 
+class TestRepetitionAndContamination:
+    TEXTS = [
+        "a b c a b c a b c",          # heavy 3-gram repetition
+        "x y z w v u t s",            # all distinct
+        "a a a a",                    # one token repeated
+        "q r",                        # below trigram width
+        "solo",                       # below bigram width
+        "",                           # empty
+    ]
+
+    def _brute(self, text):
+        toks = text.split()
+        from collections import Counter
+        bi = Counter(zip(toks, toks[1:]))
+        tri = Counter(zip(toks, toks[1:], toks[2:]))
+        return (len(toks), len(set(toks)),
+                max(bi.values()) if bi else 0,
+                sum(tri.values()) - len(tri))
+
+    def test_repetition_matches_brute_force(self, ray_session):
+        from searchenginesimple_ray.stages.textstages import repetition_stats
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(self.TEXTS)])
+        out = repetition_stats(ds).to_pandas().set_index("doc_id")
+        for i, t in enumerate(self.TEXTS):
+            nt, nd, top2, dup3 = self._brute(t)
+            r = out.loc[i]
+            assert (r.n_tokens, r.n_distinct_tokens,
+                    r.top_bigram_count, r.n_dup_trigrams) == \
+                (nt, nd, top2, dup3), (i, t)
+
+    def test_decontaminate_counts(self, ray_session):
+        from searchenginesimple_ray.stages.textstages import decontaminate
+        vocab = "alpha beta gamma delta epsilon zeta eta theta iota " \
+                "kappa lam mu nu xi".split()
+        bench_text = " ".join(vocab)                       # 14 tokens
+        clean_text = " ".join(reversed(vocab))
+        partial = " ".join(vocab[:13] + ["OTHER", "WORDS"])
+        bench = ray.data.from_items([{"doc_id": 0, "text": bench_text}])
+        corpus = ray.data.from_items([
+            {"doc_id": 1, "text": bench_text},     # full copy: 2 hits
+            {"doc_id": 2, "text": clean_text},     # 0 hits
+            {"doc_id": 3, "text": partial},        # first 13-gram only
+            {"doc_id": 4, "text": "too short"},    # no grams at all
+        ])
+        out = decontaminate(corpus, bench, n=13) \
+            .to_pandas().set_index("doc_id")
+        assert out.loc[1].n_grams == 2 and out.loc[1].n_overlap == 2
+        assert out.loc[2].n_grams == 2 and out.loc[2].n_overlap == 0
+        assert out.loc[3].n_grams == 3 and out.loc[3].n_overlap == 1
+        assert out.loc[4].n_grams == 0 and out.loc[4].n_overlap == 0
+
+
 class TestDedupFamily:
     def test_minhash_detects_near_identical(self, ray_session):
         base = ("the quick brown fox jumps over the lazy dog and then "
