@@ -117,6 +117,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("video_stats", d.q_video_stats),
                      ("lang_hist", d.q_lang_hist),
                      ("doc_token_stats", d.q_doc_token_stats),
+                     ("repetition_stats", d.q_repetition_stats),
+                     ("decontaminate", d.q_decontaminate),
                      ("hash_split", d.q_hash_split),
                      ("source_quota", d.q_source_quota),
                      ("event_window_agg", d.q_event_window_agg),
