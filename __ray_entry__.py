@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hist": d.q_lang_hist,
         # event-stream temporal operators (windowed agg / sessions /
         # as-of join — custom operators Ray Data lacks natively)
+        "json_props_agg": d.q_json_props_agg,
         "event_window_agg": d.q_event_window_agg,
         "sessionize": d.q_sessionize,
         "asof_join": d.q_asof_join,
@@ -776,6 +777,14 @@ pred AS (
   FROM base
 )
 SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+""",
+        # JSON record-parse of the props column + per-type aggregate
+        "json_props_agg": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
 """,
         # tumbling 1h windows aligned to the epoch; exact cent sums
         "event_window_agg": """

@@ -121,6 +121,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("decontaminate", d.q_decontaminate),
                      ("hash_split", d.q_hash_split),
                      ("source_quota", d.q_source_quota),
+                     ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),
                      ("asof_join", d.q_asof_join)]:

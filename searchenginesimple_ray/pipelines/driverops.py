@@ -606,6 +606,15 @@ def _read_events(sf_dir: str) -> ray.data.Dataset:
         columns=["event_id", "ts", "user_id", "event_type", "value"])
 
 
+def q_json_props_agg(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_events, sum_k): JSON record-parse of the events
+    ``props`` column + per-type integer aggregate."""
+    from ..stages.events import json_props_agg
+    return json_props_agg(ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"]))
+
+
 def q_event_window_agg(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1h window x event_type counts + exact cent sums."""
     from ..stages.events import event_window_agg

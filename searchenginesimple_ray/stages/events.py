@@ -206,3 +206,44 @@ def asof_join_events(events: ray.data.Dataset,
     return events.map_batches(with_bucket, batch_format="pyarrow") \
         .groupby("bucket") \
         .map_groups(kernel, batch_format="pandas")
+
+
+def json_props_agg(events: ray.data.Dataset, field: str = "k"):
+    """Parse the JSON ``props`` column and aggregate the extracted
+    integer field per event_type -> (event_type, n_events, sum_k).
+
+    The record-parse step the reference does over its per-file JSON
+    intermediates (`include/Page/Page.hpp:125-150` reduce parses the
+    map output), generalized to a columnar stage: polars'
+    vectorized ``str.json_decode`` parses the whole batch at native
+    speed (fallback: stdlib json per row), and each batch is
+    pre-aggregated to at most ``n_types`` partial rows, so the final
+    combine is driver-trivial no matter the corpus size — raw events
+    never shuffle.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        try:
+            import polars as pl
+            ks = pl.from_arrow(batch["props"]).str.json_decode() \
+                .struct.field(field).cast(pl.Int64).to_numpy()
+        except ImportError:      # pragma: no cover - polars is baked in
+            import json
+            ks = np.fromiter((json.loads(p)[field]
+                              for p in batch["props"].to_pylist()),
+                             np.int64, batch.num_rows)
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv, counts = np.unique(types, return_inverse=True,
+                                      return_counts=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, ks)
+        return pa.table({"event_type": pa.array(uniq, pa.string()),
+                         "n_partial": pa.array(counts.astype(np.int64)),
+                         "sum_partial": pa.array(sums)})
+
+    pdf = events.select_columns(["event_type", "props"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pdf.groupby("event_type", as_index=False).agg(
+        n_events=("n_partial", "sum"), sum_k=("sum_partial", "sum"))
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

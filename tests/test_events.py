@@ -113,7 +113,7 @@ class TestOracleParity:
     runs the same comparison at sf0.01 via __ray_entry__)."""
 
     @pytest.mark.parametrize("name", ["event_window_agg", "sessionize",
-                                      "asof_join"])
+                                      "asof_join", "json_props_agg"])
     def test_matches_duckdb(self, ray_session, name):
         import duckdb
         import importlib.util
