@@ -53,7 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_doc_len": d.q_ts_doc_len,
         "bm25_topk": d.q_bm25_topk,
         "ref_cosine_topk": d.q_ref_cosine_topk,
-        # training-data suite: quality / contamination
+        # training-data suite: quality / contamination / sketches
+        "heavy_hitters": d.q_heavy_hitters,
         "repetition_stats": d.q_repetition_stats,
         "decontaminate": d.q_decontaminate,
         # training-data suite: dedup family
@@ -320,6 +321,22 @@ SELECT query_id, rn - 1 AS rank, doc_id FROM ranked WHERE rn <= 10
 """,
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        # phi-heavy-hitters of the whitespace-token stream.  The engine
+        # uses a mergeable Misra-Gries sketch pass (bounded state) plus
+        # an exact candidate recount, so its output is exact and the
+        # plain count-filter SQL is a true oracle.  Integer threshold:
+        # n * 50 > total * 1 (no float boundary).
+        "heavy_hitters": """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tok),
+c AS (SELECT term, count(*) AS k FROM tok GROUP BY term)
+SELECT term, CAST(k AS BIGINT) AS n_occurrences
+FROM c, tot WHERE k * 50 > tot.n * 1
 """,
         # Gopher-style word-repetition counters (Rae et al. 2021,
         # public recipe).  Tokens = whitespace split; n-gram identity

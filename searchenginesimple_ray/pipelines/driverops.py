@@ -244,6 +244,14 @@ def q_lang_hist(sf_dir: str) -> pd.DataFrame:
     return pdf.reset_index(drop=True)
 
 
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """(term, n_occurrences): exact 1/50-heavy-hitters of the document
+    token stream via mergeable Misra-Gries + exact recount."""
+    from ..stages.sketches import heavy_hitters
+    return heavy_hitters(_read_documents(sf_dir), "text",
+                         phi_num=1, phi_den=50)
+
+
 def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     """(doc_id, n_tokens, n_distinct_tokens, top_bigram_count,
     n_dup_trigrams): Gopher-style word-repetition counters per doc."""

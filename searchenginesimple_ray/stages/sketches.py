@@ -1,0 +1,121 @@
+"""Sketch-based streaming operators: phi-heavy-hitters over a token
+stream via mergeable Misra-Gries summaries plus an exact second pass.
+
+The reference has no sketches at all (SURVEY.md §2.5: "no sketches,
+no approximate aggregates anywhere"); this is a training-data-suite
+addition.  Why a sketch when ``term_tf`` already computes exact
+counts: the exact partial-count path carries O(vocab) state per block
+into the combine, which is fine for a bounded index vocabulary but
+not for an unbounded token stream (URLs, hashes, typos at 100 TB).
+A Misra-Gries summary of capacity ``cap`` holds <= cap counters per
+block NO MATTER the vocabulary, and summaries merge associatively
+with total undercount <= N/(cap+1) (Misra & Gries 1982; mergeability
+per Agarwal et al., PODS'12 "Mergeable Summaries").
+
+Exactness contract: with ``cap + 1 >= den/num`` every term of true
+frequency > N*num/den survives the sketch (undercount bound), so the
+candidate set is a guaranteed superset of the phi-heavy terms.  The
+second pass re-counts ONLY the <= cap candidates exactly (broadcast
+set, vectorized membership, integer combine) and applies the integer
+threshold ``count * den > total * num`` — output is therefore EXACT
+(SQL-oracle-checkable), while the exchange stays at O(cap) rows per
+block in both passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, cap: int):
+    """Reduce an exact (term, count) table to <= cap Misra-Gries
+    counters: subtract the (cap+1)-th largest count from all and drop
+    the non-positive (one decrement round; removes >= the excess).
+    Undercount added per call is <= that pivot value."""
+    if len(terms) <= cap:
+        return terms, counts
+    order = np.argsort(counts)[::-1]
+    pivot = counts[order[cap]]
+    keep = counts > pivot
+    return terms[keep], counts[keep] - pivot
+
+
+def heavy_hitters(ds: ray.data.Dataset, text_col: str = "text",
+                  phi_num: int = 1, phi_den: int = 50,
+                  cap: int | None = None) -> pd.DataFrame:
+    """Exact phi-heavy-hitters of the whitespace-token stream:
+    (term, n_occurrences) for every term with
+    ``n_occurrences * phi_den > total_tokens * phi_num``.
+
+    Pass 1 streams Misra-Gries summaries (<= cap counters/block) to
+    the driver and merges them (sum, then one compress — the PODS'12
+    merge); pass 2 broadcasts the candidate array and combines exact
+    per-batch counts of candidates only.  Integer threshold — no
+    float boundary cases against the DuckDB oracle.
+    """
+    if cap is None:
+        cap = max(phi_den // max(phi_num, 1), 1)
+        # cap >= den/num  =>  cap+1 > den/num  =>  superset guarantee
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(t.split())
+        total = len(toks)
+        if total:
+            terms, counts = np.unique(np.asarray(toks, dtype=object),
+                                      return_counts=True)
+            terms, counts = _mg_compress(terms, counts.astype(np.int64),
+                                         cap)
+        else:
+            terms = np.empty(0, object)
+            counts = np.empty(0, np.int64)
+        # one total-count row (term=None) rides along with the summary
+        return pa.table({
+            "term": pa.array(list(terms) + [None], pa.string()),
+            "w": pa.array(np.concatenate([counts, [total]]), pa.int64()),
+        })
+
+    sel = ds.select_columns([text_col])
+    part = sel.map_batches(mg_partial, batch_format="pyarrow").to_pandas()
+    total = int(part.loc[part["term"].isna(), "w"].sum())
+    summ = part.dropna(subset=["term"]).groupby("term", as_index=False)["w"] \
+        .sum()
+    cand_terms, _ = _mg_compress(summ["term"].to_numpy(),
+                                 summ["w"].to_numpy().astype(np.int64), cap)
+    if not len(cand_terms) or not total:
+        return pd.DataFrame({"term": pd.Series([], dtype=str),
+                             "n_occurrences": pd.Series([], dtype=np.int64)})
+    cand_ref = ray.put(np.sort(cand_terms.astype(str)))
+
+    def exact_counts(batch: pa.Table, ref=None) -> pa.Table:
+        cand = ray.get(ref)
+        texts = batch[text_col].to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(t.split())
+        arr = np.asarray(toks, dtype=str)
+        if arr.size:
+            pos = np.clip(np.searchsorted(cand, arr), 0, len(cand) - 1)
+            hit = cand[pos] == arr
+            counts = np.bincount(pos[hit], minlength=len(cand))
+        else:
+            counts = np.zeros(len(cand), np.int64)
+        return pa.table({"term": pa.array(cand, pa.string()),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    cnt = sel.map_batches(exact_counts, fn_kwargs={"ref": cand_ref},
+                          batch_format="pyarrow").to_pandas() \
+        .groupby("term", as_index=False)["c"].sum()
+    out = cnt[cnt["c"] * phi_den > total * phi_num] \
+        .rename(columns={"c": "n_occurrences"})
+    out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
+    return out.sort_values("term").reset_index(drop=True)
+
+
+__all__ = ["heavy_hitters"]

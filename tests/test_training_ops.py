@@ -556,3 +556,72 @@ class TestHashSplit:
               FROM docs) WHERE rn <= 13 ORDER BY doc_id""").df()
         assert got["doc_id"].tolist() == want["doc_id"].tolist()
         assert (got.groupby("source").size() <= 13).all()
+
+
+class TestHeavyHitters:
+    """stages/sketches.py: Misra-Gries phi-heavy-hitters with an exact
+    recount pass — output must be EXACT despite the bounded sketch."""
+
+    @staticmethod
+    def _exact(texts, phi_num, phi_den):
+        toks = [t for s in texts for t in s.split()]
+        c = pd.Series(toks).value_counts()
+        total = len(toks)
+        out = c[c * phi_den > total * phi_num]
+        return {t: int(n) for t, n in out.items()}
+
+    def test_exact_on_adversarial_stream(self, ray_session):
+        """Many distinct rare terms per block force MG compression in
+        every partial; heavy terms must still come out with EXACT
+        counts (superset guarantee + recount)."""
+        import ray.data
+
+        from searchenginesimple_ray.stages.sketches import heavy_hitters
+        rng = np.random.default_rng(3)
+        texts = []
+        for i in range(400):
+            # each doc: 20 unique-ish rare tokens + some heavies
+            rare = [f"r{i}_{j}" for j in range(20)]
+            heavy = ["alpha"] * 3 + (["beta"] * 2 if i % 2 else []) \
+                + (["gamma"] if i % 10 == 0 else [])
+            toks = rare + heavy
+            rng.shuffle(toks)
+            texts.append(" ".join(toks))
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"text": texts})).repartition(8)
+        got = heavy_hitters(ds, "text", phi_num=1, phi_den=50, cap=50)
+        want = self._exact(texts, 1, 50)
+        assert dict(zip(got["term"], got["n_occurrences"])) == want
+        assert "alpha" in want  # the test is vacuous otherwise
+
+    def test_empty_and_no_hitters(self, ray_session):
+        import ray.data
+
+        from searchenginesimple_ray.stages.sketches import heavy_hitters
+        # uniform stream: nothing exceeds 1/50
+        texts = [" ".join(f"t{i}_{j}" for j in range(30))
+                 for i in range(100)]
+        ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+        got = heavy_hitters(ds, "text", phi_num=1, phi_den=50)
+        assert len(got) == 0
+        empty = ray.data.from_pandas(pd.DataFrame({"text": [""] * 5}))
+        assert len(heavy_hitters(empty, "text")) == 0
+
+    def test_matches_duckdb_oracle(self, ray_session):
+        import importlib.util
+
+        import duckdb
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", "/root/repo/__ray_entry__.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        got = m.queries()["heavy_hitters"]("/root/testdata/sf0.001")
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/documents.parquet'")
+        want = con.execute(m.oracle_sql()["heavy_hitters"]).df()
+        cols = sorted(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(want) > 0  # sf0.001 vocab is tiny: hitters exist
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
