@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ref_cosine_topk": d.q_ref_cosine_topk,
         # training-data suite: quality / contamination / sketches
         "heavy_hitters": d.q_heavy_hitters,
+        "token_len_quantiles": d.q_token_len_quantiles,
         "repetition_stats": d.q_repetition_stats,
         "decontaminate": d.q_decontaminate,
         # training-data suite: dedup family
@@ -337,6 +338,27 @@ tot AS (SELECT count(*) AS n FROM tok),
 c AS (SELECT term, count(*) AS k FROM tok GROUP BY term)
 SELECT term, CAST(k AS BIGINT) AS n_occurrences
 FROM c, tot WHERE k * 50 > tot.n * 1
+""",
+        # grouped quantiles of per-doc whitespace-token counts.  The
+        # engine's histogram-combine walk implements exactly DuckDB's
+        # quantile_disc rank rule (smallest value with cumulative count
+        # >= ceil(q*n)); quartile fractions are binary-exact doubles so
+        # ceil(q*n) has no float boundary.  Token counting is RE2 \S+
+        # on both sides (Arrow count_substring_regex vs DuckDB
+        # regexp_extract_all) — identical whitespace semantics.
+        "token_len_quantiles": """
+WITH tl AS (
+  SELECT source, length(regexp_extract_all(text, '\\S+')) AS n_tok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                 AS n_docs,
+       CAST(min(n_tok) AS BIGINT)               AS min_tokens,
+       CAST(quantile_disc(n_tok, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_tok, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_tok, 0.75) AS BIGINT) AS p75,
+       CAST(max(n_tok) AS BIGINT)               AS max_tokens
+FROM tl GROUP BY source
 """,
         # Gopher-style word-repetition counters (Rae et al. 2021,
         # public recipe).  Tokens = whitespace split; n-gram identity

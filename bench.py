@@ -120,6 +120,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("repetition_stats", d.q_repetition_stats),
                      ("decontaminate", d.q_decontaminate),
                      ("heavy_hitters", d.q_heavy_hitters),
+                     ("token_len_quantiles", d.q_token_len_quantiles),
                      ("hash_split", d.q_hash_split),
                      ("source_quota", d.q_source_quota),
                      ("json_props_agg", d.q_json_props_agg),

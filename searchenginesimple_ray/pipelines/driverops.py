@@ -252,6 +252,13 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
                          phi_num=1, phi_den=50)
 
 
+def q_token_len_quantiles(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, min/p25/p50/p75/max token counts): exact
+    grouped quantiles via a bounded-domain histogram combine."""
+    from ..stages.sketches import token_count_quantiles
+    return token_count_quantiles(_read_documents(sf_dir), "text", "source")
+
+
 def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     """(doc_id, n_tokens, n_distinct_tokens, top_bigram_count,
     n_dup_trigrams): Gopher-style word-repetition counters per doc."""

@@ -1,5 +1,6 @@
-"""Sketch-based streaming operators: phi-heavy-hitters over a token
-stream via mergeable Misra-Gries summaries plus an exact second pass.
+"""Bounded-state summary operators over token streams: phi-heavy-
+hitters via mergeable Misra-Gries summaries plus an exact second
+pass, and grouped quantiles via a bounded-domain histogram combine.
 
 The reference has no sketches at all (SURVEY.md §2.5: "no sketches,
 no approximate aggregates anywhere"); this is a training-data-suite
@@ -118,4 +119,56 @@ def heavy_hitters(ds: ray.data.Dataset, text_col: str = "text",
     return out.sort_values("term").reset_index(drop=True)
 
 
-__all__ = ["heavy_hitters"]
+def token_count_quantiles(ds: ray.data.Dataset, text_col: str = "text",
+                          group_col: str = "source") -> pd.DataFrame:
+    """Exact grouped quantiles of the per-doc whitespace-token count:
+    (group, n_docs, min/p25/p50/p75/max of tokens), all int64.
+
+    Distributed as a HISTOGRAM COMBINE: each batch emits per-(group,
+    value) counts (vectorized ``\\S+`` match counting, Arrow group_by),
+    so the exchange carries one row per distinct (group, token_count)
+    — bounded by the max document length, NOT the corpus size.  The
+    driver merges the bounded histogram and walks cumulative counts.
+    Quantile rule matches DuckDB ``quantile_disc`` (= SQL
+    percentile_disc): smallest value whose cumulative count reaches
+    ``ceil(q*n)``.  Quartiles only — 0.25/0.5/0.75 are binary-exact
+    doubles, so ceil(q*n) has no float boundary vs the oracle.
+
+    Scale note: exactness relies on the value domain being bounded
+    (token counts are; arbitrary doubles are not).  For unbounded
+    domains the same two-pass shape would carry a mergeable KLL/
+    t-digest summary instead, trading exactness for O(k) state.
+    """
+    import pyarrow.compute as pc
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(batch[text_col], r"\S+")
+        t = pa.table({"g": batch[group_col], "v": n_tok})
+        return t.group_by(["g", "v"]).aggregate([("v", "count")]) \
+            .rename_columns(["g", "v", "n"])
+
+    part = ds.select_columns([group_col, text_col]) \
+        .map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = part.groupby(["g", "v"], as_index=False)["n"].sum() \
+        .sort_values(["g", "v"])
+
+    rows = []
+    for g, sub in hist.groupby("g", sort=True):
+        v = sub["v"].to_numpy()
+        cum = sub["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        qs = {}
+        for name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75)]:
+            k = max(int(np.ceil(q * n)), 1)        # 1-based rank
+            qs[name] = int(v[np.searchsorted(cum, k)])
+        rows.append({group_col: g, "n_docs": n,
+                     "min_tokens": int(v[0]), **qs,
+                     "max_tokens": int(v[-1])})
+    out = pd.DataFrame(rows, columns=[group_col, "n_docs", "min_tokens",
+                                      "p25", "p50", "p75", "max_tokens"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+__all__ = ["heavy_hitters", "token_count_quantiles"]

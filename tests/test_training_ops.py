@@ -625,3 +625,58 @@ class TestHeavyHitters:
         want = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(want) > 0  # sf0.001 vocab is tiny: hitters exist
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestTokenLenQuantiles:
+    """stages/sketches.token_count_quantiles: histogram-combine
+    quantiles must implement DuckDB's quantile_disc rank rule."""
+
+    def test_matches_duckdb_on_random_groups(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from searchenginesimple_ray.stages.sketches import \
+            token_count_quantiles
+        rng = np.random.default_rng(11)
+        # odd/even/singleton group sizes stress the ceil(q*n) rule
+        sizes = {"a": 101, "b": 100, "c": 1, "d": 7}
+        rows = []
+        for g, n in sizes.items():
+            for _ in range(n):
+                rows.append({"source": g,
+                             "text": " ".join(
+                                 "tok" for _ in range(rng.integers(0, 40)))})
+        rng.shuffle(rows)
+        docs = pd.DataFrame(rows)
+        got = token_count_quantiles(
+            ray.data.from_pandas(docs).repartition(6), "text", "source")
+        want = duckdb.sql(r"""
+            WITH tl AS (SELECT source,
+                length(regexp_extract_all(text, '\S+')) AS v FROM docs)
+            SELECT source, count(*) AS n_docs, min(v) AS min_tokens,
+                   quantile_disc(v, 0.25) AS p25,
+                   quantile_disc(v, 0.50) AS p50,
+                   quantile_disc(v, 0.75) AS p75,
+                   max(v) AS max_tokens
+            FROM tl GROUP BY source ORDER BY source""").df()
+        got = got.sort_values("source").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_driver_entry_matches_oracle(self, ray_session):
+        import importlib.util
+
+        import duckdb
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", "/root/repo/__ray_entry__.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        got = m.queries()["token_len_quantiles"]("/root/testdata/sf0.001")
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/documents.parquet'")
+        want = con.execute(m.oracle_sql()["token_len_quantiles"]).df()
+        cols = sorted(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
