@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data suite: quality / contamination / sketches
         "heavy_hitters": d.q_heavy_hitters,
         "token_len_quantiles": d.q_token_len_quantiles,
+        "pii_scrub": d.q_pii_scrub,
         "repetition_stats": d.q_repetition_stats,
         "decontaminate": d.q_decontaminate,
         # training-data suite: dedup family
@@ -359,6 +360,42 @@ SELECT source,
        CAST(quantile_disc(n_tok, 0.75) AS BIGINT) AS p75,
        CAST(max(n_tok) AS BIGINT)               AS max_tokens
 FROM tl GROUP BY source
+""",
+        # PII redaction.  Patterns are RE2, verbatim-identical to
+        # stages/textstages.PII_PATTERNS, applied in the same order
+        # (each count runs on the text as left by the previous
+        # replacement).  The injection concat mirrors the engine's
+        # deterministic dirtying stage (see q_pii_scrub docstring).
+        "pii_scrub": """
+WITH s0 AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or http://ex.org/p/'
+              || doc_id || ' from 10.0.' || (doc_id % 256) || '.7' AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t
+  FROM s0
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(length(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT)
+             AS n_url,
+         regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_email, n_url,
+       CAST(length(regexp_extract_all(t,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+           AS n_ipv4,
+       regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                      '<IP>', 'g') AS clean_text
+FROM s2
 """,
         # Gopher-style word-repetition counters (Rae et al. 2021,
         # public recipe).  Tokens = whitespace split; n-gram identity

@@ -259,6 +259,28 @@ def q_token_len_quantiles(sf_dir: str) -> pd.DataFrame:
     return token_count_quantiles(_read_documents(sf_dir), "text", "source")
 
 
+def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_email, n_url, n_ipv4, clean_text): PII redaction.
+    The testdata corpus is synthetic and PII-free, so a deterministic
+    injection stage (pure doc_id arithmetic, replicated as string
+    concat in the SQL oracle) dirties each doc first — the scrub then
+    demonstrably finds and redacts nonzero spans."""
+    from ..stages.textstages import pii_scrub
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        s = ids.astype(str)
+        dirty = (pd.Series(batch["text"].to_pylist())
+                 + " contact user" + s + "@example.com or http://ex.org/p/"
+                 + s + " from 10.0." + (ids % 256).astype(str) + ".7")
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(dirty, pa.string())})
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"]) \
+        .map_batches(inject, batch_format="pyarrow")
+    return pii_scrub(ds).to_pandas()
+
+
 def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     """(doc_id, n_tokens, n_distinct_tokens, top_bigram_count,
     n_dup_trigrams): Gopher-style word-repetition counters per doc."""

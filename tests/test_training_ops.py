@@ -680,3 +680,45 @@ class TestTokenLenQuantiles:
         want = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(want) > 0
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestPiiScrub:
+    """stages/textstages.pii_scrub: Arrow RE2 vs DuckDB RE2 parity."""
+
+    def test_counts_and_redaction(self, ray_session):
+        import ray.data
+
+        from searchenginesimple_ray.stages.textstages import pii_scrub
+        docs = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["mail a@b.co or https://x.org/y from 10.0.0.7 end",
+                     "two a@b.io c%d-e@f.co.uk emails",
+                     "no pii here 1.2.3.4567",
+                     ""]})
+        out = pii_scrub(ray.data.from_pandas(docs)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["n_email"].tolist() == [1, 2, 0, 0]
+        assert out["n_url"].tolist() == [1, 0, 0, 0]
+        assert out["n_ipv4"].tolist() == [1, 0, 0, 0]
+        assert out["clean_text"][0] == \
+            "mail <EMAIL> or <URL> from <IP> end"
+        assert out["clean_text"][2] == "no pii here 1.2.3.4567"
+
+    def test_driver_entry_matches_oracle(self, ray_session):
+        import importlib.util
+
+        import duckdb
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", "/root/repo/__ray_entry__.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        got = m.queries()["pii_scrub"]("/root/testdata/sf0.001")
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/documents.parquet'")
+        want = con.execute(m.oracle_sql()["pii_scrub"]).df()
+        cols = sorted(want.columns)
+        got = got[cols].sort_values("doc_id").reset_index(drop=True)
+        want = want[cols].sort_values("doc_id").reset_index(drop=True)
+        assert (want["n_email"] >= 1).all()  # injection worked
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
