@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": d.q_heavy_hitters,
         "token_len_quantiles": d.q_token_len_quantiles,
         "pii_scrub": d.q_pii_scrub,
+        "nation_revenue": d.q_nation_revenue,
         "repetition_stats": d.q_repetition_stats,
         "decontaminate": d.q_decontaminate,
         # training-data suite: dedup family
@@ -360,6 +361,22 @@ SELECT source,
        CAST(quantile_disc(n_tok, 0.75) AS BIGINT) AS p75,
        CAST(max(n_tok) AS BIGINT)               AS max_tokens
 FROM tl GROUP BY source
+""",
+        # TPC-H-Q5 join shape over the relational tables.  Revenue in
+        # integer units of 1e-4 dollars via floor(x*100+0.5) cents on
+        # both sides — identical IEEE double ops, so int64-exact and
+        # partitioning-independent.
+        "nation_revenue": """
+SELECT n_name, r_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_x10k
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
 """,
         # PII redaction.  Patterns are RE2, verbatim-identical to
         # stages/textstages.PII_PATTERNS, applied in the same order

@@ -122,6 +122,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("heavy_hitters", d.q_heavy_hitters),
                      ("token_len_quantiles", d.q_token_len_quantiles),
                      ("pii_scrub", d.q_pii_scrub),
+                     ("nation_revenue", d.q_nation_revenue),
                      ("hash_split", d.q_hash_split),
                      ("source_quota", d.q_source_quota),
                      ("json_props_agg", d.q_json_props_agg),

@@ -259,6 +259,67 @@ def q_token_len_quantiles(sf_dir: str) -> pd.DataFrame:
     return token_count_quantiles(_read_documents(sf_dir), "text", "source")
 
 
+def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """(n_name, r_name, revenue_x10k): lineitem revenue rolled up to
+    the customer's nation/region — the TPC-H-Q5 join shape exercising
+    both join strategies in `stages/joins.py`:
+
+    - lineitem is pre-aggregated per order INSIDE each batch (combiner
+      before any exchange), then fact-x-fact shuffle-joined with
+      orders and customer (hash-partitioned native joins);
+    - nation x region (genuine dimension tables at any scale) joined
+      driver-side and BROADCAST into the stream.
+
+    Revenue is integer-exact: price/discount cents via the same
+    floor(x*100 + 0.5) double arithmetic as the SQL oracle, summed in
+    int64 (units: dollars x 10^-4), so the value-hash is bit-stable
+    regardless of partitioning.
+    """
+    from ..stages.joins import broadcast_join, shuffle_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        price_c = np.floor(
+            batch["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        disc_c = np.floor(
+            batch["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "rev": pa.array(price_c * (100 - disc_c), pa.int64())})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "rev"])
+
+    li_agg = li.map_batches(rev_partial, batch_format="pyarrow")
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey"])
+    j1 = shuffle_join(li_agg, orders, on="l_orderkey",
+                      right_on="o_orderkey", num_partitions=8)
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_nationkey"])
+    j2 = shuffle_join(j1, cust, on="o_custkey", right_on="c_custkey",
+                      num_partitions=8)
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    dim = nat.join(reg, keys=["n_regionkey"],
+                   right_keys=["r_regionkey"]) \
+        .select(["n_nationkey", "n_name", "r_name"])
+    j3 = broadcast_join(j2, dim, keys="c_nationkey",
+                        right_keys="n_nationkey")
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["n_name", "r_name"]) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["n_name", "r_name", "rev"])
+
+    pdf = j3.map_batches(agg_partial, batch_format="pyarrow").to_pandas()
+    out = pdf.groupby(["n_name", "r_name"], as_index=False)["rev"].sum() \
+        .rename(columns={"rev": "revenue_x10k"})
+    out["revenue_x10k"] = out["revenue_x10k"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
     """(doc_id, n_email, n_url, n_ipv4, clean_text): PII redaction.
     The testdata corpus is synthetic and PII-free, so a deterministic
