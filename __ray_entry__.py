@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_len_quantiles": d.q_token_len_quantiles,
         "pii_scrub": d.q_pii_scrub,
         "nation_revenue": d.q_nation_revenue,
+        # rows-only (k-means is iterative; no SQL analogue — kernel
+        # exactness is pytest-gated, see TestSemDeDup)
+        "semdedup": d.q_semdedup,
         "repetition_stats": d.q_repetition_stats,
         "decontaminate": d.q_decontaminate,
         # training-data suite: dedup family

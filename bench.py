@@ -112,6 +112,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("ivf_topk", d.q_ivf_topk),
                      ("embedding_near_dup", d.q_embedding_near_dup),
                      ("embedding_sim_pairs", d.q_embedding_sim_pairs),
+                     ("semdedup", d.q_semdedup),
                      ("img_stats", d.q_img_stats),
                      ("audio_stats", d.q_audio_stats),
                      ("video_stats", d.q_video_stats),

@@ -259,6 +259,21 @@ def q_token_len_quantiles(sf_dir: str) -> pd.DataFrame:
     return token_count_quantiles(_read_documents(sf_dir), "text", "source")
 
 
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, cluster, keep): SemDeDup semantic dedup over the
+    embeddings table.  k-means is iterative (not SQL-expressible) so
+    this entry is rows-only at the driver; the within-cluster greedy
+    kernel is exactness-tested in pytest against an independent
+    reference on identical cluster assignments."""
+    from .similarity import semdedup
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    pdf = semdedup(ds, "vec_id", "embedding",
+                   threshold=0.95, n_clusters=16).to_pandas()
+    pdf["cluster"] = pdf["cluster"].astype(np.int64)
+    return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
     """(n_name, r_name, revenue_x10k): lineitem revenue rolled up to
     the customer's nation/region — the TPC-H-Q5 join shape exercising

@@ -312,3 +312,62 @@ def ivf_topk_pruned(index_dir: str, id_col: str, vec_col: str,
                                           "ivf_part", k),
         batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
     return _merge_probe_results(pdf, k)
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def _semdedup_greedy(ids: np.ndarray, V: np.ndarray,
+                     threshold: float) -> np.ndarray:
+    """Within-cluster greedy keep: items in ascending id order; drop an
+    item if its cosine to any already-KEPT item exceeds ``threshold``.
+    One Gram matmul then an O(c) row walk — quadratic in cluster size
+    by necessity (that is the SemDeDup kernel), linear in kept set."""
+    order = np.argsort(ids, kind="stable")
+    V = V[order]
+    G = V @ V.T
+    n = len(ids)
+    kept_rows: list[int] = []
+    keep = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if not kept_rows or float(G[i, kept_rows].max()) <= threshold:
+            keep[i] = True
+            kept_rows.append(i)
+    out = np.zeros(n, dtype=bool)
+    out[order] = keep
+    return out
+
+
+def semdedup(ds: ray.data.Dataset, id_col: str, vec_col: str,
+             threshold: float = 0.95, n_clusters: int = 16,
+             sample_rows: int = 4096,
+             seed: int = 11) -> ray.data.Dataset:
+    """Semantic dedup a la SemDeDup (Abbas et al. 2023, public
+    recipe): k-means-cluster the embeddings, then drop within-cluster
+    items whose cosine to an already-kept (lower-id) item exceeds
+    ``threshold``.  Returns (id, cluster, keep).
+
+    Distribution: centroids from the existing deterministic sampled
+    k-means (`train_centroids`), one broadcast assignment pass
+    (`assign_partitions`), then ONE shuffle on the cluster id with the
+    per-cluster greedy kernel inside ``map_groups``.  Only
+    (id, vector) rows move; cross-cluster near-dups are missed by
+    design (that is SemDeDup's stated recall trade).  At 100 TB the
+    cluster count grows to ~100k (paper setting) so each group stays
+    small; the quadratic kernel is per-cluster, never global.
+    """
+    C = train_centroids(ds.select_columns([vec_col]), vec_col,
+                        n_clusters, sample_rows=sample_rows, seed=seed)
+    assigned = assign_partitions(ds.select_columns([id_col, vec_col]),
+                                 id_col, vec_col, C)
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        V = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
+        keep = _semdedup_greedy(ids, V, threshold)
+        return pd.DataFrame({id_col: ids,
+                             "cluster": g["ivf_partition"].to_numpy(),
+                             "keep": keep})
+
+    return assigned.groupby("ivf_partition").map_groups(
+        dedup_group, batch_format="pandas")

@@ -722,3 +722,65 @@ class TestPiiScrub:
         want = want[cols].sort_values("doc_id").reset_index(drop=True)
         assert (want["n_email"] >= 1).all()  # injection worked
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestSemDeDup:
+    """pipelines/similarity.semdedup: cluster-then-greedy semantic
+    dedup; kernel exactness vs an independent reference."""
+
+    def test_greedy_kernel_known_case(self):
+        from searchenginesimple_ray.pipelines.similarity import \
+            _semdedup_greedy
+        # 0 and 2 near-identical; 1 orthogonal.  Lower id wins.
+        V = np.array([[1.0, 0.0], [0.0, 1.0], [0.999, 0.04]])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        keep = _semdedup_greedy(np.array([5, 1, 9]), V, 0.95)
+        # ascending-id order: 1 kept, 5 kept, 9 dropped (dup of 5)
+        assert keep.tolist() == [True, True, False]
+
+    def test_matches_reference_on_embeddings(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from searchenginesimple_ray.pipelines.similarity import (
+            _normalize, _semdedup_greedy, semdedup, train_centroids)
+        path = "/root/testdata/sf0.001/embeddings.parquet"
+        # the sf embeddings have no near-dups (max pairwise cosine
+        # ~0.48), so inject near-copies of the first 20 vectors to
+        # exercise actual drops
+        t = pq.read_table(path)
+        base_ids = t["vec_id"].to_numpy()
+        baseV = np.stack(
+            [np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+        rng = np.random.default_rng(2)
+        dupV = baseV[:20] + rng.normal(0, 1e-3, baseV[:20].shape)
+        ids = np.concatenate([base_ids, base_ids[:20] + 100_000])
+        Vraw = np.concatenate([baseV, dupV])
+        tbl = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([r.astype(np.float32).tolist()
+                                   for r in Vraw],
+                                  pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        got = semdedup(ds, "vec_id", "embedding", threshold=0.9,
+                       n_clusters=8).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        # reference: same deterministic centroids, driver-side assign,
+        # independent per-cluster greedy
+        V = _normalize(np.stack([np.asarray(v, np.float64)
+                                 for v in tbl["embedding"].to_pylist()]))
+        C = train_centroids(ds.select_columns(["embedding"]), "embedding",
+                            8)
+        assign = np.argmax(V @ C.T, axis=1)
+        want_keep = {}
+        for c in np.unique(assign):
+            m = assign == c
+            for i, k in zip(ids[m], _semdedup_greedy(ids[m], V[m], 0.9)):
+                want_keep[int(i)] = bool(k)
+        assert got["keep"].tolist() == \
+            [want_keep[int(i)] for i in got["vec_id"]]
+        assert len(got) == len(ids)
+        # the injected near-copies (higher ids) were dropped, the
+        # originals kept
+        dropped = set(got.loc[~got["keep"], "vec_id"])
+        assert dropped == set(base_ids[:20] + 100_000)
