@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data suite: quality / contamination / sketches
         "heavy_hitters": d.q_heavy_hitters,
         "token_len_quantiles": d.q_token_len_quantiles,
+        "distinct_tokens": d.q_distinct_tokens,
+        "source_top_docs": d.q_source_top_docs,
         "pii_scrub": d.q_pii_scrub,
         "nation_revenue": d.q_nation_revenue,
         # rows-only (k-means is iterative; no SQL analogue — kernel
@@ -364,6 +366,28 @@ SELECT source,
        CAST(quantile_disc(n_tok, 0.75) AS BIGINT) AS p75,
        CAST(max(n_tok) AS BIGINT)               AS max_tokens
 FROM tl GROUP BY source
+""",
+        # per-group distinct token counts; same tokenizer CTE as
+        # heavy_hitters (whitespace split, empties dropped).
+        "distinct_tokens": """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+)
+SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_terms
+FROM tok GROUP BY source
+""",
+        # top-3 longest docs per source, doc_id tiebreak — the window
+        # semantics the engine's partial-top-k combiner implements.
+        "source_top_docs": """
+SELECT source, n_chars, doc_id FROM (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
 """,
         # TPC-H-Q5 join shape over the relational tables.  Revenue in
         # integer units of 1e-4 dollars via floor(x*100+0.5) cents on

@@ -126,6 +126,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("nation_revenue", d.q_nation_revenue),
                      ("hash_split", d.q_hash_split),
                      ("source_quota", d.q_source_quota),
+                     ("distinct_tokens", d.q_distinct_tokens),
+                     ("source_top_docs", d.q_source_top_docs),
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),

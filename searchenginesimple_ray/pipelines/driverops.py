@@ -259,6 +259,25 @@ def q_token_len_quantiles(sf_dir: str) -> pd.DataFrame:
     return token_count_quantiles(_read_documents(sf_dir), "text", "source")
 
 
+def q_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """(source, n_distinct_terms): exact per-group distinct token
+    counts via per-block dedup before the exchange."""
+    from ..stages.sketches import grouped_distinct_tokens
+    return grouped_distinct_tokens(_read_documents(sf_dir), "text", "source")
+
+
+def q_source_top_docs(sf_dir: str) -> pd.DataFrame:
+    """(source, n_chars, doc_id): top-3 longest docs per source
+    (row_number window semantics, doc_id tiebreak)."""
+    from ..stages.sampling import topk_by_group
+    ds = _read_documents(sf_dir).select_columns(
+        ["source", "n_chars", "doc_id"])
+    pdf = topk_by_group(ds, "source", "n_chars", 3,
+                        key="doc_id").to_pandas()
+    return pdf[["source", "n_chars", "doc_id"]] \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def q_semdedup(sf_dir: str) -> pd.DataFrame:
     """(vec_id, cluster, keep): SemDeDup semantic dedup over the
     embeddings table.  k-means is iterative (not SQL-expressible) so

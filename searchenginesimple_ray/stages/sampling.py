@@ -140,3 +140,32 @@ def quota_by_group(ds: ray.data.Dataset, group_col: str, quota: int,
     return (ds.map_batches(local_topk, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(final_topk, batch_format="pandas"))
+
+
+def topk_by_group(ds: ray.data.Dataset, group_col: str, order_col: str,
+                  k: int, key: str = "doc_id",
+                  descending: bool = True) -> ray.data.Dataset:
+    """Per-group top-k by a score column ("best K docs per source"):
+    SQL ``row_number() OVER (PARTITION BY group ORDER BY score DESC,
+    key) <= k``, with ``key`` as the deterministic tiebreak.
+
+    Same scale shape as ``quota_by_group``: a per-batch PARTIAL top-k
+    per group cuts the exchange to <= k x blocks rows per group, then
+    the exact cut runs per group over the survivors.
+    """
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        pdf = batch.select([group_col, order_col, key]).to_pandas()
+        pdf = pdf.sort_values([order_col, key],
+                              ascending=[not descending, True]) \
+            .groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def final_topk(pdf):
+        return pdf.sort_values([order_col, key],
+                               ascending=[not descending, True]).head(k)
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(final_topk, batch_format="pandas"))

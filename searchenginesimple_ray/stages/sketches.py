@@ -172,3 +172,41 @@ def token_count_quantiles(ds: ray.data.Dataset, text_col: str = "text",
 
 
 __all__ = ["heavy_hitters", "token_count_quantiles"]
+
+
+def grouped_distinct_tokens(ds: ray.data.Dataset, text_col: str = "text",
+                            group_col: str = "source") -> pd.DataFrame:
+    """(group, n_distinct_terms): exact per-group distinct-token
+    counts — SQL ``count(DISTINCT term) GROUP BY group``.
+
+    Scale shape: each batch emits only its DISTINCT (group, term)
+    pairs (a per-block dedup BEFORE any exchange), so the exchange is
+    bounded by block vocabulary, not token count.  The final distinct
+    runs on the combined pair table — vocab x groups bounded here;
+    the documented scale path for unbounded vocabularies is
+    hash-partitioning the pairs on term and summing per-partition
+    distinct counts (exactly the term_df shuffle shape).
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        gs: list[str] = []
+        ts: list[str] = []
+        for g, t in zip(groups, texts):
+            for tok in set(t.split()):
+                gs.append(g)
+                ts.append(tok)
+        tb = pa.table({"g": pa.array(gs, pa.string()),
+                       "t": pa.array(ts, pa.string())})
+        return tb.group_by(["g", "t"]).aggregate([])
+
+    part = ds.select_columns([group_col, text_col]) \
+        .map_batches(pairs, batch_format="pyarrow").to_pandas()
+    out = part.drop_duplicates().groupby("g", as_index=False).size() \
+        .rename(columns={"g": group_col, "size": "n_distinct_terms"})
+    out["n_distinct_terms"] = out["n_distinct_terms"].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+__all__.append("grouped_distinct_tokens")

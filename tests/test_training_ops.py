@@ -784,3 +784,74 @@ class TestSemDeDup:
         # originals kept
         dropped = set(got.loc[~got["keep"], "vec_id"])
         assert dropped == set(base_ids[:20] + 100_000)
+
+
+class TestDistinctAndTopkByGroup:
+    """grouped_distinct_tokens + topk_by_group: window/distinct
+    semantics vs DuckDB."""
+
+    def test_distinct_tokens_random(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from searchenginesimple_ray.stages.sketches import \
+            grouped_distinct_tokens
+        rng = np.random.default_rng(13)
+        docs = pd.DataFrame({
+            "source": rng.integers(0, 5, 300).astype(str),
+            "text": [" ".join(f"w{rng.integers(0, 40)}"
+                              for _ in range(rng.integers(0, 25)))
+                     for _ in range(300)]})
+        got = grouped_distinct_tokens(
+            ray.data.from_pandas(docs).repartition(5), "text", "source")
+        want = duckdb.sql(r"""
+            WITH tok AS (SELECT source,
+                unnest(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS term FROM docs)
+            SELECT source, count(DISTINCT term) AS n_distinct_terms
+            FROM tok GROUP BY source ORDER BY source""").df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_topk_by_group_window_semantics(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from searchenginesimple_ray.stages.sampling import topk_by_group
+        rng = np.random.default_rng(17)
+        docs = pd.DataFrame({
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "source": rng.integers(0, 9, 1000).astype(str),
+            "score": rng.integers(0, 20, 1000).astype(np.int64)})  # ties!
+        got = topk_by_group(ray.data.from_pandas(docs).repartition(4),
+                            "source", "score", 5, key="doc_id") \
+            .to_pandas().sort_values(["source", "doc_id"]) \
+            .reset_index(drop=True)
+        want = duckdb.sql("""
+            SELECT source, score, doc_id FROM (
+              SELECT source, score, doc_id, row_number() OVER (
+                 PARTITION BY source ORDER BY score DESC, doc_id) rn
+              FROM docs) WHERE rn <= 5
+            ORDER BY source, doc_id""").df()
+        pd.testing.assert_frame_equal(got[["source", "score", "doc_id"]],
+                                      want, check_dtype=False)
+
+    @pytest.mark.parametrize("name", ["distinct_tokens",
+                                      "source_top_docs"])
+    def test_driver_entries_match_oracle(self, ray_session, name):
+        import importlib.util
+
+        import duckdb
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", "/root/repo/__ray_entry__.py")
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        got = m.queries()[name]("/root/testdata/sf0.001")
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/documents.parquet'")
+        want = con.execute(m.oracle_sql()[name]).df()
+        cols = sorted(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
