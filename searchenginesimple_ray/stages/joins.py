@@ -36,6 +36,12 @@ def broadcast_join(ds: ray.data.Dataset, small: pa.Table,
     """Map-side join: stream ``ds`` through a per-batch Arrow hash
     join against the broadcast ``small`` table (put ONCE, read by
     every task — never re-shipped per batch)."""
+    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+        # per-batch joins see only their slice of the big side, so any
+        # right/full-outer emits unmatched small-side rows ONCE PER
+        # BATCH — partitioning-dependent and wrong.  Use shuffle_join.
+        raise ValueError(f"broadcast_join cannot express {join_type!r} "
+                         "correctly per-batch; use shuffle_join")
     if isinstance(keys, str):
         keys = [keys]
     right_keys = keys if right_keys is None else (

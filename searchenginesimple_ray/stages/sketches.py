@@ -39,8 +39,8 @@ def _mg_compress(terms: np.ndarray, counts: np.ndarray, cap: int):
     Undercount added per call is <= that pivot value."""
     if len(terms) <= cap:
         return terms, counts
-    order = np.argsort(counts)[::-1]
-    pivot = counts[order[cap]]
+    # (cap+1)-th largest in O(V) — this runs per batch
+    pivot = np.partition(counts, -(cap + 1))[-(cap + 1)]
     keep = counts > pivot
     return terms[keep], counts[keep] - pivot
 
@@ -60,7 +60,15 @@ def heavy_hitters(ds: ray.data.Dataset, text_col: str = "text",
     """
     if cap is None:
         cap = max(phi_den // max(phi_num, 1), 1)
-        # cap >= den/num  =>  cap+1 > den/num  =>  superset guarantee
+    if cap * phi_num < phi_den:
+        # cap >= den/num  =>  cap+1 > den/num  =>  superset guarantee;
+        # a smaller cap silently loses true heavy hitters, so refuse
+        raise ValueError(
+            f"cap={cap} < phi_den/phi_num={phi_den}/{phi_num}: the "
+            "Misra-Gries candidate set would not be a superset of the "
+            "phi-heavy terms (exactness contract broken)")
+
+    import pyarrow.compute as pc
 
     def mg_partial(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -69,10 +77,12 @@ def heavy_hitters(ds: ray.data.Dataset, text_col: str = "text",
             toks.extend(t.split())
         total = len(toks)
         if total:
-            terms, counts = np.unique(np.asarray(toks, dtype=object),
-                                      return_counts=True)
-            terms, counts = _mg_compress(terms, counts.astype(np.int64),
-                                         cap)
+            vc = pc.value_counts(pa.array(toks, pa.string()))
+            # object dtype: no fixed-width padding blowup on long tokens
+            terms = np.asarray(vc.field("values").to_pylist(), dtype=object)
+            counts = vc.field("counts").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            terms, counts = _mg_compress(terms, counts, cap)
         else:
             terms = np.empty(0, object)
             counts = np.empty(0, np.int64)
@@ -92,7 +102,8 @@ def heavy_hitters(ds: ray.data.Dataset, text_col: str = "text",
     if not len(cand_terms) or not total:
         return pd.DataFrame({"term": pd.Series([], dtype=str),
                              "n_occurrences": pd.Series([], dtype=np.int64)})
-    cand_ref = ray.put(np.sort(cand_terms.astype(str)))
+    # plain sorted python list: no numpy fixed-width padding
+    cand_ref = ray.put(sorted(str(t) for t in cand_terms))
 
     def exact_counts(batch: pa.Table, ref=None) -> pa.Table:
         cand = ray.get(ref)
@@ -100,11 +111,14 @@ def heavy_hitters(ds: ray.data.Dataset, text_col: str = "text",
         toks: list[str] = []
         for t in texts:
             toks.extend(t.split())
-        arr = np.asarray(toks, dtype=str)
-        if arr.size:
-            pos = np.clip(np.searchsorted(cand, arr), 0, len(cand) - 1)
-            hit = cand[pos] == arr
-            counts = np.bincount(pos[hit], minlength=len(cand))
+        if toks:
+            # Arrow hash membership: vectorized, variable-width strings
+            idx = pc.index_in(pa.array(toks, pa.string()),
+                              value_set=pa.array(cand, pa.string()))
+            idx = idx.fill_null(-1).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            hit = idx >= 0
+            counts = np.bincount(idx[hit], minlength=len(cand))
         else:
             counts = np.zeros(len(cand), np.int64)
         return pa.table({"term": pa.array(cand, pa.string()),
@@ -191,13 +205,14 @@ def grouped_distinct_tokens(ds: ray.data.Dataset, text_col: str = "text",
     def pairs(batch: pa.Table) -> pa.Table:
         groups = batch[group_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        gs: list[str] = []
+        gs: list = []
         ts: list[str] = []
         for g, t in zip(groups, texts):
             for tok in set(t.split()):
                 gs.append(g)
                 ts.append(tok)
-        tb = pa.table({"g": pa.array(gs, pa.string()),
+        # group dtype inferred, so non-string group columns work too
+        tb = pa.table({"g": pa.array(gs, batch[group_col].type),
                        "t": pa.array(ts, pa.string())})
         return tb.group_by(["g", "t"]).aggregate([])
 

@@ -855,3 +855,37 @@ class TestDistinctAndTopkByGroup:
         want = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(want) > 0
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestSketchGuards:
+    """Review-found guard rails: exactness preconditions fail loudly."""
+
+    def test_heavy_hitters_refuses_small_cap(self, ray_session):
+        import ray.data
+
+        from searchenginesimple_ray.stages.sketches import heavy_hitters
+        ds = ray.data.from_pandas(pd.DataFrame({"text": ["a b c"]}))
+        with pytest.raises(ValueError, match="superset"):
+            heavy_hitters(ds, phi_num=1, phi_den=50, cap=5)
+
+    def test_distinct_tokens_int_group(self, ray_session):
+        import ray.data
+
+        from searchenginesimple_ray.stages.sketches import \
+            grouped_distinct_tokens
+        docs = pd.DataFrame({"gid": np.array([1, 1, 2], np.int64),
+                             "text": ["a b", "b c", "a"]})
+        got = grouped_distinct_tokens(ray.data.from_pandas(docs),
+                                      "text", "gid")
+        assert got["gid"].tolist() == [1, 2]
+        assert got["n_distinct_terms"].tolist() == [3, 1]
+
+    def test_broadcast_join_refuses_outer(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from searchenginesimple_ray.stages.joins import broadcast_join
+        ds = ray.data.range(1)
+        t = pa.table({"id": [0]})
+        with pytest.raises(ValueError, match="shuffle_join"):
+            broadcast_join(ds, t, keys="id", join_type="full outer")
