@@ -39,7 +39,7 @@ import ray.data
 
 from ..config import EngineConfig
 from ..registry import resolve as registry_resolve
-from ..stages.docids import conv_bases
+from ..stages.docids import conv_bases_and_ceiling
 from ..stages.dedup import components_min_rep
 from ..stages.postings import (build_postings, doc_stats_from_prepped,
                                term_df_from_prepped)
@@ -138,20 +138,48 @@ def index_doc_terms(index_dir: str) -> ray.data.Dataset:
     return doc_terms_from_prepped(ds)
 
 
-def build_index(input_files: list[str], out_dir: str,
-                cfg: EngineConfig | None = None) -> BuildResult:
-    cfg = cfg or EngineConfig()
-    os.makedirs(out_dir, exist_ok=True)
-    lineage.gc_tmp_dirs(out_dir)   # drop a killed run's uncommitted writes
-    in_fp = lineage.input_fingerprint(input_files)
-    cfg_fp = cfg.fingerprint()
-    res = BuildResult(out_dir=out_dir)
-    stop = tuple(cfg.stop_words)
+def _conv_bases_of(input_files: list[str],
+                   start: int = 0) -> tuple[dict[str, int], int]:
+    """(conv_id -> base, ceiling) over ``input_files``, bases starting
+    at ``start`` (append point for incremental updates)."""
+    total_bytes = sum(os.path.getsize(f) for f in input_files)
+    if total_bytes <= 512 * 1024 * 1024:
+        # small input: one driver-side pruned arrow read beats a
+        # full Dataset job (saves ~6 s of job latency per build)
+        t = pq.read_table(sorted(input_files),
+                          columns=["conv_id", "turn_idx"])
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        tidx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(conv, return_inverse=True)
+        mx = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(mx, inv, tidx.astype(np.int64))
+        sizes = mx + 1
+        off = np.concatenate([[0], np.cumsum(sizes)[:-1]]) + start
+        return dict(zip(uniq.tolist(), off.tolist())), start + int(sizes.sum())
+    ds = ray.data.read_parquet(sorted(input_files),
+                               columns=["conv_id", "turn_idx"])
+    bases, ceiling = conv_bases_and_ceiling(ds)
+    if start:
+        bases = {c: b + start for c, b in bases.items()}
+    return bases, ceiling + start
 
-    # chained lineage: each stage's fingerprint folds in the manifest
-    # hashes of its upstream stages, so a recomputed-and-DIFFERENT
-    # upstream invalidates downstream, while a deterministic identical
-    # recompute re-seals the same hash and downstream stays skippable.
+
+def _load_bases(bases_dir: str) -> tuple[dict[str, int], int | None]:
+    """Read bases.json in either format (pre-append builds stored the
+    flat dict with no ceiling; ceiling None => append unsupported)."""
+    with open(os.path.join(bases_dir, "bases.json")) as f:
+        obj = json.load(f)
+    if isinstance(obj, dict) and "bases" in obj and "ceiling" in obj:
+        return obj["bases"], int(obj["ceiling"])
+    return obj, None
+
+
+def _stage_runner(res: BuildResult, in_fp: str, cfg_fp: str):
+    """Chained-lineage stage executor shared by build and append: each
+    stage's fingerprint folds in the manifest hashes of its upstream
+    stages, so a recomputed-and-DIFFERENT upstream invalidates
+    downstream, while a deterministic identical recompute re-seals the
+    same hash and downstream stays skippable."""
     import hashlib
     import threading
     stage_hashes: dict[str, str] = {}
@@ -188,37 +216,33 @@ def build_index(input_files: list[str], out_dir: str,
                 json.dumps(m, sort_keys=True).encode()).hexdigest()[:12]
         return m
 
+    return run_or_skip
+
+
+def build_index(input_files: list[str], out_dir: str,
+                cfg: EngineConfig | None = None) -> BuildResult:
+    cfg = cfg or EngineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    lineage.gc_tmp_dirs(out_dir)   # drop a killed run's uncommitted writes
+    in_fp = lineage.input_fingerprint(input_files)
+    cfg_fp = cfg.fingerprint()
+    res = BuildResult(out_dir=out_dir)
+    stop = tuple(cfg.stop_words)
+
+    run_or_skip = _stage_runner(res, in_fp, cfg_fp)
     buckets = _bucket_ranges(sorted(input_files), cfg.num_input_buckets)
 
     # ---- stage 0: global docid bases (metadata-only pass, A5) ----------
     bases_dir = os.path.join(out_dir, "conv_bases")
 
     def compute_bases(tmp):
-        total_bytes = sum(os.path.getsize(f) for f in input_files)
-        if total_bytes <= 512 * 1024 * 1024:
-            # small input: one driver-side pruned arrow read beats a
-            # full Dataset job (saves ~6 s of job latency per build)
-            t = pq.read_table(sorted(input_files),
-                              columns=["conv_id", "turn_idx"])
-            conv = t["conv_id"].to_numpy(zero_copy_only=False)
-            tidx = t["turn_idx"].to_numpy(zero_copy_only=False)
-            uniq, inv = np.unique(conv, return_inverse=True)
-            mx = np.zeros(len(uniq), dtype=np.int64)
-            np.maximum.at(mx, inv, tidx.astype(np.int64))
-            sizes = mx + 1
-            off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-            bases = dict(zip(uniq.tolist(), off.tolist()))
-        else:
-            ds = ray.data.read_parquet(sorted(input_files),
-                                       columns=["conv_id", "turn_idx"])
-            bases = conv_bases(ds)
+        bases, ceiling = _conv_bases_of(input_files)
         with open(os.path.join(tmp, "bases.json"), "w") as f:
-            json.dump(bases, f)
+            json.dump({"bases": bases, "ceiling": ceiling}, f)
         return len(bases), {}
 
     run_or_skip("conv_bases", "global", bases_dir, compute_bases)
-    with open(os.path.join(bases_dir, "bases.json")) as f:
-        bases = json.load(f)
+    bases, _ = _load_bases(bases_dir)
     bases_ref = ray.put(bases)
 
     # ---- stage 1: per-bucket doc prep + simhash (M8, A5, T1/T2) --------
@@ -268,6 +292,19 @@ def build_index(input_files: list[str], out_dir: str,
     res.n_docs_raw = sum(res.metrics[f"docs_raw/bucket={k}"]
                          for k in range(len(buckets)))
 
+    all_raw_deps = [f"docs_raw/bucket={k}" for k in range(len(buckets))]
+    return _run_downstream(out_dir, cfg, res, run_or_skip,
+                           all_raw_deps, in_fp, cfg_fp)
+
+
+def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
+                    run_or_skip, all_raw_deps: list, in_fp: str,
+                    cfg_fp: str) -> BuildResult:
+    """Stages 2-6 + meta: everything downstream of the per-bucket
+    prep.  Reads ALL committed docs_raw partitions, so it serves both
+    the full build and the incremental append (which only preps NEW
+    buckets and re-runs this global tail)."""
+    from concurrent.futures import ThreadPoolExecutor
     # ---- stage 2: global near-dedup (A3/A4) ----------------------------
     dedup_dir = os.path.join(out_dir, "dedup")
 
@@ -312,7 +349,7 @@ def build_index(input_files: list[str], out_dir: str,
         return len(drop), {"n_clusters": len(set(rep.values())), **subs}
 
     m = run_or_skip("dedup", "global", dedup_dir, fn=dedup,
-                    deps=[f"docs_raw/bucket={k}" for k in range(len(buckets))])
+                    deps=list(all_raw_deps))
     res.metrics["dedup/dropped"] = m["row_count"]
 
     drop_ids = pq.read_table(
@@ -339,7 +376,6 @@ def build_index(input_files: list[str], out_dir: str,
     # expensive tokenize stage docs_raw — while the cheap store is
     # recomputed whole on a resume miss).
     docs_dir = os.path.join(out_dir, "docs")
-    all_raw_deps = [f"docs_raw/bucket={k}" for k in range(len(buckets))]
 
     def mk_docs(tmp):
         ds = _read_parquet(
@@ -437,3 +473,133 @@ def build_index(input_files: list[str], out_dir: str,
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     return res
+
+
+def append_index(new_files: list[str], index_dir: str,
+                 cfg: EngineConfig | None = None) -> BuildResult:
+    """Incrementally index NEW conversations into an existing index
+    without re-tokenizing a single existing document.
+
+    Semantics and scale shape:
+
+    - New conversations get docids starting at the stored ceiling
+      (append order).  Files containing already-indexed conv_ids are
+      refused — append adds conversations, it does not mutate them.
+    - Only the new files run the prep/tokenize stage (the dominant
+      build cost), written as namespaced ``docs_raw/bucket=app-*``
+      partitions with their own lineage seals (a killed append
+      resumes like a killed build).
+    - The global tail (dedup, doc store, term_df, doc_stats, postings,
+      meta) re-runs over ALL docs_raw: BM25 statistics (df, N, avgdl)
+      and posting block-max metadata are global, so the encode stages
+      cannot be doc-local.  Their cost is shuffle + varbyte encode
+      over already-tokenized term lists — no text is re-read.
+    - Cross-set near-dups: the dedup policy sees old + new
+      fingerprints together; new ids are strictly larger, so min-id
+      representatives always KEEP the existing document and drop the
+      new duplicate.  An append can never remove a previously
+      indexed doc.
+    - Equality contract (tested): if the appended conv_ids sort after
+      every existing one, the result is stage-for-stage value-equal
+      to a full rebuild over old+new.  Otherwise the docid assignment
+      differs from a full rebuild (append order vs globally sorted)
+      but the index is semantically equivalent.
+    """
+    cfg = cfg or EngineConfig()
+    meta_path = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"{index_dir} is not a built index (no meta.json); "
+            "use build_index")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cfg_fp = cfg.fingerprint()
+    if meta.get("config_fingerprint") != cfg_fp:
+        raise ValueError(
+            "append config fingerprint differs from the built index "
+            f"({cfg_fp} != {meta.get('config_fingerprint')}); an index "
+            "must be appended with the config it was built with")
+    lineage.gc_tmp_dirs(index_dir)
+
+    bases_dir = os.path.join(index_dir, "conv_bases")
+    old_bases, ceiling = _load_bases(bases_dir)
+    if ceiling is None:
+        raise ValueError(
+            "index predates append support (bases.json has no docid "
+            "ceiling); rebuild once with the current engine")
+    new_files = sorted(new_files)
+    new_bases, new_ceiling = _conv_bases_of(new_files, start=ceiling)
+    overlap = sorted(set(new_bases) & set(old_bases))
+    if overlap and len(overlap) < len(new_bases):
+        raise ValueError(
+            f"append supports new conversations only; {len(overlap)} "
+            f"of {len(new_bases)} conv_ids already indexed "
+            f"(e.g. {overlap[:3]})")
+    if overlap:
+        # every conv already has a base: this is a RESUME of a prior
+        # (possibly killed or already-completed) append of the same
+        # files — keep the stored assignment, advance nothing
+        merged, new_ceiling = dict(old_bases), ceiling
+    else:
+        merged = {**old_bases, **new_bases}
+
+    app_fp = lineage.input_fingerprint(new_files)
+    if meta["input_fingerprint"].endswith("+" + app_fp):
+        in_fp = meta["input_fingerprint"]      # idempotent re-append
+    else:
+        in_fp = meta["input_fingerprint"] + "+" + app_fp
+    res = BuildResult(out_dir=index_dir)
+    run_or_skip = _stage_runner(res, in_fp, cfg_fp)
+
+    # stage 0': merged bases (re-sealed under the combined fingerprint,
+    # so a stale full build over the original file list recomputes
+    # instead of silently reading the merged map)
+    def write_bases(tmp):
+        with open(os.path.join(tmp, "bases.json"), "w") as f:
+            json.dump({"bases": merged, "ceiling": new_ceiling}, f)
+        return len(merged), {"appended_convs": len(new_bases)}
+
+    run_or_skip("conv_bases", "global", bases_dir, write_bases)
+    bases_ref = ray.put(merged)
+
+    # stage 1': prep ONLY the new files, namespaced buckets
+    from concurrent.futures import ThreadPoolExecutor
+    tag = app_fp[:12]
+    stop = tuple(cfg.stop_words)
+    buckets = _bucket_ranges(new_files, cfg.num_input_buckets)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    job_threads = max(2, min(8, len(buckets), ncpu // 2))
+
+    def prep_bucket(k_files):
+        k, bucket_files = k_files
+        part = f"bucket=app-{tag}-{k}"
+        part_dir = os.path.join(index_dir, "docs_raw", part)
+
+        def prep(tmp):
+            ds = _read_parquet(
+                bucket_files, columns=["conv_id", "turn_idx", "text"])
+            ds = prep_transcripts(ds, bases_ref, stop_words=stop,
+                                  top_n=cfg.simhash_top_n,
+                                  min_len=cfg.min_text_len,
+                                  batch_size=cfg.tokenize_batch_size,
+                                  tokenizer=cfg.tokenizer)
+            ds.write_parquet(tmp)
+            return _count_rows(tmp), {}
+
+        return part, run_or_skip("docs_raw", part, part_dir, prep,
+                                 deps=["conv_bases/global"])
+
+    with ThreadPoolExecutor(job_threads) as pool:
+        app_deps = []
+        for part, m in pool.map(prep_bucket, enumerate(buckets)):
+            res.metrics[f"docs_raw/{part}"] = m["row_count"]
+            app_deps.append(f"docs_raw/{part}")
+
+    # raw doc count = everything now under docs_raw (old + appended)
+    res.n_docs_raw = sum(pq.read_metadata(f).num_rows
+                         for f in _pq_files(
+                             os.path.join(index_dir, "docs_raw")))
+
+    # global tail over ALL docs_raw partitions
+    return _run_downstream(index_dir, cfg, res, run_or_skip,
+                           app_deps, in_fp, cfg_fp)

@@ -322,6 +322,8 @@ def _edges_from_candidates(cand: pd.DataFrame, threshold: int) -> pd.DataFrame:
                           [len(sz_s)]])
     pi_parts, pj_parts = [], []
     for a, b in zip(cut[:-1], cut[1:]):
+        if a == b:          # no runs at all: cut degenerates to [0, 0]
+            continue
         sz = int(sz_s[a])
         sts_a = st_s[a:b]
         if sz <= cap:

@@ -29,6 +29,14 @@ import ray.data
 
 def conv_bases(transcripts: ray.data.Dataset) -> dict[str, int]:
     """conv_id -> exclusive-prefix-sum base offset (deterministic)."""
+    return conv_bases_and_ceiling(transcripts)[0]
+
+
+def conv_bases_and_ceiling(
+        transcripts: ray.data.Dataset) -> tuple[dict[str, int], int]:
+    """Like ``conv_bases`` but also returns the docid CEILING (one past
+    the last assignable id) — the append point for incremental index
+    updates."""
 
     def partial_max(batch: pa.Table) -> pa.Table:
         # per-batch partial: max turn_idx per conv (convs are contiguous in
@@ -50,7 +58,8 @@ def conv_bases(transcripts: ray.data.Dataset) -> dict[str, int]:
     pdf = pdf.sort_values("conv_id").reset_index(drop=True)
     sizes = (pdf[col].to_numpy() + 1).astype(np.int64)
     bases = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    return dict(zip(pdf["conv_id"].tolist(), bases.tolist()))
+    ceiling = int(sizes.sum())
+    return dict(zip(pdf["conv_id"].tolist(), bases.tolist())), ceiling
 
 
 class AssignDocIds:

@@ -1,0 +1,181 @@
+"""pipelines/index_build.append_index: incremental index append.
+
+Parity contract: build(A) + append(B) must be value-identical to
+build(A+B) when B's conv_ids sort after A's (same docid assignment);
+appended near-dups of existing docs are dropped, never the existing
+doc; appends are refused for already-indexed conversations and for
+config mismatches; a completed append re-runs as a no-op.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_corpus(path, conv_prefix, n_convs, seed, dup_text=None):
+    """Deterministic transcript parquet; optionally append one conv
+    whose single turn duplicates ``dup_text`` exactly."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    rows = []
+    for c in range(n_convs):
+        conv = f"{conv_prefix}{c:04d}"
+        for t in range(int(rng.integers(2, 6))):
+            words = rng.choice(vocab, size=int(rng.integers(10, 18)))
+            rows.append((conv, t, "user", " ".join(words), "", 0))
+    if dup_text is not None:
+        rows.append((f"{conv_prefix}9999", 0, "user", dup_text, "", 0))
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+        "tool": pa.array([r[4] for r in rows]),
+        "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(t, path)
+    return path
+
+
+def _read_dir(d, drop_cols=()):
+    files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"),
+                             recursive=True))
+    pdf = pq.read_table(files).to_pandas()
+    pdf = pdf.drop(columns=[c for c in drop_cols if c in pdf], errors="ignore")
+    for c in pdf.columns:   # list columns (postings payloads) -> tuples
+        if len(pdf) and isinstance(pdf[c].iloc[0], (np.ndarray, list)):
+            pdf[c] = pdf[c].map(tuple)
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    from searchenginesimple_ray.config import EngineConfig
+    return EngineConfig(num_input_buckets=2, num_doc_shards=2,
+                        min_text_len=1)
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    root = tmp_path_factory.mktemp("append_corpora")
+    fa = _write_corpus(str(root / "a" / "a.parquet"), "conva", 30, 1)
+    fb = _write_corpus(str(root / "b" / "b.parquet"), "convb", 20, 2)
+    return str(root), fa, fb
+
+
+class TestAppendParity:
+    def test_append_equals_full_rebuild(self, ray_session, corpora, cfg,
+                                        tmp_path_factory):
+        from searchenginesimple_ray.pipelines.index_build import (
+            append_index, build_index)
+        root, fa, fb = corpora
+        full_dir = str(tmp_path_factory.mktemp("idx_full"))
+        incr_dir = str(tmp_path_factory.mktemp("idx_incr"))
+        r_full = build_index([fa, fb], full_dir, cfg)
+        build_index([fa], incr_dir, cfg)
+        r_app = append_index([fb], incr_dir, cfg)
+        # only the new bucket(s) were prepped in the append
+        assert all(k.startswith(("conv_bases", "docs_raw/bucket=app-",
+                                 "dedup", "docs", "term_df", "doc_stats",
+                                 "postings"))
+                   for k in r_app.stages_run)
+        assert any("bucket=app-" in k for k in r_app.stages_run)
+        # meta parity
+        mf = json.load(open(os.path.join(full_dir, "meta.json")))
+        mi = json.load(open(os.path.join(incr_dir, "meta.json")))
+        for k in ["n_docs", "n_docs_raw", "n_terms", "avgdl",
+                  "n_docs_with_terms", "n_dropped"]:
+            assert mf[k] == mi[k], k
+        # stage-for-stage value parity
+        for sub in ["term_df", "doc_stats", "postings", "docs", "dedup"]:
+            f = _read_dir(os.path.join(full_dir, sub))
+            i = _read_dir(os.path.join(incr_dir, sub))
+            pd.testing.assert_frame_equal(f, i, check_dtype=False)
+        # query parity
+        from searchenginesimple_ray.pipelines.query import QueryEngine
+        ef = QueryEngine(full_dir, num_actors=2)
+        ei = QueryEngine(incr_dir, num_actors=2)
+        try:
+            for q in ["w01 w02", "w10", "w05 w17 w23"]:
+                assert ef.bm25_topk(q) == ei.bm25_topk(q)
+        finally:
+            ef.shutdown()
+            ei.shutdown()
+
+    def test_append_noop_on_rerun(self, ray_session, corpora, cfg):
+        from searchenginesimple_ray.pipelines.index_build import append_index
+        root, fa, fb = corpora
+        # idx_incr from the previous test is gone (function-scoped
+        # tmp); rebuild a fresh one here
+        import tempfile
+        from searchenginesimple_ray.pipelines.index_build import build_index
+        d = tempfile.mkdtemp(prefix="idx_noop_")
+        build_index([fa], d, cfg)
+        r1 = append_index([fb], d, cfg)
+        assert any("bucket=app-" in k for k in r1.stages_run)
+        r2 = append_index([fb], d, cfg)
+        # second identical append: prep buckets skip (sealed), docids
+        # unchanged (resume path), downstream skips too
+        assert not any("bucket=app-" in k for k in r2.stages_run)
+        assert r2.n_docs == r1.n_docs and r2.n_terms == r1.n_terms
+
+
+class TestAppendDedupAndGuards:
+    def test_cross_set_duplicate_drops_new_doc(self, ray_session, cfg,
+                                               tmp_path_factory):
+        from searchenginesimple_ray.pipelines.index_build import (
+            append_index, build_index)
+        root = tmp_path_factory.mktemp("dupcase")
+        dup = " ".join(f"w{i:02d}" for i in range(12))
+        fa = _write_corpus(str(root / "a.parquet"), "conva", 10, 3,
+                           dup_text=dup)
+        fb = _write_corpus(str(root / "b.parquet"), "convb", 5, 4,
+                           dup_text=dup)
+        d = str(tmp_path_factory.mktemp("idx_dup"))
+        build_index([fa], d, cfg)
+        old_drops = set(pq.read_table(
+            os.path.join(d, "dedup", "drop_ids.parquet"))
+            ["doc_id"].to_pylist())
+        r = append_index([fb], d, cfg)
+        drops = set(pq.read_table(
+            os.path.join(d, "dedup", "drop_ids.parquet"))
+            ["doc_id"].to_pylist())
+        # the old duplicate's doc is still indexed; the appended twin
+        # was dropped (its id is in the append range, above ceiling)
+        bases = json.load(open(os.path.join(d, "conv_bases",
+                                            "bases.json")))
+        first_new_id = min(b for c, b in bases["bases"].items()
+                           if c.startswith("convb"))
+        new_drops = drops - old_drops
+        assert new_drops and all(i >= first_new_id for i in new_drops)
+        docs = pq.read_table(os.path.join(d, "docs"),
+                             columns=["text"])["text"].to_pylist()
+        assert docs.count(dup) == 1
+
+    def test_refuses_existing_conv_and_wrong_config(
+            self, ray_session, cfg, tmp_path_factory):
+        from searchenginesimple_ray.config import EngineConfig
+        from searchenginesimple_ray.pipelines.index_build import (
+            append_index, build_index)
+        root = tmp_path_factory.mktemp("guards")
+        fa = _write_corpus(str(root / "a.parquet"), "conva", 8, 5)
+        fb = _write_corpus(str(root / "b.parquet"), "convb", 4, 6)
+        fmix = _write_corpus(str(root / "mix.parquet"), "conva", 3, 7)
+        d = str(tmp_path_factory.mktemp("idx_guard"))
+        build_index([fa], d, cfg)
+        with pytest.raises(ValueError, match="already indexed"):
+            append_index([fmix, fb], d, cfg)
+        with pytest.raises(ValueError, match="config"):
+            append_index([fb], d, EngineConfig(num_input_buckets=2,
+                                               num_doc_shards=4,
+                                               min_text_len=1))
+        with pytest.raises(FileNotFoundError):
+            append_index([fb], str(root / "nothere"), cfg)
