@@ -287,6 +287,21 @@ def main():
     timings["bm25_100_queries_batch"] = round(
         100.0 / qstats["bm25_qps_batch"], 3)
 
+    # incremental append: +10% new conversations into the just-built
+    # index (prep runs only on the delta; global tail re-encodes)
+    from searchenginesimple_ray.config import EngineConfig
+    from searchenginesimple_ray.pipelines.index_build import append_index
+    from searchenginesimple_ray.sources.transcripts import (
+        generate_transcripts, transcripts_files)
+    n_extra = max(20, int(600_000 * sf) // 10)
+    extra = generate_transcripts(
+        os.path.join(BENCH_ROOT, f"corpus_extra_{n_extra}"),
+        n_convs=n_extra, seed=77, n_files=8, conv_prefix="convz-")
+    t0 = time.perf_counter()
+    append_index(transcripts_files(extra), build_info["out"],
+                 EngineConfig(num_input_buckets=8, num_doc_shards=8))
+    timings["append_10pct"] = round(time.perf_counter() - t0, 3)
+
     ops = run_ops_suite(SF_DIR)
     timings.update(ops)
 

@@ -297,14 +297,11 @@ def build_index(input_files: list[str], out_dir: str,
                            all_raw_deps, in_fp, cfg_fp)
 
 
-def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
-                    run_or_skip, all_raw_deps: list, in_fp: str,
-                    cfg_fp: str) -> BuildResult:
-    """Stages 2-6 + meta: everything downstream of the per-bucket
-    prep.  Reads ALL committed docs_raw partitions, so it serves both
-    the full build and the incremental append (which only preps NEW
-    buckets and re-runs this global tail)."""
-    from concurrent.futures import ThreadPoolExecutor
+def _dedup_stage(out_dir: str, cfg: EngineConfig, res: BuildResult,
+                 run_or_skip, raw_deps: list) -> np.ndarray:
+    """Stage 2 (A3/A4): global near-dedup over ALL docs_raw
+    partitions (16-byte (doc_id, simhash) rows only).  Returns the
+    sorted int64 drop-id array."""
     # ---- stage 2: global near-dedup (A3/A4) ----------------------------
     dedup_dir = os.path.join(out_dir, "dedup")
 
@@ -349,13 +346,25 @@ def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
         return len(drop), {"n_clusters": len(set(rep.values())), **subs}
 
     m = run_or_skip("dedup", "global", dedup_dir, fn=dedup,
-                    deps=list(all_raw_deps))
+                    deps=list(raw_deps))
     res.metrics["dedup/dropped"] = m["row_count"]
 
     drop_ids = pq.read_table(
         os.path.join(dedup_dir, "drop_ids.parquet"))["doc_id"].to_numpy()
+    return np.sort(drop_ids.astype(np.int64))
+
+
+def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
+                    run_or_skip, all_raw_deps: list, in_fp: str,
+                    cfg_fp: str) -> BuildResult:
+    """Stages 2-6 + meta: everything downstream of the per-bucket
+    prep.  Reads ALL committed docs_raw partitions, so it serves both
+    the full build and the incremental append (which only preps NEW
+    buckets and re-runs this global tail)."""
+    from concurrent.futures import ThreadPoolExecutor
+    drop_ids = _dedup_stage(out_dir, cfg, res, run_or_skip, all_raw_deps)
     res.n_dropped = len(drop_ids)
-    drop_ref = ray.put(np.sort(drop_ids))
+    drop_ref = ray.put(drop_ids)
 
     def prepped_ds():
         """Lazy deduped PREPPED rows (per-doc term lists) from docs_raw
@@ -477,33 +486,46 @@ def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
 
 def append_index(new_files: list[str], index_dir: str,
                  cfg: EngineConfig | None = None) -> BuildResult:
-    """Incrementally index NEW conversations into an existing index
-    without re-tokenizing a single existing document.
+    """Incrementally index NEW conversations into an existing index —
+    delta-proportional work: no re-tokenize, no postings re-shuffle.
 
     Semantics and scale shape:
 
     - New conversations get docids starting at the stored ceiling
       (append order).  Files containing already-indexed conv_ids are
       refused — append adds conversations, it does not mutate them.
-    - Only the new files run the prep/tokenize stage (the dominant
-      build cost), written as namespaced ``docs_raw/bucket=app-*``
-      partitions with their own lineage seals (a killed append
-      resumes like a killed build).
-    - The global tail (dedup, doc store, term_df, doc_stats, postings,
-      meta) re-runs over ALL docs_raw: BM25 statistics (df, N, avgdl)
-      and posting block-max metadata are global, so the encode stages
-      cannot be doc-local.  Their cost is shuffle + varbyte encode
-      over already-tokenized term lists — no text is re-read.
-    - Cross-set near-dups: the dedup policy sees old + new
-      fingerprints together; new ids are strictly larger, so min-id
-      representatives always KEEP the existing document and drop the
-      new duplicate.  An append can never remove a previously
-      indexed doc.
+    - Only the new files run prep/tokenize (the dominant build cost),
+      as namespaced ``docs_raw/bucket=app-*`` partitions with their
+      own lineage seals (a killed append resumes like a killed build).
+    - Postings and the doc store are FILE-APPEND-ONLY: the delta is
+      encoded alone and its parquet files move into the existing
+      shard dirs.  Valid because posting payloads store raw tf and
+      block-max-TF — the df/N-dependent impact is computed at query
+      load — and the shard actor already merges multiple rows per
+      term (the hot-term salt path), taking ``max`` of the stored
+      dfs.  Pre-append rows are never rewritten.
+    - term_df merges the old table with delta partials (idempotent
+      via an applied-appends marker).  The one corpus-proportional
+      recompute is ``doc_stats``: the reference L2 norm is
+      IDF-weighted and df/N change for every doc — but that pass is
+      shuffle-free (streaming reduceat over stored term lists).
+    - Cross-set near-dups: dedup re-derives verdicts globally over
+      the 16-byte fingerprint rows; new ids are strictly larger, so
+      min-id representatives always KEEP the existing document, and
+      verdicts below the old ceiling reproduce deterministically —
+      pre-append postings stay exactly valid.  An append can never
+      remove a previously indexed doc.  This stage and doc_stats are
+      the two corpus-proportional passes left (fingerprints resp.
+      term lists, both shuffle-free); the documented next step for
+      dedup at extreme scale is a key-range-partitioned candidate
+      index probed by the delta's keys only.
     - Equality contract (tested): if the appended conv_ids sort after
-      every existing one, the result is stage-for-stage value-equal
-      to a full rebuild over old+new.  Otherwise the docid assignment
-      differs from a full rebuild (append order vs globally sorted)
-      but the index is semantically equivalent.
+      every existing one, queries, term_df, doc_stats, the doc store
+      and the DECODED postings are value-equal to a full rebuild over
+      the union (physical posting rows differ — the delta lives in
+      its own rows/files); otherwise the docid assignment differs
+      (append order vs globally sorted) but the index is semantically
+      equivalent.
     """
     cfg = cfg or EngineConfig()
     meta_path = os.path.join(index_dir, "meta.json")
@@ -600,6 +622,185 @@ def append_index(new_files: list[str], index_dir: str,
                          for f in _pq_files(
                              os.path.join(index_dir, "docs_raw")))
 
-    # global tail over ALL docs_raw partitions
-    return _run_downstream(index_dir, cfg, res, run_or_skip,
-                           app_deps, in_fp, cfg_fp)
+    # ---- incremental tail ----------------------------------------------
+    # dedup is global (a fingerprint-only scan); drops below the old
+    # ceiling are a deterministic recompute of the original verdicts
+    # (old-old pairs unchanged; old-new pairs always drop the NEW id),
+    # so pre-append postings/docs rows remain exactly valid.
+    old_meta = meta
+    drop_ids = _dedup_stage(index_dir, cfg, res, run_or_skip, app_deps)
+    res.n_dropped = len(drop_ids)
+    drop_ref = ray.put(drop_ids)
+
+    app_files = [f for f in _pq_files(os.path.join(index_dir, "docs_raw"))
+                 if f"bucket=app-{tag}-" in f]
+
+    def new_prepped_ds():
+        ds = _read_parquet(app_files, columns=["doc_id", "simhash",
+                                               "doc_len", "terms", "tfs"])
+        return ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                              batch_format="pyarrow")
+
+    def all_prepped_ds():
+        ds = _read_parquet(_pq_files(os.path.join(index_dir, "docs_raw")),
+                           columns=["doc_id", "simhash", "doc_len",
+                                    "terms", "tfs"])
+        return ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                              batch_format="pyarrow")
+
+    def _file_append(stage_dir: str, build_tmp_writer, flat: bool):
+        """Idempotent file-level append into an existing stage dir:
+        delete any half-moved ``app-<tag>-*`` files, build the delta
+        under a tmp dir, then move each file in as
+        ``app-<tag>-<i>.parquet`` (same hive layout when ``flat`` is
+        False).  Crash-safe: a re-run cleans and redoes the moves."""
+        for f in glob.glob(os.path.join(stage_dir, "**",
+                                        f"app-{tag}-*.parquet"),
+                           recursive=True):
+            os.remove(f)
+        import tempfile
+        with tempfile.TemporaryDirectory(
+                dir=os.path.dirname(stage_dir),
+                prefix=f".tmp-app-{tag}-") as tmp:
+            n = build_tmp_writer(tmp)
+            moved = 0
+            for f in sorted(glob.glob(os.path.join(tmp, "**", "*.parquet"),
+                                      recursive=True)):
+                rel = os.path.relpath(os.path.dirname(f), tmp)
+                dest_dir = stage_dir if (flat or rel == ".") \
+                    else os.path.join(stage_dir, rel)
+                os.makedirs(dest_dir, exist_ok=True)
+                os.replace(f, os.path.join(
+                    dest_dir, f"app-{tag}-{moved}.parquet"))
+                moved += 1
+        return n, {"files_appended": moved}
+
+    dedup_dep = app_deps + ["dedup/global"]
+
+    # stage 3': doc store — append ONLY the new kept docs
+    def mk_docs_delta(tmp):
+        ds = _read_parquet(app_files,
+                           columns=["conv_id", "turn_idx", "text",
+                                    "doc_id", "simhash", "text_len"])
+        ds = ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                            batch_format="pyarrow")
+        ds.write_parquet(tmp)
+        return _count_rows(tmp), {}
+
+    docs_marker = os.path.join(index_dir, "docs_appends", tag)
+
+    def docs_append(marker_tmp):
+        n, extra = _file_append(os.path.join(index_dir, "docs"),
+                                lambda t: mk_docs_delta(t)[0], flat=True)
+        return n, extra
+
+    run_or_skip("docs_append", tag, docs_marker, docs_append,
+                deps=dedup_dep)
+    # count the store itself (metadata-only), NOT old_meta + delta:
+    # a skipped re-append must not double-count the sealed delta
+    res.n_docs = sum(pq.read_metadata(f).num_rows
+                     for f in _pq_files(os.path.join(index_dir, "docs")))
+
+    # stage 4': term_df — merge old table with the delta partials
+    df_dir = os.path.join(index_dir, "term_df")
+
+    def mk_df_merged(tmp):
+        applied_path = os.path.join(df_dir, "applied.json")
+        applied = []
+        if os.path.exists(applied_path):
+            with open(applied_path) as f:
+                applied = json.load(f)
+        old_df = pq.read_table(
+            os.path.join(df_dir, "term_df.parquet")).to_pandas()
+        if app_fp in applied:
+            merged_df = old_df          # crash-window replay: no-op
+        else:
+            import pandas as pd
+            new_df = term_df_from_prepped(new_prepped_ds())
+            merged_df = pd.concat([old_df, new_df]) \
+                .groupby("term", as_index=False)["df"].sum() \
+                .sort_values("term").reset_index(drop=True)
+            applied = applied + [app_fp]
+        pq.write_table(pa.Table.from_pandas(merged_df,
+                                            preserve_index=False),
+                       os.path.join(tmp, "term_df.parquet"))
+        with open(os.path.join(tmp, "applied.json"), "w") as f:
+            json.dump(applied, f)
+        return len(merged_df), {}
+
+    m = run_or_skip("term_df", "global", df_dir, mk_df_merged,
+                    deps=dedup_dep)
+    res.n_terms = m["row_count"]
+    df_pdf = pq.read_table(
+        os.path.join(df_dir, "term_df.parquet")).to_pandas()
+    df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
+
+    # stage 5': doc_stats — the ONE corpus-proportional recompute: the
+    # reference L2 norm is IDF-weighted, and appending changes df/N for
+    # every document.  Shuffle-free (per-row reduceat), so the cost is
+    # a streaming read of term lists, not an exchange.  doc_len alone
+    # would be append-only; correctness of the ref-cosine scorer wins.
+    stats_dir = os.path.join(index_dir, "doc_stats")
+
+    def mk_stats(tmp):
+        st = doc_stats_from_prepped(all_prepped_ds(), df_map,
+                                    n_docs=res.n_docs,
+                                    num_doc_shards=cfg.num_doc_shards)
+        st.write_parquet(tmp, partition_cols=["doc_shard"])
+        return _count_rows(tmp), {}
+
+    stats_deps = dedup_dep + ["term_df/global"]
+
+    # stage 6': postings — encode ONLY the delta, file-append into the
+    # doc_shard dirs.  Valid because posting payloads carry raw tf and
+    # block-max-TF (impact = f(df, N) is computed at query load), and
+    # the shard actor already merges multiple rows per term (the salt
+    # path); its df pick is max(rows), and df only grows on append.
+    def mk_postings_delta(tmp):
+        po = build_postings(new_prepped_ds(), df_map,
+                            num_term_shards=cfg.num_term_shards,
+                            num_doc_shards=cfg.num_doc_shards,
+                            hot_term_df_threshold=cfg.hot_term_df_threshold,
+                            posting_block_size=cfg.posting_block_size,
+                            prepped=True)
+        po.write_parquet(tmp, partition_cols=["doc_shard"])
+        return _count_rows(tmp), {}
+
+    post_marker = os.path.join(index_dir, "postings_appends", tag)
+
+    def postings_append(marker_tmp):
+        return _file_append(os.path.join(index_dir, "postings"),
+                            lambda t: mk_postings_delta(t)[0], flat=False)
+
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    with _TPE(2) as pool:
+        fut_stats = pool.submit(run_or_skip, "doc_stats", "global",
+                                stats_dir, mk_stats, stats_deps)
+        fut_post = pool.submit(run_or_skip, "postings_append", tag,
+                               post_marker, postings_append, stats_deps)
+        n_stats = fut_stats.result()["row_count"]
+        m = fut_post.result()
+    res.n_posting_rows = m["row_count"]
+
+    # ---- meta ------------------------------------------------------
+    tot_len = 0
+    for f in _pq_files(stats_dir):
+        t = pq.read_table(f, columns=["doc_len"])
+        tot_len += int(pc.sum(t["doc_len"]).as_py() or 0)
+    res.avgdl = (tot_len / n_stats) if n_stats else 0.0
+    meta_out = {
+        "n_docs": res.n_docs, "n_docs_raw": res.n_docs_raw,
+        "n_dropped": res.n_dropped, "n_terms": res.n_terms,
+        "n_docs_with_terms": n_stats,
+        "avgdl": res.avgdl,
+        "num_doc_shards": cfg.num_doc_shards,
+        "num_term_shards": cfg.num_term_shards,
+        "bm25_k1": cfg.bm25_k1, "bm25_b": cfg.bm25_b,
+        "config_fingerprint": cfg_fp, "input_fingerprint": in_fp,
+        "appended": old_meta.get("appended", []) + (
+            [tag] if tag not in old_meta.get("appended", []) else []),
+        "metrics": res.metrics,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta_out, f, indent=1)
+    return res

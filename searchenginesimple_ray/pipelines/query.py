@@ -97,7 +97,10 @@ class ScorerCore:
             for i, term in enumerate(terms):
                 ids, tfs = decode_postings(dvb[i], tvb[i], int(nloc[i]))
                 raw.setdefault(term, []).append((ids, tfs))
-                self.df[term] = int(dfs[i])
+                # rows written by an incremental append carry the
+                # GROWN global df; pre-append rows keep the old one —
+                # the max is always the current value
+                self.df[term] = max(self.df.get(term, 0), int(dfs[i]))
         for term, runs in raw.items():
             if len(runs) == 1:
                 ids, tfs = runs[0]

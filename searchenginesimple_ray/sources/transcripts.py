@@ -78,6 +78,7 @@ def generate_transcripts(
     n_files: int = 8,
     vocab_size: int = 5000,
     skew_hot_frac: float = 0.0,
+    conv_prefix: str = "conv-",
 ) -> str:
     """Generate (or reuse) the corpus under ``out_dir``.  Returns out_dir.
 
@@ -86,7 +87,7 @@ def generate_transcripts(
     skew fixture for the hot-term salt path."""
     params = dict(n_convs=n_convs, seed=seed, min_turns=min_turns,
                   max_turns=max_turns, n_files=n_files, vocab_size=vocab_size,
-                  skew_hot_frac=skew_hot_frac,
+                  skew_hot_frac=skew_hot_frac, conv_prefix=conv_prefix,
                   version=6)
     manifest_path = os.path.join(out_dir, "_corpus_manifest.json")
     if os.path.exists(manifest_path):
@@ -103,7 +104,7 @@ def generate_transcripts(
     n_turns_per_conv = rng.integers(min_turns, max_turns + 1, size=n_convs)
     total = int(n_turns_per_conv.sum())
     conv_ids = np.repeat(
-        np.array([f"conv-{i:06d}" for i in range(n_convs)]), n_turns_per_conv
+        np.array([f"{conv_prefix}{i:06d}" for i in range(n_convs)]), n_turns_per_conv
     )
     turn_idx = np.concatenate([np.arange(n) for n in n_turns_per_conv]).astype(np.int32)
 

@@ -56,6 +56,34 @@ def _read_dir(d, drop_cols=()):
     return pdf[cols].sort_values(cols, kind="stable").reset_index(drop=True)
 
 
+def _decoded_postings(index_dir):
+    """term -> (sorted doc_ids tuple, tfs tuple, max stored df) with
+    all physical rows (salt runs, append deltas) merged — the logical
+    posting content the shard actors reconstruct."""
+    from searchenginesimple_ray.functions.varbyte import decode_postings
+    files = sorted(glob.glob(os.path.join(index_dir, "postings", "**",
+                                          "*.parquet"), recursive=True))
+    raw, df = {}, {}
+    for f in files:
+        t = pq.read_table(f, columns=["term", "df", "n_local",
+                                      "doc_ids_vb", "tfs_vb"])
+        for term, d, n, dvb, tvb in zip(t["term"].to_pylist(),
+                                        t["df"].to_pylist(),
+                                        t["n_local"].to_pylist(),
+                                        t["doc_ids_vb"].to_pylist(),
+                                        t["tfs_vb"].to_pylist()):
+            ids, tfs = decode_postings(dvb, tvb, int(n))
+            raw.setdefault(term, []).append((ids, tfs))
+            df[term] = max(df.get(term, 0), int(d))
+    out = {}
+    for term, runs in raw.items():
+        ids = np.concatenate([r[0] for r in runs]).astype(np.int64)
+        tfs = np.concatenate([r[1] for r in runs])
+        o = np.argsort(ids)
+        out[term] = (tuple(ids[o]), tuple(tfs[o]), df[term])
+    return out
+
+
 @pytest.fixture(scope="module")
 def cfg():
     from searchenginesimple_ray.config import EngineConfig
@@ -84,8 +112,8 @@ class TestAppendParity:
         r_app = append_index([fb], incr_dir, cfg)
         # only the new bucket(s) were prepped in the append
         assert all(k.startswith(("conv_bases", "docs_raw/bucket=app-",
-                                 "dedup", "docs", "term_df", "doc_stats",
-                                 "postings"))
+                                 "dedup", "docs_append", "term_df",
+                                 "doc_stats", "postings_append"))
                    for k in r_app.stages_run)
         assert any("bucket=app-" in k for k in r_app.stages_run)
         # meta parity
@@ -94,11 +122,15 @@ class TestAppendParity:
         for k in ["n_docs", "n_docs_raw", "n_terms", "avgdl",
                   "n_docs_with_terms", "n_dropped"]:
             assert mf[k] == mi[k], k
-        # stage-for-stage value parity
-        for sub in ["term_df", "doc_stats", "postings", "docs", "dedup"]:
-            f = _read_dir(os.path.join(full_dir, sub))
-            i = _read_dir(os.path.join(incr_dir, sub))
+        # stage-for-stage value parity (postings physical rows differ —
+        # the delta lives in appended rows — compared DECODED below)
+        for sub in ["term_df", "doc_stats", "docs", "dedup"]:
+            f = _read_dir(os.path.join(full_dir, sub),
+                          drop_cols=("applied",))
+            i = _read_dir(os.path.join(incr_dir, sub),
+                          drop_cols=("applied",))
             pd.testing.assert_frame_equal(f, i, check_dtype=False)
+        assert _decoded_postings(full_dir) == _decoded_postings(incr_dir)
         # query parity
         from searchenginesimple_ray.pipelines.query import QueryEngine
         ef = QueryEngine(full_dir, num_actors=2)
