@@ -211,3 +211,42 @@ class TestAppendDedupAndGuards:
                                                min_text_len=1))
         with pytest.raises(FileNotFoundError):
             append_index([fb], str(root / "nothere"), cfg)
+
+
+class TestChainedAppends:
+    def test_two_appends_equal_full_rebuild(self, ray_session, cfg,
+                                            tmp_path_factory):
+        from searchenginesimple_ray.pipelines.index_build import (
+            append_index, build_index)
+        from searchenginesimple_ray.pipelines.query import QueryEngine
+        root = tmp_path_factory.mktemp("chain")
+        fa = _write_corpus(str(root / "a.parquet"), "conva", 15, 8)
+        fb = _write_corpus(str(root / "b.parquet"), "convb", 10, 9)
+        fc = _write_corpus(str(root / "c.parquet"), "convc", 8, 10)
+        full_dir = str(tmp_path_factory.mktemp("idx_full3"))
+        incr_dir = str(tmp_path_factory.mktemp("idx_incr3"))
+        build_index([fa, fb, fc], full_dir, cfg)
+        build_index([fa], incr_dir, cfg)
+        append_index([fb], incr_dir, cfg)
+        append_index([fc], incr_dir, cfg)
+        mf = json.load(open(os.path.join(full_dir, "meta.json")))
+        mi = json.load(open(os.path.join(incr_dir, "meta.json")))
+        for k in ["n_docs", "n_docs_raw", "n_terms", "avgdl",
+                  "n_dropped"]:
+            assert mf[k] == mi[k], k
+        assert len(mi["appended"]) == 2
+        for sub in ["term_df", "doc_stats", "docs"]:
+            f = _read_dir(os.path.join(full_dir, sub),
+                          drop_cols=("applied",))
+            i = _read_dir(os.path.join(incr_dir, sub),
+                          drop_cols=("applied",))
+            pd.testing.assert_frame_equal(f, i, check_dtype=False)
+        assert _decoded_postings(full_dir) == _decoded_postings(incr_dir)
+        ef = QueryEngine(full_dir, num_actors=2)
+        ei = QueryEngine(incr_dir, num_actors=2)
+        try:
+            for q in ["w01 w02", "w29", "w05 w17"]:
+                assert ef.bm25_topk(q) == ei.bm25_topk(q)
+        finally:
+            ef.shutdown()
+            ei.shutdown()
