@@ -156,8 +156,8 @@ def _conv_bases_of(input_files: list[str],
         sizes = mx + 1
         off = np.concatenate([[0], np.cumsum(sizes)[:-1]]) + start
         return dict(zip(uniq.tolist(), off.tolist())), start + int(sizes.sum())
-    ds = ray.data.read_parquet(sorted(input_files),
-                               columns=["conv_id", "turn_idx"])
+    ds = _read_parquet(sorted(input_files),
+                       columns=["conv_id", "turn_idx"])
     bases, ceiling = conv_bases_and_ceiling(ds)
     if start:
         bases = {c: b + start for c, b in bases.items()}
@@ -223,6 +223,15 @@ def build_index(input_files: list[str], out_dir: str,
                 cfg: EngineConfig | None = None) -> BuildResult:
     cfg = cfg or EngineConfig()
     os.makedirs(out_dir, exist_ok=True)
+    if glob.glob(os.path.join(out_dir, "docs_raw", "bucket=app-*")):
+        # a full build would recompute conv_bases WITHOUT the appended
+        # conversations (reverting the docid ceiling) while the
+        # downstream stages still ingest the committed app buckets —
+        # a later append would then assign colliding doc_ids
+        raise ValueError(
+            f"{out_dir} contains appended partitions; a full rebuild "
+            "must go to a fresh directory (or delete this index) — "
+            "use append_index to extend it")
     lineage.gc_tmp_dirs(out_dir)   # drop a killed run's uncommitted writes
     in_fp = lineage.input_fingerprint(input_files)
     cfg_fp = cfg.fingerprint()
@@ -313,7 +322,7 @@ def _dedup_stage(out_dir: str, cfg: EngineConfig, res: BuildResult,
         if cfg.dedup_enabled:
             t0 = _t.perf_counter()
             raw_files = _pq_files(os.path.join(out_dir, "docs_raw"))
-            docs_raw = ray.data.read_parquet(
+            docs_raw = _read_parquet(
                 raw_files,
                 columns=["doc_id", "simhash"])   # never read the text
             # §2.9 injectable dedup policy (default: simhash A3/A4)
@@ -557,19 +566,31 @@ def append_index(new_files: list[str], index_dir: str,
             f"append supports new conversations only; {len(overlap)} "
             f"of {len(new_bases)} conv_ids already indexed "
             f"(e.g. {overlap[:3]})")
-    if overlap:
-        # every conv already has a base: this is a RESUME of a prior
-        # (possibly killed or already-completed) append of the same
-        # files — keep the stored assignment, advance nothing
-        merged, new_ceiling = dict(old_bases), ceiling
-    else:
-        merged = {**old_bases, **new_bases}
 
     app_fp = lineage.input_fingerprint(new_files)
     if meta["input_fingerprint"].endswith("+" + app_fp):
         in_fp = meta["input_fingerprint"]      # idempotent re-append
     else:
         in_fp = meta["input_fingerprint"] + "+" + app_fp
+    if overlap:
+        # every conv already has a base — legitimate only as a RESUME
+        # of THIS exact append (same input fingerprint), detected via
+        # the completed meta or the conv_bases seal of a killed run.
+        # A changed fingerprint (same convs, touched/re-exported
+        # files) would re-prep the same doc_ids under a new tag and
+        # silently duplicate them in docs/postings — refuse.
+        bm = lineage.read_manifest(bases_dir) or {}
+        started = bm.get("input_fingerprint") == in_fp
+        completed = meta["input_fingerprint"].endswith("+" + app_fp)
+        if not (started or completed):
+            raise ValueError(
+                f"all {len(new_bases)} conv_ids are already indexed "
+                "but the input fingerprint differs from any prior "
+                "append of them — re-appending modified files would "
+                "duplicate documents; build a fresh index instead")
+        merged, new_ceiling = dict(old_bases), ceiling
+    else:
+        merged = {**old_bases, **new_bases}
     res = BuildResult(out_dir=index_dir)
     run_or_skip = _stage_runner(res, in_fp, cfg_fp)
 

@@ -83,9 +83,26 @@ def seal(part_dir: str, stage: str, partition, input_fp: str, config_fp: str,
 
 def gc_tmp_dirs(root: str) -> list[str]:
     """Remove uncommitted ``*.tmp-<nonce>`` dirs (and stray manifest tmp
-    files) left by a killed run anywhere under ``root``."""
+    files) left by a killed run anywhere under ``root``.
+
+    Recovery rule first: a ``<final>.tmp-old-<nonce>`` dir is the
+    PREVIOUS version of a partition parked by ``atomic_dir`` during
+    its two-rename commit.  If the final dir is missing (crash inside
+    the commit window), the old version is RESTORED — the stage then
+    re-runs under lineage as usual; if the final dir exists, the
+    parked copy is garbage."""
     removed = []
     for dirpath, dirnames, filenames in os.walk(root, topdown=True):
+        for d in list(dirnames):
+            if ".tmp-old-" in d:
+                full = os.path.join(dirpath, d)
+                final = full[:full.index(".tmp-old-")]
+                if not os.path.exists(final):
+                    os.rename(full, final)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+                dirnames.remove(d)
         for d in list(dirnames):
             if ".tmp-" in d:
                 full = os.path.join(dirpath, d)
@@ -105,11 +122,21 @@ def gc_tmp_dirs(root: str) -> list[str]:
 
 class atomic_dir:
     """``with atomic_dir(final) as tmp: write into tmp`` — commits by
-    rename; a crash mid-write leaves no half-complete partition."""
+    rename; a crash mid-write leaves no half-complete partition.
+
+    Commit is two renames, never a destructive window: the previous
+    version is PARKED (``<final>.tmp-old-<nonce>``) before the new one
+    renames in, then the parked copy is dropped.  A kill between the
+    renames leaves the old version parked and recoverable — see
+    ``gc_tmp_dirs`` — instead of destroying the only copy of stages
+    that merge in place (the append path's term_df reads its prior
+    table from the dir it replaces)."""
 
     def __init__(self, final_dir: str):
         self.final = final_dir
-        self.tmp = final_dir + f".tmp-{uuid.uuid4().hex[:8]}"
+        nonce = uuid.uuid4().hex[:8]
+        self.tmp = final_dir + f".tmp-{nonce}"
+        self.old = final_dir + f".tmp-old-{nonce}"
 
     def __enter__(self) -> str:
         os.makedirs(self.tmp, exist_ok=True)
@@ -119,7 +146,10 @@ class atomic_dir:
         if exc_type is not None:
             shutil.rmtree(self.tmp, ignore_errors=True)
             return False
-        if os.path.exists(self.final):
-            shutil.rmtree(self.final)
+        had_old = os.path.exists(self.final)
+        if had_old:
+            os.rename(self.final, self.old)
         os.rename(self.tmp, self.final)
+        if had_old:
+            shutil.rmtree(self.old, ignore_errors=True)
         return False

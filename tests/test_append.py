@@ -250,3 +250,62 @@ class TestChainedAppends:
         finally:
             ef.shutdown()
             ei.shutdown()
+
+
+class TestAppendSafetyGuards:
+    """Review-found hazards: duplication and ceiling-revert refusals,
+    and crash-window recovery of in-place-merged stages."""
+
+    def test_modified_files_full_overlap_refused(self, ray_session, cfg,
+                                                 tmp_path_factory):
+        from searchenginesimple_ray.pipelines.index_build import (
+            append_index, build_index)
+        root = tmp_path_factory.mktemp("touchcase")
+        fa = _write_corpus(str(root / "a.parquet"), "conva", 8, 11)
+        fb = _write_corpus(str(root / "b.parquet"), "convb", 4, 12)
+        d = str(tmp_path_factory.mktemp("idx_touch"))
+        build_index([fa], d, cfg)
+        append_index([fb], d, cfg)
+        # same conversations, changed fingerprint (mtime) -> refused,
+        # NOT treated as a resume (would duplicate every doc_id)
+        os.utime(fb, (1, 1))
+        with pytest.raises(ValueError, match="duplicate"):
+            append_index([fb], d, cfg)
+
+    def test_full_build_into_appended_dir_refused(self, ray_session, cfg,
+                                                  tmp_path_factory):
+        from searchenginesimple_ray.pipelines.index_build import (
+            append_index, build_index)
+        root = tmp_path_factory.mktemp("rebuildcase")
+        fa = _write_corpus(str(root / "a.parquet"), "conva", 8, 13)
+        fb = _write_corpus(str(root / "b.parquet"), "convb", 4, 14)
+        d = str(tmp_path_factory.mktemp("idx_rebuild"))
+        build_index([fa], d, cfg)
+        append_index([fb], d, cfg)
+        with pytest.raises(ValueError, match="appended partitions"):
+            build_index([fa], d, cfg)
+
+    def test_atomic_dir_crash_window_recovery(self, tmp_path):
+        """A kill between atomic_dir's two commit renames leaves the
+        previous version parked; gc restores it."""
+        from searchenginesimple_ray.state import lineage
+        root = tmp_path / "idx"
+        stage = root / "term_df"
+        stage.mkdir(parents=True)
+        (stage / "term_df.parquet").write_bytes(b"OLD")
+        # simulate the window: previous version parked, final missing,
+        # new version still in an uncommitted tmp dir
+        os.rename(stage, root / "term_df.tmp-old-deadbeef")
+        (root / "term_df.tmp-cafe0001").mkdir()
+        (root / "term_df.tmp-cafe0001" / "term_df.parquet") \
+            .write_bytes(b"NEW-UNCOMMITTED")
+        lineage.gc_tmp_dirs(str(root))
+        assert (stage / "term_df.parquet").read_bytes() == b"OLD"
+        assert not (root / "term_df.tmp-cafe0001").exists()
+        assert not (root / "term_df.tmp-old-deadbeef").exists()
+        # committed case: final exists -> parked copy is garbage
+        os.makedirs(root / "docs.tmp-old-12345678")
+        (root / "docs").mkdir()
+        lineage.gc_tmp_dirs(str(root))
+        assert (root / "docs").exists()
+        assert not (root / "docs.tmp-old-12345678").exists()
