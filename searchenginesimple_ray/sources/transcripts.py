@@ -285,3 +285,53 @@ def transcripts_files(corpus_dir: str) -> list[str]:
         os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
         if f.startswith("part-") and f.endswith(".parquet")
     )
+
+
+# -------------------------------------------------- alternate sources
+
+TRANSCRIPT_SCHEMA = {
+    "conv_id": "string", "turn_idx": "int32", "role": "string",
+    "text": "string", "tool": "string", "ts": "timestamp[us]",
+}
+
+
+def read_transcripts_jsonl(paths: list[str] | str):
+    """JSONL transcripts source -> Dataset with the canonical schema.
+
+    Training-data drops commonly land as JSONL before any parquet
+    conversion; this reader lets the same build pipeline ingest them
+    directly.  Each line is an object with the ``input_hint`` fields;
+    ``ts`` accepts epoch micros (int) or ISO-8601 strings.  The
+    normalization is a vectorized Arrow cast per batch — the read
+    itself streams via ``ray.data.read_json`` (one block per file
+    chunk, same backpressure as the parquet path).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in ("conv_id", "role", "text", "tool"):
+            c = batch[name] if name in batch.column_names else \
+                pa.nulls(batch.num_rows, pa.string())
+            cols[name] = pc.cast(c, pa.string())
+        cols["turn_idx"] = pc.cast(batch["turn_idx"], pa.int32())
+        ts = batch["ts"] if "ts" in batch.column_names else \
+            pa.nulls(batch.num_rows, pa.int64())
+        if pa.types.is_integer(ts.type):
+            cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+        elif pa.types.is_timestamp(ts.type):
+            cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+        else:  # ISO strings: Arrow strptime, fractional seconds ok
+            cols["ts"] = pc.cast(
+                pc.strptime(pc.cast(ts, pa.string()),
+                            format="%Y-%m-%dT%H:%M:%S", unit="us",
+                            error_is_null=True),
+                pa.timestamp("us"))
+        order = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        return pa.table({k: cols[k] for k in order})
+
+    ds = ray.data.read_json(paths)
+    return ds.map_batches(normalize, batch_format="pyarrow")

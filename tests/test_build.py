@@ -232,3 +232,39 @@ class TestDocStats:
             meta = json.load(f)
         assert meta["n_docs"] == t1_oracle.n_docs
         assert abs(meta["avgdl"] - t1_oracle.avgdl) < 1e-9
+
+
+class TestJsonlSource:
+    """sources/transcripts.read_transcripts_jsonl: alternate ingest
+    format normalized to the canonical input_hint schema."""
+
+    def test_jsonl_normalizes_and_feeds_prep(self, ray_session, tmp_path):
+        import json as _json
+
+        import pyarrow as pa
+
+        from searchenginesimple_ray.sources.transcripts import \
+            read_transcripts_jsonl
+        p = tmp_path / "t.jsonl"
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "role": "user",
+             "text": "hello there world", "tool": "",
+             "ts": "2026-01-02T03:04:05"},
+            {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+             "text": "general reply text", "tool": "bash",
+             "ts": 1767323045000000},
+        ]
+        # mixed ts types must live in separate files (a JSON column
+        # has one inferred type per read)
+        p.write_text("\n".join(_json.dumps(r) for r in rows[:1]))
+        p2 = tmp_path / "t2.jsonl"
+        p2.write_text("\n".join(_json.dumps(r) for r in rows[1:]))
+        for path, want_ts in [(p, "2026-01-02T03:04:05"),
+                              (p2, 1767323045000000)]:
+            ds = read_transcripts_jsonl([str(path)])
+            t = pa.Table.from_pandas(ds.to_pandas())
+            assert [f.name for f in t.schema] == \
+                ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            assert t["turn_idx"].type == pa.int32()
+            assert pa.types.is_timestamp(t["ts"].type)
+            assert t["ts"].null_count == 0
