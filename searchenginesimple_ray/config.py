@@ -56,6 +56,13 @@ class EngineConfig:
                                      # index SQL-oracle-checkable — simhash
                                      # equality has false positives no SQL
                                      # can reproduce)
+    dedup_key_index: bool = False    # persist per-band SORTED key runs
+                                     # (dedup/keys/band=K/run-*.parquet);
+                                     # appends then probe only the delta's
+                                     # key ranges (row-group pruned)
+                                     # instead of re-scanning every
+                                     # fingerprint — costs ~480 B/doc of
+                                     # extra storage
 
     # ---- postings ----
     posting_block_size: int = 128    # docs per block-max block

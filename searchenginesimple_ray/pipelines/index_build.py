@@ -352,12 +352,152 @@ def _dedup_stage(out_dir: str, cfg: EngineConfig, res: BuildResult,
         cl = pd.DataFrame(sorted(rep.items()), columns=["doc_id", "rep_id"])
         pq.write_table(pa.Table.from_pandas(cl, preserve_index=False),
                        os.path.join(tmp, "clusters.parquet"))
+        if (cfg.dedup_enabled and cfg.dedup_key_index
+                and cfg.dedup_policy == "simhash"):
+            # persist the per-band SORTED key runs so appends probe
+            # the delta's key ranges instead of re-scanning (see
+            # stages/dedup.write_band_key_runs)
+            import pyarrow.compute as _pc
+
+            from ..stages.dedup import write_band_key_runs
+            t = pq.read_table(_pq_files(os.path.join(out_dir,
+                                                     "docs_raw")),
+                              columns=["doc_id", "simhash"])
+            t = t.filter(_pc.not_equal(t["simhash"],
+                                       pa.scalar(0, pa.uint64())))
+            t = t.combine_chunks()
+            cons = ray.put(
+                (t["simhash"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64),
+                 t["doc_id"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64)))
+            write_band_key_runs(cons, cfg.hamming_threshold,
+                                os.path.join(tmp, "keys"), "run-full")
         return len(drop), {"n_clusters": len(set(rep.values())), **subs}
 
     m = run_or_skip("dedup", "global", dedup_dir, fn=dedup,
                     deps=list(raw_deps))
     res.metrics["dedup/dropped"] = m["row_count"]
 
+    drop_ids = pq.read_table(
+        os.path.join(dedup_dir, "drop_ids.parquet"))["doc_id"].to_numpy()
+    return np.sort(drop_ids.astype(np.int64))
+
+
+def _dedup_stage_append(index_dir: str, cfg: EngineConfig,
+                        res: BuildResult, run_or_skip, raw_deps: list,
+                        app_files: list, tag: str,
+                        ceiling: int) -> np.ndarray:
+    """Append-time dedup with ARRIVAL-ORDER semantics: verdicts of
+    pre-append docs are FROZEN (the reference's first-wins rule,
+    `Page.hpp:247-257` — everything old "arrived" first), and only
+    appended docs can be dropped.  This keeps pre-append postings
+    exactly valid; a new doc that bridges two previously-distinct old
+    clusters is itself dropped while both old clusters stay — the one
+    case where an append diverges from a from-scratch rebuild's
+    global connected-component rule (which could merge them and
+    newly drop an old representative whose posting rows already
+    exist).
+
+    Candidate edges touching the delta come from the persisted
+    sorted-key runs (``dedup/keys``, row-group-pruned probe —
+    delta-proportional I/O) when `EngineConfig.dedup_key_index` wrote
+    them; otherwise from the global fingerprint re-scan.  When the
+    key index is enabled, old runs are HARDLINKED forward and one new
+    run per band is appended (LSM-style, no data copied)."""
+    import pyarrow.compute as _pc
+
+    dedup_dir = os.path.join(index_dir, "dedup")
+    keys_dir = os.path.join(dedup_dir, "keys")
+    have_keys = (cfg.dedup_enabled and cfg.dedup_key_index
+                 and cfg.dedup_policy == "simhash"
+                 and os.path.isdir(keys_dir))
+
+    def dedup(tmp):
+        import time as _t
+
+        import pandas as pd
+
+        from ..stages.dedup import (components_min_rep,
+                                    simhash_delta_edges,
+                                    write_band_key_runs)
+        old_drop = pq.read_table(
+            os.path.join(dedup_dir, "drop_ids.parquet"))["doc_id"]             .to_numpy().astype(np.int64)
+        old_cl = pq.read_table(
+            os.path.join(dedup_dir, "clusters.parquet")).to_pandas()
+        subs = {"mode": "delta" if have_keys else "global",
+                "frozen_old_drops": len(old_drop)}
+        rep = {}
+        hN = dN = None
+        if cfg.dedup_enabled:
+            t0 = _t.perf_counter()
+            if have_keys or cfg.dedup_key_index:
+                t = pq.read_table(app_files,
+                                  columns=["doc_id", "simhash"])
+                t = t.filter(_pc.not_equal(
+                    t["simhash"], pa.scalar(0, pa.uint64())))
+                t = t.combine_chunks()
+                hN = t["simhash"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                dN = t["doc_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+            if have_keys:
+                new_edges = simhash_delta_edges(
+                    keys_dir, hN, dN, cfg.hamming_threshold)
+                # old star edges carry component anchors so a new doc
+                # near an old dup maps to the OLD representative
+                old_edges = pd.DataFrame(
+                    {"src": old_cl["rep_id"].astype(np.int64),
+                     "dst": old_cl["doc_id"].astype(np.int64)}) \
+                    if len(old_cl) else pd.DataFrame(
+                        {"src": pd.Series([], dtype=np.int64),
+                         "dst": pd.Series([], dtype=np.int64)})
+                edges = pd.concat([old_edges, new_edges],
+                                  ignore_index=True)
+                subs["delta_docs"] = int(len(hN))
+                subs["delta_edges"] = int(len(new_edges))
+            else:
+                raw_files = _pq_files(
+                    os.path.join(index_dir, "docs_raw"))
+                docs_raw = _read_parquet(
+                    raw_files, columns=["doc_id", "simhash"])
+                policy = registry_resolve("dedup", cfg.dedup_policy)
+                edges = policy(docs_raw, cfg, files=raw_files)
+            subs["edges_sec"] = round(_t.perf_counter() - t0, 2)
+            if len(edges):
+                rep = components_min_rep(edges)
+        # ARRIVAL-ORDER clamp: old verdicts frozen, only new ids drop
+        drop_new = np.array(
+            sorted(d for d, r in rep.items()
+                   if d != r and d >= ceiling), dtype=np.int64)
+        drop = np.union1d(old_drop, drop_new)
+        pq.write_table(pa.table({"doc_id": drop}),
+                       os.path.join(tmp, "drop_ids.parquet"))
+        cl = pd.DataFrame(sorted(rep.items()),
+                          columns=["doc_id", "rep_id"])
+        pq.write_table(pa.Table.from_pandas(cl, preserve_index=False),
+                       os.path.join(tmp, "clusters.parquet"))
+        if cfg.dedup_enabled and cfg.dedup_key_index:
+            # carry the candidate index forward: hardlink old runs
+            # (no copy), append one delta run per band
+            if os.path.isdir(keys_dir):
+                for band in sorted(os.listdir(keys_dir)):
+                    src_bd = os.path.join(keys_dir, band)
+                    dst_bd = os.path.join(tmp, "keys", band)
+                    os.makedirs(dst_bd, exist_ok=True)
+                    for f in sorted(os.listdir(src_bd)):
+                        if f.endswith(".parquet"):
+                            os.link(os.path.join(src_bd, f),
+                                    os.path.join(dst_bd, f))
+            cons = ray.put((hN, dN))
+            write_band_key_runs(cons, cfg.hamming_threshold,
+                                os.path.join(tmp, "keys"),
+                                f"run-{tag}")
+        return len(drop), subs
+
+    m = run_or_skip("dedup", "global", dedup_dir, fn=dedup,
+                    deps=list(raw_deps))
+    res.metrics["dedup/dropped"] = m["row_count"]
     drop_ids = pq.read_table(
         os.path.join(dedup_dir, "drop_ids.parquet"))["doc_id"].to_numpy()
     return np.sort(drop_ids.astype(np.int64))
@@ -518,16 +658,15 @@ def append_index(new_files: list[str], index_dir: str,
       recompute is ``doc_stats``: the reference L2 norm is
       IDF-weighted and df/N change for every doc — but that pass is
       shuffle-free (streaming reduceat over stored term lists).
-    - Cross-set near-dups: dedup re-derives verdicts globally over
-      the 16-byte fingerprint rows; new ids are strictly larger, so
-      min-id representatives always KEEP the existing document, and
-      verdicts below the old ceiling reproduce deterministically —
-      pre-append postings stay exactly valid.  An append can never
-      remove a previously indexed doc.  This stage and doc_stats are
-      the two corpus-proportional passes left (fingerprints resp.
-      term lists, both shuffle-free); the documented next step for
-      dedup at extreme scale is a key-range-partitioned candidate
-      index probed by the delta's keys only.
+    - Cross-set near-dups use ARRIVAL-ORDER semantics (see
+      `_dedup_stage_append`): pre-append verdicts are frozen, only
+      appended docs can be dropped — an append can never remove a
+      previously indexed doc, so pre-append postings stay exactly
+      valid.  With `EngineConfig.dedup_key_index` the candidate
+      probe reads only row groups covering the delta's keys from the
+      persisted sorted runs (delta-proportional); otherwise dedup is
+      a fingerprint-only corpus re-scan.  doc_stats stays the one
+      corpus-proportional recompute either way.
     - Equality contract (tested): if the appended conv_ids sort after
       every existing one, queries, term_df, doc_stats, the doc store
       and the DECODED postings are value-equal to a full rebuild over
@@ -649,12 +788,12 @@ def append_index(new_files: list[str], index_dir: str,
     # (old-old pairs unchanged; old-new pairs always drop the NEW id),
     # so pre-append postings/docs rows remain exactly valid.
     old_meta = meta
-    drop_ids = _dedup_stage(index_dir, cfg, res, run_or_skip, app_deps)
-    res.n_dropped = len(drop_ids)
-    drop_ref = ray.put(drop_ids)
-
     app_files = [f for f in _pq_files(os.path.join(index_dir, "docs_raw"))
                  if f"bucket=app-{tag}-" in f]
+    drop_ids = _dedup_stage_append(index_dir, cfg, res, run_or_skip,
+                                   app_deps, app_files, tag, ceiling)
+    res.n_dropped = len(drop_ids)
+    drop_ref = ray.put(drop_ids)
 
     def new_prepped_ds():
         ds = _read_parquet(app_files, columns=["doc_id", "simhash",

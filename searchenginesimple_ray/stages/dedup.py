@@ -1091,3 +1091,138 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset, id_col: str, vec_col: str,
     if len(pairs):
         pairs = pairs.drop_duplicates(["src", "dst"]).sort_values(["src", "dst"])
     return pairs.reset_index(drop=True)
+
+
+# ------------------------------------------- incremental candidate index
+
+KEY_RUN_ROW_GROUP = 65536   # small row groups => real pruning at scale
+
+
+@ray.remote
+def _band_keys_write_task(consolidated, band: int, threshold: int,
+                          out_path: str) -> int:
+    """Write ONE band's sorted (key, doc_id, simhash) run — the
+    persisted candidate index an append probes instead of re-scanning
+    every fingerprint.  ``key`` MUST be the first column (row-group
+    statistics are looked up positionally by the probe)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import simhash_combo_key_band
+    h, d = consolidated
+    key = simhash_combo_key_band(h, threshold, band).view(np.int64)
+    o = np.argsort(key, kind="stable")
+    t = pa.table({"key": pa.array(key[o], pa.int64()),
+                  "doc_id": pa.array(d[o], pa.int64()),
+                  "simhash": pa.array(h[o], pa.uint64())})
+    pq.write_table(t, out_path, row_group_size=KEY_RUN_ROW_GROUP)
+    return len(key)
+
+
+def write_band_key_runs(consolidated_ref, threshold: int,
+                        keys_dir: str, run_name: str) -> int:
+    """Write all bands' sorted key runs under
+    ``keys_dir/band=K/<run_name>.parquet`` (one parallel task each)."""
+    import os
+
+    from ..functions.hashing import simhash_num_combo_bands
+    n_bands = simhash_num_combo_bands(threshold)
+    futs = []
+    for k in range(n_bands):
+        bd = os.path.join(keys_dir, f"band={k}")
+        os.makedirs(bd, exist_ok=True)
+        futs.append(_band_keys_write_task.remote(
+            consolidated_ref, k, threshold,
+            os.path.join(bd, f"{run_name}.parquet")))
+    return int(sum(ray.get(futs)))
+
+
+@ray.remote
+def _band_delta_edges_task(old_run_files: list, consolidated_delta,
+                           band: int, threshold: int) -> pd.DataFrame:
+    """Verified near-dup edges touching the DELTA for one band:
+    delta-vs-delta via the usual sorted-run detection, delta-vs-old by
+    probing the stored sorted key runs with ROW-GROUP PRUNING — only
+    row groups whose [min, max] key range contains a delta key are
+    read, so the probe I/O is delta-proportional once runs dwarf the
+    delta (row groups are KEY_RUN_ROW_GROUP rows)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import simhash_combo_key_band
+    hN, dN = consolidated_delta
+    out = [pd.DataFrame({"src": np.empty(0, np.int64),
+                         "dst": np.empty(0, np.int64)})]
+    if not len(hN):
+        return out[0]
+    kd = simhash_combo_key_band(hN, threshold, band).view(np.int64)
+    o = np.argsort(kd, kind="stable")
+    kd, dN_s, hN_s = kd[o], dN[o], hN[o]
+
+    # delta-vs-delta
+    cand = pd.DataFrame({"band_id": np.full(len(dN_s), band, np.int32),
+                         "band_val": kd, "doc_id": dN_s,
+                         "simhash": hN_s})
+    out.append(_edges_from_candidates(cand, threshold))
+
+    # delta-vs-old: probe each stored run
+    for f in old_run_files:
+        pf = pq.ParquetFile(f)
+        sel = []
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(0).statistics
+            if st is None:
+                sel.append(g)
+                continue
+            lo = np.searchsorted(kd, st.min, side="left")
+            hi = np.searchsorted(kd, st.max, side="right")
+            if hi > lo:
+                sel.append(g)
+        if not sel:
+            continue
+        t = pf.read_row_groups(sel, columns=["key", "doc_id", "simhash"])
+        ko = t["key"].to_numpy()
+        do = t["doc_id"].to_numpy()
+        ho = t["simhash"].to_numpy().astype(np.uint64)
+        lo_i = np.searchsorted(ko, kd, side="left")
+        hi_i = np.searchsorted(ko, kd, side="right")
+        counts = hi_i - lo_i
+        m = counts > 0
+        if not m.any():
+            continue
+        rows = np.repeat(np.flatnonzero(m), counts[m])
+        offs = np.concatenate(
+            [np.arange(lo_i[i], hi_i[i]) for i in np.flatnonzero(m)])
+        ok = hamming64(hN_s[rows], ho[offs]) <= threshold
+        if not ok.any():
+            continue
+        a = dN_s[rows[ok]]
+        b = do[offs[ok]]
+        out.append(pd.DataFrame({"src": np.minimum(a, b),
+                                 "dst": np.maximum(a, b)}))
+    res = pd.concat(out, ignore_index=True)
+    return res.drop_duplicates().reset_index(drop=True)
+
+
+def simhash_delta_edges(keys_dir: str, delta_h: np.ndarray,
+                        delta_d: np.ndarray,
+                        threshold: int = 3) -> pd.DataFrame:
+    """All verified near-dup edges with at least one DELTA endpoint,
+    using the persisted band key runs under ``keys_dir`` (see
+    `write_band_key_runs`).  One task per band, delta fingerprints
+    broadcast once."""
+    import glob as _glob
+    import os
+
+    from ..functions.hashing import simhash_num_combo_bands
+    n_bands = simhash_num_combo_bands(threshold)
+    cons = ray.put((delta_h.astype(np.uint64), delta_d.astype(np.int64)))
+    futs = []
+    for k in range(n_bands):
+        files = sorted(_glob.glob(
+            os.path.join(keys_dir, f"band={k}", "*.parquet")))
+        futs.append(_band_delta_edges_task.remote(files, cons, k,
+                                                  threshold))
+    parts = [p for p in ray.get(futs) if len(p)]
+    if not parts:
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64)})
+    return pd.concat(parts).drop_duplicates().reset_index(drop=True)
