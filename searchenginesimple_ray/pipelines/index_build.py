@@ -964,3 +964,121 @@ def append_index(new_files: list[str], index_dir: str,
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta_out, f, indent=1)
     return res
+
+
+@ray.remote
+def _compact_shard_task(files: list, block_size: int) -> pa.Table:
+    """Merge all posting rows of one doc shard: decode every run of a
+    term (append deltas, salted sub-lists), concat + sort by doc id,
+    re-encode once.  df := max over rows (append rows carry the grown
+    global value)."""
+    from ..functions.varbyte import decode_postings, encode_postings
+    t = pq.read_table(files)
+    terms = t["term"].to_pylist()
+    tsh = t["term_shard"].to_numpy()
+    dfs = t["df"].to_numpy()
+    nloc = t["n_local"].to_numpy()
+    dvb = t["doc_ids_vb"].to_pylist()
+    tvb = t["tfs_vb"].to_pylist()
+    runs: dict[str, list] = {}
+    meta: dict[str, tuple] = {}
+    for i, term in enumerate(terms):
+        ids, tfs = decode_postings(dvb[i], tvb[i], int(nloc[i]))
+        runs.setdefault(term, []).append((ids, tfs))
+        prev = meta.get(term)
+        meta[term] = (int(tsh[i]),
+                      max(int(dfs[i]), prev[1]) if prev else int(dfs[i]))
+    out = {k: [] for k in ("term", "term_shard", "salt", "df", "n_local",
+                           "doc_ids_vb", "tfs_vb", "block_last_doc",
+                           "block_max_tf")}
+    for term in sorted(runs):
+        rs = runs[term]
+        if len(rs) == 1:
+            ids, tfs = rs[0]
+        else:
+            ids = np.concatenate([r[0] for r in rs])
+            tfs = np.concatenate([r[1] for r in rs])
+            o = np.argsort(ids)
+            ids, tfs = ids[o], tfs[o]
+        d, v, bl, bm = encode_postings(ids, tfs, block_size)
+        out["term"].append(term)
+        out["term_shard"].append(meta[term][0])
+        out["salt"].append(0)
+        out["df"].append(meta[term][1])
+        out["n_local"].append(len(ids))
+        out["doc_ids_vb"].append(d)
+        out["tfs_vb"].append(v)
+        out["block_last_doc"].append(np.asarray(bl).tolist())
+        out["block_max_tf"].append(np.asarray(bm).tolist())
+    return pa.table({
+        "term": pa.array(out["term"], pa.string()),
+        "term_shard": pa.array(out["term_shard"], pa.int32()),
+        "salt": pa.array(out["salt"], pa.int32()),
+        "df": pa.array(out["df"], pa.int64()),
+        "n_local": pa.array(out["n_local"], pa.int32()),
+        "doc_ids_vb": pa.array(out["doc_ids_vb"], pa.binary()),
+        "tfs_vb": pa.array(out["tfs_vb"], pa.binary()),
+        "block_last_doc": pa.array(out["block_last_doc"],
+                                   pa.list_(pa.uint64())),
+        "block_max_tf": pa.array(out["block_max_tf"],
+                                 pa.list_(pa.uint64())),
+    })
+
+
+def compact_index(index_dir: str,
+                  cfg: EngineConfig | None = None) -> dict:
+    """LSM-style maintenance after a chain of appends: merge every
+    term's posting runs back into ONE row per (term, doc_shard) and
+    every dedup key band's runs into one sorted run.
+
+    Logical content is unchanged (decoded postings, verdicts, query
+    results — tested); what changes is physical row count and the
+    per-term run fan-in the shard actors pay at load.  One task per
+    doc shard / key band; each dir swaps atomically, so a kill leaves
+    either the old or the new layout, never a mix.
+    """
+    cfg = cfg or EngineConfig()
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("config_fingerprint") != cfg.fingerprint():
+        raise ValueError("compact config differs from the built index")
+    stats = {"shards": 0, "rows_before": 0, "rows_after": 0,
+             "key_runs_merged": 0}
+
+    post_dir = os.path.join(index_dir, "postings")
+    shard_dirs = sorted(glob.glob(os.path.join(post_dir, "doc_shard=*")))
+    futs, names = [], []
+    for sd in shard_dirs:
+        files = _pq_files(sd)
+        stats["rows_before"] += sum(pq.read_metadata(f).num_rows
+                                    for f in files)
+        futs.append(_compact_shard_task.remote(files,
+                                               cfg.posting_block_size))
+        names.append(sd)
+    for sd, fut in zip(names, futs):
+        t = ray.get(fut)
+        stats["rows_after"] += t.num_rows
+        stats["shards"] += 1
+        with lineage.atomic_dir(sd) as tmp:
+            pq.write_table(t, os.path.join(tmp, "compacted.parquet"))
+
+    keys_dir = os.path.join(index_dir, "dedup", "keys")
+    if os.path.isdir(keys_dir):
+        for bd in sorted(glob.glob(os.path.join(keys_dir, "band=*"))):
+            files = _pq_files(bd)
+            if len(files) <= 1:
+                continue
+            t = pq.read_table(files)
+            o = pa.compute.sort_indices(t["key"])
+            t = t.take(o)
+            with lineage.atomic_dir(bd) as tmp:
+                pq.write_table(t, os.path.join(tmp, "run-full.parquet"),
+                               row_group_size=65536)
+            stats["key_runs_merged"] += len(files)
+
+    meta["n_posting_rows"] = stats["rows_after"]
+    meta["compacted"] = True
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1)
+    return stats

@@ -423,3 +423,54 @@ class TestKeyIndexedAppend:
         got = {(r.src, r.dst) for r in edges.itertuples()}
         assert (7, 1000) in got and (150, 1001) in got
         assert not any(1002 in e for e in got)
+
+
+class TestCompaction:
+    def test_compact_after_appends_preserves_content(
+            self, ray_session, tmp_path_factory):
+        from searchenginesimple_ray.config import EngineConfig
+        from searchenginesimple_ray.pipelines.index_build import (
+            append_index, build_index, compact_index)
+        from searchenginesimple_ray.pipelines.query import QueryEngine
+        cfg = EngineConfig(num_input_buckets=2, num_doc_shards=2,
+                           min_text_len=1, dedup_key_index=True)
+        root = tmp_path_factory.mktemp("compact")
+        fa = _write_corpus(str(root / "a.parquet"), "conva", 20, 31)
+        fb = _write_corpus(str(root / "b.parquet"), "convb", 10, 32)
+        fc = _write_corpus(str(root / "c.parquet"), "convc", 8, 33)
+        d = str(tmp_path_factory.mktemp("idx_compact"))
+        build_index([fa], d, cfg)
+        append_index([fb], d, cfg)
+        before = _decoded_postings(d)
+        eng = QueryEngine(d, num_actors=2)
+        try:
+            q_before = {q: eng.bm25_topk(q)
+                        for q in ["w01 w02", "w10", "w05 w17"]}
+        finally:
+            eng.shutdown()
+        stats = compact_index(d, cfg)
+        assert stats["rows_after"] < stats["rows_before"]
+        assert stats["key_runs_merged"] >= 2
+        # one physical row per (term, doc_shard) now
+        for sd in glob.glob(os.path.join(d, "postings", "doc_shard=*")):
+            t = pq.read_table(glob.glob(os.path.join(sd, "*.parquet")))
+            terms = t["term"].to_pylist()
+            assert len(terms) == len(set(terms))
+        assert _decoded_postings(d) == before
+        # single merged key run per band
+        for bd in glob.glob(os.path.join(d, "dedup", "keys", "band=*")):
+            assert len(glob.glob(os.path.join(bd, "*.parquet"))) == 1
+        eng = QueryEngine(d, num_actors=2)
+        try:
+            for q, want in q_before.items():
+                assert eng.bm25_topk(q) == want
+        finally:
+            eng.shutdown()
+        # a further append on the compacted index still works
+        r = append_index([fc], d, cfg)
+        assert r.n_docs > 0
+        eng = QueryEngine(d, num_actors=2)
+        try:
+            assert isinstance(eng.bm25_topk("w01"), list)
+        finally:
+            eng.shutdown()
