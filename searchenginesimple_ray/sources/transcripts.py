@@ -88,7 +88,7 @@ def generate_transcripts(
     params = dict(n_convs=n_convs, seed=seed, min_turns=min_turns,
                   max_turns=max_turns, n_files=n_files, vocab_size=vocab_size,
                   skew_hot_frac=skew_hot_frac, conv_prefix=conv_prefix,
-                  version=6)
+                  version=7)
     manifest_path = os.path.join(out_dir, "_corpus_manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -156,10 +156,14 @@ def generate_transcripts(
     truth_rows = []
     taken: set[int] = set()
     eligible = np.flatnonzero(~short_mask)
-    n_exact = max(1, int(0.01 * total))
-    dup_pos = rng.choice(eligible[eligible > 10], size=n_exact, replace=False)
+    pool = eligible[eligible > 10]
+    n_exact = min(max(1, int(0.01 * total)), len(pool))
+    dup_pos = rng.choice(pool, size=n_exact, replace=False)
     taken.update(int(p) for p in dup_pos)
-    for p in dup_pos:
+    # ascending: a src that is itself a dup position is then already
+    # FINAL when copied (unsorted iteration could overwrite texts[src]
+    # after the pair was recorded, breaking the byte-identity truth)
+    for p in sorted(int(x) for x in dup_pos):
         src = int(rng.integers(0, p))
         if short_mask[src]:
             continue
@@ -174,11 +178,16 @@ def generate_transcripts(
     # simhash on stop-filtered term frequencies, so the guarantee must
     # hold in that space.
     n_near = max(1, int(0.01 * total))
-    near_pos = [int(p) for p in rng.choice(eligible[eligible > 10],
-                                           size=3 * n_near, replace=False)
+    near_pos = [int(p) for p in rng.choice(
+                    pool, size=min(3 * n_near, len(pool)), replace=False)
                 if int(p) not in taken][:n_near]
     made = 0
     for p in near_pos:
+        if p in taken:
+            # p became the SRC of an earlier near pair during this
+            # loop; mutating it now would invalidate that pair's
+            # recorded hamming guarantee
+            continue
         src = int(rng.integers(0, p))
         if short_mask[src] or src in taken:
             continue
@@ -306,7 +315,6 @@ def read_transcripts_jsonl(paths: list[str] | str):
     itself streams via ``ray.data.read_json`` (one block per file
     chunk, same backpressure as the parquet path).
     """
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     import ray.data
@@ -320,16 +328,10 @@ def read_transcripts_jsonl(paths: list[str] | str):
         cols["turn_idx"] = pc.cast(batch["turn_idx"], pa.int32())
         ts = batch["ts"] if "ts" in batch.column_names else \
             pa.nulls(batch.num_rows, pa.int64())
-        if pa.types.is_integer(ts.type):
-            cols["ts"] = pc.cast(ts, pa.timestamp("us"))
-        elif pa.types.is_timestamp(ts.type):
-            cols["ts"] = pc.cast(ts, pa.timestamp("us"))
-        else:  # ISO strings: Arrow strptime, fractional seconds ok
-            cols["ts"] = pc.cast(
-                pc.strptime(pc.cast(ts, pa.string()),
-                            format="%Y-%m-%dT%H:%M:%S", unit="us",
-                            error_is_null=True),
-                pa.timestamp("us"))
+        # one cast covers every landed shape: epoch micros, inferred
+        # timestamps, and ISO strings WITH fractional seconds (a fixed
+        # strptime format would silently null the fractional ones)
+        cols["ts"] = pc.cast(ts, pa.timestamp("us"))
         order = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         return pa.table({k: cols[k] for k in order})
 

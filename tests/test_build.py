@@ -259,8 +259,14 @@ class TestJsonlSource:
         p.write_text("\n".join(_json.dumps(r) for r in rows[:1]))
         p2 = tmp_path / "t2.jsonl"
         p2.write_text("\n".join(_json.dumps(r) for r in rows[1:]))
+        p3 = tmp_path / "t3.jsonl"
+        p3.write_text(_json.dumps({
+            "conv_id": "c2", "turn_idx": 0, "role": "user",
+            "text": "fractional ts", "tool": "",
+            "ts": "2026-01-02T03:04:05.123456"}))
         for path, want_ts in [(p, "2026-01-02T03:04:05"),
-                              (p2, 1767323045000000)]:
+                              (p2, 1767323045000000),
+                              (p3, "fractional")]:
             ds = read_transcripts_jsonl([str(path)])
             t = pa.Table.from_pandas(ds.to_pandas())
             assert [f.name for f in t.schema] == \
