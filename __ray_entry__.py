@@ -912,7 +912,7 @@ SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
            AS window_start_us,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(round(100 * value) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST(floor(100 * value + 0.5) AS BIGINT)) AS BIGINT)
            AS sum_value_cents
 FROM events GROUP BY 1, 2
 """,
@@ -920,7 +920,7 @@ FROM events GROUP BY 1, 2
         "sessionize": """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-         CAST(round(100 * value) AS BIGINT) AS cents
+         CAST(floor(100 * value + 0.5) AS BIGINT) AS cents
   FROM events
 ),
 o AS (

@@ -60,6 +60,8 @@ def resolve(kind: str, name: str) -> Callable:
 
 
 def available(kind: str) -> list[str]:
+    if kind not in _REGISTRIES:
+        raise ValueError(f"unknown registry kind {kind!r}; one of {_KINDS}")
     return sorted(_REGISTRIES[kind])
 
 

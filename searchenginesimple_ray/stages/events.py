@@ -46,7 +46,10 @@ def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
 
 def _cents(batch: pa.Table, col: str = "value") -> np.ndarray:
     v = batch[col].to_numpy(zero_copy_only=False)
-    return np.round(v * 100.0).astype(np.int64)
+    # floor(x*100 + 0.5): the SAME IEEE ops as the SQL oracle — np.round
+    # is half-to-even while DuckDB round() is half-away, so exact .5
+    # cents (e.g. value=0.125) would diverge under either native round
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
 
 
 # ------------------------------------------------- tumbling window agg
@@ -184,22 +187,29 @@ def asof_join_events(events: ray.data.Dataset,
             out["asof_ts_us"] = np.int64(-1)
             return out
         right = (right.groupby(["user_id", "ts_us"], as_index=False)
-                 ["event_id"].max().sort_values("ts_us", kind="stable"))
+                 ["event_id"].max().sort_values("ts_us", kind="stable")
+                 .reset_index(drop=True))
+        # merge_asof emits unmatched rows as float NaN, so never let
+        # the int64 event_id round-trip through float64 (ids > 2^53
+        # corrupt); carry the right ROW POSITION instead — bounded by
+        # the bucket size, always float-exact
+        right["_pos"] = np.arange(len(right), dtype=np.int64)
         m = pd.merge_asof(
-            left[["event_id", "user_id", "ts_us"]], right,
+            left[["event_id", "user_id", "ts_us"]],
+            right[["user_id", "ts_us", "_pos"]],
             on="ts_us", by="user_id", direction="backward",
             allow_exact_matches=True, suffixes=("", "_r"))
-        m = m.rename(columns={"event_id_r": "asof_event_id"})
-        m["asof_ts_us"] = np.where(m["asof_event_id"].notna(),
-                                   m["ts_us"], np.int64(-1))
-        # asof_ts_us must be the RIGHT row's ts; merge_asof drops it,
-        # so recover via a lookup on the deduped right side
-        key = right.set_index("event_id")["ts_us"]
-        matched = m["asof_event_id"].notna()
-        m.loc[matched, "asof_ts_us"] = (
-            key.reindex(m.loc[matched, "asof_event_id"]).to_numpy())
-        m["asof_event_id"] = m["asof_event_id"].fillna(-1).astype(np.int64)
-        m["asof_ts_us"] = m["asof_ts_us"].astype(np.int64)
+        pos = m["_pos"].to_numpy()
+        matched = ~np.isnan(pos)
+        idx = pos[matched].astype(np.int64)
+        r_ids = right["event_id"].to_numpy()
+        r_ts = right["ts_us"].to_numpy()
+        aid = np.full(len(m), -1, dtype=np.int64)
+        ats = np.full(len(m), -1, dtype=np.int64)
+        aid[matched] = r_ids[idx]
+        ats[matched] = r_ts[idx]
+        m["asof_event_id"] = aid
+        m["asof_ts_us"] = ats
         return m[["event_id", "user_id", "ts_us",
                   "asof_event_id", "asof_ts_us"]]
 
@@ -225,17 +235,21 @@ def json_props_agg(events: ray.data.Dataset, field: str = "k"):
         try:
             import polars as pl
             ks = pl.from_arrow(batch["props"]).str.json_decode() \
-                .struct.field(field).cast(pl.Int64).to_numpy()
+                .struct.field(field).cast(pl.Int64) \
+                .to_numpy().astype(np.float64)   # nulls -> NaN
         except ImportError:      # pragma: no cover - polars is baked in
             import json
-            ks = np.fromiter((json.loads(p)[field]
-                              for p in batch["props"].to_pylist()),
-                             np.int64, batch.num_rows)
+            ks = np.array(
+                [(json.loads(p) or {}).get(field, np.nan)
+                 if p is not None else np.nan
+                 for p in batch["props"].to_pylist()], dtype=np.float64)
         types = batch["event_type"].to_numpy(zero_copy_only=False)
         uniq, inv, counts = np.unique(types, return_inverse=True,
                                       return_counts=True)
         sums = np.zeros(len(uniq), np.int64)
-        np.add.at(sums, inv, ks)
+        # SQL semantics: count(*) counts every row, sum() skips NULLs
+        ok = ~np.isnan(ks)
+        np.add.at(sums, inv[ok], ks[ok].astype(np.int64))
         return pa.table({"event_type": pa.array(uniq, pa.string()),
                          "n_partial": pa.array(counts.astype(np.int64)),
                          "sum_partial": pa.array(sums)})

@@ -125,21 +125,15 @@ def quota_by_group(ds: ray.data.Dataset, group_col: str, quota: int,
     ``row_number() OVER (PARTITION BY group ORDER BY hv, key) <= K``.
     """
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        pdf = batch.select([group_col, key]).to_pandas()
-        pdf["_hv"] = hash_u32(pdf[key].to_numpy(), seed)
-        pdf = pdf.sort_values(["_hv", key]).groupby(
-            group_col, sort=False).head(quota)
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+    def add_hv(batch: pa.Table) -> pa.Table:
+        hv = hash_u32(batch[key].to_numpy(zero_copy_only=False), seed)
+        return batch.append_column("_hv", pa.array(hv.astype(np.int64)))
 
-    def final_topk(pdf):
-        pdf = pdf.sort_values(["_hv", key]).head(quota)
-        return pdf.drop(columns=["_hv"])
-
-    return (ds.map_batches(local_topk, batch_format="pyarrow")
-            .groupby(group_col)
-            .map_groups(final_topk, batch_format="pandas"))
+    picked = topk_by_group(ds.map_batches(add_hv, batch_format="pyarrow"),
+                           group_col, "_hv", quota, key=key,
+                           descending=False)
+    return picked.map_batches(lambda t: t.drop_columns(["_hv"]),
+                              batch_format="pyarrow")
 
 
 def topk_by_group(ds: ray.data.Dataset, group_col: str, order_col: str,
@@ -155,8 +149,8 @@ def topk_by_group(ds: ray.data.Dataset, group_col: str, order_col: str,
     """
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        pdf = batch.select([group_col, order_col, key]).to_pandas()
+        # ALL columns ride along — the cut selects rows, not columns
+        pdf = batch.to_pandas()
         pdf = pdf.sort_values([order_col, key],
                               ascending=[not descending, True]) \
             .groupby(group_col, sort=False).head(k)

@@ -130,3 +130,78 @@ class TestOracleParity:
         got = got[cols].sort_values(cols).reset_index(drop=True)
         want = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestReviewHardening:
+    """Review-found edge cases: null JSON fields, huge asof ids,
+    payload-preserving quota/topk."""
+
+    def test_json_props_null_field_matches_sql_semantics(self,
+                                                         ray_session):
+        import duckdb
+        import ray.data
+
+        from searchenginesimple_ray.stages.events import json_props_agg
+        pdf = pd.DataFrame({
+            "event_type": ["a", "a", "b", "b"],
+            "props": ['{"k": 3}', "{}", '{"k": 5}', None]})
+        got = json_props_agg(ray.data.from_pandas(pdf)) \
+            .sort_values("event_type").reset_index(drop=True)
+        want = duckdb.sql("""
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(json_extract_string(props, '$.k')
+                            AS BIGINT)) AS sum_k
+            FROM pdf GROUP BY event_type ORDER BY event_type""").df()
+        assert got["n_events"].tolist() == want["n_events"].tolist()
+        assert got["sum_k"].tolist() == [int(x) for x in want["sum_k"]]
+
+    def test_asof_ids_above_2_53_survive(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from searchenginesimple_ray.stages.events import asof_join_events
+        big = (1 << 53) + 3       # not float64-representable
+        t = pa.table({
+            "event_id": pa.array([big, big + 10, 7], pa.int64()),
+            "ts": pa.array([1_000_000, 500_000, 2_000_000],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["purchase", "signup", "purchase"]),
+            "value": pa.array([1.0, 0.0, 2.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        })
+        out = asof_join_events(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        # both purchases match the signup with the EXACT huge id
+        assert out["asof_event_id"].tolist() == [big + 10, big + 10]
+
+    def test_cents_half_rule_matches_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+
+        from searchenginesimple_ray.stages.events import _cents
+        vals = [0.125, 0.135, 1.005, 2.675, 0.0, 3.505]
+        got = _cents(pa.table({"value": pa.array(vals)})).tolist()
+        want = [r[0] for r in duckdb.sql(
+            "SELECT CAST(floor(100 * x + 0.5) AS BIGINT) FROM "
+            "(SELECT unnest(?) AS x)", params=[vals]).fetchall()]
+        assert got == want
+
+    def test_quota_and_topk_keep_payload_columns(self, ray_session):
+        import ray.data
+
+        from searchenginesimple_ray.stages.sampling import (
+            quota_by_group, topk_by_group)
+        docs = pd.DataFrame({
+            "doc_id": np.arange(100, dtype=np.int64),
+            "source": (np.arange(100) % 5).astype(str),
+            "text": [f"payload {i}" for i in range(100)],
+            "score": np.arange(100, dtype=np.int64)})
+        q = quota_by_group(ray.data.from_pandas(docs), "source", 3,
+                           key="doc_id").to_pandas()
+        t = topk_by_group(ray.data.from_pandas(docs), "source", "score",
+                          3, key="doc_id").to_pandas()
+        for out in (q, t):
+            assert set(out.columns) == {"doc_id", "source", "text",
+                                        "score"}
+            assert out["text"].str.startswith("payload").all()
