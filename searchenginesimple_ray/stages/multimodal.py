@@ -28,6 +28,21 @@ import ray
 import ray.data
 
 
+def _require_positive_ints(batch: pa.Table, col: str) -> np.ndarray:
+    """Media dimension columns must be non-null positive ints — a null
+    silently promotes to float NaN (then int() crashes mid-task) and a
+    zero divides the stats; fail with the column named instead."""
+    c = batch[col]
+    if c.null_count:
+        raise ValueError(f"{col!r} contains {c.null_count} null(s); "
+                         "media dimensions must be non-null")
+    v = c.to_numpy(zero_copy_only=False).astype(np.int64)
+    if (v <= 0).any():
+        raise ValueError(f"{col!r} contains non-positive values; "
+                         "media dimensions must be >= 1")
+    return v
+
+
 class ImageDecodeStage:
     """binary payload -> decoded (h, w) feature summary columns.
 
@@ -68,8 +83,8 @@ class ImageDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
-        ws = batch[self.width_col].to_numpy(zero_copy_only=False)
-        hs = batch[self.height_col].to_numpy(zero_copy_only=False)
+        ws = _require_positive_ints(batch, self.width_col)
+        hs = _require_positive_ints(batch, self.height_col)
         n = len(payloads)
         mean = np.zeros(n)
         std = np.zeros(n)
@@ -188,9 +203,9 @@ class VideoFrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
-        ws = batch[self.width_col].to_numpy(zero_copy_only=False)
-        hs = batch[self.height_col].to_numpy(zero_copy_only=False)
-        nt = batch[self.n_frames_col].to_numpy(zero_copy_only=False)
+        ws = _require_positive_ints(batch, self.width_col)
+        hs = _require_positive_ints(batch, self.height_col)
+        nt = _require_positive_ints(batch, self.n_frames_col)
         n_sampled = np.zeros(len(payloads), np.int32)
         mean_rows: list[list[float]] = []
         for i, buf in enumerate(payloads):
@@ -242,6 +257,9 @@ def media_table_from_texts(ids: np.ndarray, texts: list[str],
             "height": pa.array(hs.astype(np.int32)),
             "n_frames_total": pa.array(nf.astype(np.int32)),
         })
+    if kind != "audio":
+        raise ValueError(f"unknown media kind {kind!r}; "
+                         "one of image / video / audio")
     return pa.table({
         "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
         "media_type": pa.array(["audio/fake"] * len(payloads)),

@@ -89,9 +89,22 @@ def text_stats(ds: ray.data.Dataset, stop_words=(), id_col: str = "doc_id",
 
 
 def lang_histogram(ds: ray.data.Dataset, text_col: str = "text"):
-    """lang_pred -> doc count (groupby over the stage output)."""
-    stats = text_stats(ds, text_col=text_col)
-    return stats.groupby("lang_pred").count()
+    """(lang, n) corpus language histogram — a LEAN pass computing only
+    the n-gram-marker language id per doc (the full TextStatsStage
+    would pay BPE tokenization + fingerprinting just to discard them)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = [lang_id(tx) for tx in batch[text_col].to_pylist()]
+        uniq, counts = np.unique(np.asarray(langs, dtype=object),
+                                 return_counts=True)
+        return pa.table({"lang": pa.array(list(uniq), pa.string()),
+                         "n_partial": pa.array(counts.astype(np.int64))})
+
+    pdf = ds.select_columns([text_col]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pdf.groupby("lang", as_index=False)["n_partial"].sum() \
+        .rename(columns={"n_partial": "n"})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
 
 
 # --------------------------------------------- repetition / contamination
@@ -173,7 +186,7 @@ def _repetition_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     k3, r3 = _gram_keys(flat, rows, 3)
     t3, d3, _ = _per_row_distinct(k3, r3, n)
     return pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
+        id_col: pa.array(ids, pa.int64()),
         "n_tokens": pa.array(n_tok),
         "n_distinct_tokens": pa.array(n_dist),
         "top_bigram_count": pa.array(top2),
@@ -242,7 +255,7 @@ def decontaminate(ds: ray.data.Dataset, benchmark: ray.data.Dataset,
                 pos = np.clip(np.searchsorted(bg, k), 0, bg.size - 1)
                 hit = bg[pos] == k
                 np.add.at(n_over, r[hit], 1)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+        return pa.table({id_col: pa.array(ids, pa.int64()),
                          "n_grams": pa.array(n_grams),
                          "n_overlap": pa.array(n_over)})
 

@@ -889,3 +889,51 @@ class TestSketchGuards:
         t = pa.table({"id": [0]})
         with pytest.raises(ValueError, match="shuffle_join"):
             broadcast_join(ds, t, keys="id", join_type="full outer")
+
+
+class TestMultimodalGuards:
+    """Review-found guards: invalid media dims fail loudly; unknown
+    media kind refused at the call site; gram identity stays in parity
+    between textstages and dedup (the decontaminate oracle relies on
+    it)."""
+
+    def test_null_and_zero_dims_raise(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from searchenginesimple_ray.stages.multimodal import \
+            ImageDecodeStage
+        stage = ImageDecodeStage()
+        t_null = pa.table({"payload": pa.array([b"xx"], pa.binary()),
+                           "width": pa.array([None], pa.int32()),
+                           "height": pa.array([4], pa.int32())})
+        with pytest.raises(ValueError, match="null"):
+            stage(t_null)
+        t_zero = pa.table({"payload": pa.array([b"xx"], pa.binary()),
+                           "width": pa.array([0], pa.int32()),
+                           "height": pa.array([4], pa.int32())})
+        with pytest.raises(ValueError, match="positive"):
+            stage(t_zero)
+
+    def test_unknown_media_kind_refused(self):
+        from searchenginesimple_ray.stages.multimodal import \
+            media_table_from_texts
+        with pytest.raises(ValueError, match="unknown media kind"):
+            media_table_from_texts(np.array([1]), ["x"], kind="img")
+
+    def test_gram_identity_parity_with_dedup(self):
+        from searchenginesimple_ray.functions.hashing import fnv1a64
+        from searchenginesimple_ray.stages.dedup import _gram_signature
+        from searchenginesimple_ray.stages.textstages import (
+            _flat_token_hashes, _gram_keys)
+        texts = ["alpha beta gamma delta epsilon", "one two three"]
+        flat, counts = _flat_token_hashes(texts)
+        rows = np.repeat(np.arange(2, dtype=np.int64), counts)
+        k3, r3 = _gram_keys(flat, rows, 3)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            th = {w: fnv1a64(w) for w in toks}
+            sig = set(_gram_signature(toks, th, 3).tolist())
+            mine = set(np.unique(
+                k3[r3 == i]).view(np.uint64).tolist())
+            assert mine == sig
