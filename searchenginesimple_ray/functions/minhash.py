@@ -174,6 +174,8 @@ def minhash_signatures_batch(shingle_sets: list[np.ndarray],
     ``minhash_signatures_flat`` (batch-scale replacement for per-row
     ``minhash_signature`` calls, which pay the (num_perm x n) broadcast
     per doc)."""
+    if not shingle_sets:        # empty block: reduceat would crash
+        return np.empty((0, num_perm), np.uint32)
     lens = np.fromiter((max(len(s), 1) for s in shingle_sets),
                        np.int64, len(shingle_sets))
     flat = np.concatenate(

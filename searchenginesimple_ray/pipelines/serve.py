@@ -50,19 +50,40 @@ class SearchGateway:
 
     def suggest(self, key: str) -> list[dict]:
         q = double_percent_decode(key)
+        import ray
+        if isinstance(self.sug, ray.actor.ActorHandle):
+            # the documented SuggesterActor backend: remote call +
+            # resolve (a raw handle can't be invoked directly)
+            return ray.get(self.sug.suggest.remote(q, k=10))
         return self.sug.suggest(q, k=10)
+
+    # buffered clicks auto-flush to the sink at this size; flush is
+    # also called on server shutdown (stop_server)
+    CLICK_FLUSH_EVERY = 512
 
     def link(self, b64: str) -> str:
         """Record the click; returns the redirect URL."""
         info = json.loads(base64url_decode(b64))
+        url = str(info.get("url", ""))
+        if "\r" in url or "\n" in url:
+            # CRLF in a Location header = HTTP response splitting;
+            # stdlib send_header does not validate
+            raise ValueError("invalid redirect URL")
+        # Location must be latin-1 encodable: percent-encode anything
+        # beyond it (keeps already-valid URLs byte-identical)
+        from urllib.parse import quote
+        url = quote(url, safe=":/?#[]@!$&'()*+,;=%-._~")
         event = {"ts": int(info.get("ts", 0)),
-                 "url": info.get("url", ""),
+                 "url": url,
                  "query": str(info.get("data", {}).get("query", "")),
                  "doc_id": int(info.get("data", {}).get("doc_id", -1)),
                  "rank": int(info.get("data", {}).get("rank", -1))}
         with self._lock:
             self.click_buffer.append(event)
-        return event["url"]
+            full = len(self.click_buffer) >= self.CLICK_FLUSH_EVERY
+        if full:
+            self.flush_clicks()
+        return url
 
     def flush_clicks(self) -> int:
         """Write buffered click events to the parquet sink (S7)."""
@@ -112,8 +133,18 @@ class SearchGateway:
 
 def start_server(gateway: SearchGateway, port: int = 0):
     """Start the gateway on ``port`` (0 = ephemeral).  Returns
-    ``(server, thread)``; call ``server.shutdown()`` to stop."""
+    ``(server, thread)``; call ``stop_server(server, thread,
+    gateway)`` (or ``server.shutdown()`` + ``gateway.flush_clicks()``)
+    to stop without losing buffered clicks."""
     srv = ThreadingHTTPServer(("127.0.0.1", port), gateway.handler())
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
     return srv, th
+
+
+def stop_server(server, thread, gateway: SearchGateway) -> int:
+    """Shut the gateway down and flush any buffered clicks (S7 sink
+    contract: no click recorded by /link is lost on clean shutdown)."""
+    server.shutdown()
+    thread.join(timeout=10)
+    return gateway.flush_clicks()

@@ -130,24 +130,50 @@ class Suggester:
             d, c = dict_pdf, char_pdf
         self.terms = d["term"].to_numpy()
         self.counts = d["count"].to_numpy()
+        # codepoint lengths, for the |len(a)-len(b)| <= levenshtein
+        # lower bound that prunes the DP on the serving hot path
+        self.term_lens = np.fromiter((len(t) for t in self.terms),
+                                     np.int64, len(self.terms))
         self.char_index = {int(cp): np.asarray(tids, dtype=np.int64)
                            for cp, tids in zip(c["codepoint"], c["term_ids"])}
 
     def suggest(self, query: str, k: int = 10) -> list[dict]:
-        """Top-k (term, distance, count), (distance asc, term asc)."""
+        """Top-k (term, distance, count), (distance asc, term asc).
+
+        A common character unions most of the dictionary into the
+        candidate set, so the DP only runs while a candidate's length
+        lower bound (|len(t)-len(q)| <= levenshtein) can still beat
+        the current k-th distance — bit-identical output, hot path no
+        longer linear in vocabulary for the typical query."""
         cand_sets = [self.char_index[ord(ch)] for ch in set(query)
                      if ord(ch) in self.char_index]
         if not cand_sets:
             return []
         cands = np.unique(np.concatenate(cand_sets))
-        dists = np.fromiter(
-            (levenshtein(query, self.terms[c]) for c in cands),
-            dtype=np.int64, count=len(cands))
-        order = np.lexsort((self.terms[cands], dists))[:k]
-        return [{"term": str(self.terms[cands[i]]),
-                 "distance": int(dists[i]),
-                 "count": int(self.counts[cands[i]])}
-                for i in order]
+        lb = np.abs(self.term_lens[cands] - len(query))
+        by_lb = cands[np.argsort(lb, kind="stable")]
+        lb_sorted = np.sort(lb, kind="stable")
+        kept: list[tuple[int, str, int]] = []   # (dist, term, cand)
+        kth = None
+        for b, c in zip(lb_sorted, by_lb):
+            if kth is not None and b > kth:
+                break   # every later candidate has dist >= lb > kth
+            term = self.terms[c]
+            dd = int(levenshtein(query, term))
+            item = (dd, str(term), int(c))
+            if len(kept) < k:
+                kept.append(item)
+                if len(kept) == k:
+                    kth = max(kept)[0]
+            else:
+                worst = max(kept)
+                if item < worst:
+                    kept[kept.index(worst)] = item
+                    kth = max(kept)[0]
+        kept.sort()
+        return [{"term": t, "distance": dd,
+                 "count": int(self.counts[c])}
+                for dd, t, c in kept]
 
 
 @ray.remote

@@ -4,6 +4,7 @@ LRU cache (T6), click sink (S7)."""
 import glob
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -155,5 +156,88 @@ class TestHttpGateway:
                 assert False
             except urllib.error.HTTPError as e:
                 assert e.code == 404
+        finally:
+            srv.shutdown()
+
+
+class TestGatewayHardening:
+    """Review-found serving hazards: header injection, actor backend,
+    click flush on shutdown."""
+
+    def test_crlf_redirect_rejected(self, ray_session, t1_engine,
+                                    tmp_path):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        from searchenginesimple_ray.functions.urlcodec import \
+            base64url_encode
+        from searchenginesimple_ray.pipelines.serve import (SearchGateway,
+                                                            stop_server,
+                                                            start_server)
+        gw = SearchGateway(t1_engine, None,
+                           clicks_dir=str(tmp_path / "c"))
+        srv, th = start_server(gw)
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            evil = {"url": "http://x/\r\nSet-Cookie: pwn=1", "ts": 0,
+                    "data": {}}
+            b64 = base64url_encode(_json.dumps(evil).encode())
+            try:
+                urllib.request.urlopen(f"{base}/link/{b64}")
+                assert False, "expected 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+            # non-latin-1 URL: percent-encoded, served as a clean 302
+            uni = {"url": "http://x/p→q", "ts": 0, "data": {}}
+            b64 = base64url_encode(_json.dumps(uni).encode())
+
+            class NoRedirect(urllib.request.HTTPRedirectHandler):
+                def redirect_request(self, *a, **kw):
+                    return None
+            opener = urllib.request.build_opener(NoRedirect)
+            try:
+                opener.open(f"{base}/link/{b64}")
+                assert False, "expected 302"
+            except urllib.error.HTTPError as e:
+                assert e.code == 302
+                assert "%E2%86%92" in e.headers["Location"]
+        finally:
+            # stop_server flushes the buffered clicks (1 valid click)
+            n = stop_server(srv, th, gw)
+            assert n == 1
+
+    def test_actor_suggester_backend(self, ray_session, t1_index,
+                                     tmp_path):
+        """The documented SuggesterActor backend actually serves."""
+        import json as _json
+        import urllib.parse
+        import urllib.request
+
+        from searchenginesimple_ray.pipelines.index_build import \
+            index_doc_terms
+        from searchenginesimple_ray.pipelines.serve import (SearchGateway,
+                                                            start_server)
+        from searchenginesimple_ray.pipelines.suggest import (
+            SuggesterActor, build_char_index, build_dict)
+        d = build_dict(index_doc_terms(t1_index["dir"]))
+        dict_dir = tmp_path / "dict"
+        dict_dir.mkdir()
+        pq.write_table(pa.Table.from_pandas(d, preserve_index=False),
+                       str(dict_dir / "dict.parquet"))
+        pq.write_table(pa.Table.from_pandas(build_char_index(d),
+                                            preserve_index=False),
+                       str(dict_dir / "char_index.parquet"))
+        actor = SuggesterActor.remote(str(dict_dir))
+        gw = SearchGateway(None, actor)
+        srv, _ = start_server(gw)
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        try:
+            term = d["term"].iloc[0]
+            enc = urllib.parse.quote(urllib.parse.quote(term, safe=""),
+                                     safe="")
+            with urllib.request.urlopen(f"{base}/sug/{enc}") as r:
+                sug = _json.loads(r.read())
+            assert sug and sug[0]["distance"] == 0
         finally:
             srv.shutdown()
