@@ -163,7 +163,6 @@ class ScorerCore:
                     np.isin(cand, ids, assume_unique=True)]
                 if len(cand) == 0:
                     return []
-            total = np.zeros(len(cand))
             use_prune = (method == "pruned" or
                          (method == "auto" and len(cand) > 4 * k))
             if use_prune:
@@ -202,6 +201,7 @@ class ScorerCore:
                         elif item > heap[0]:
                             heapq.heapreplace(heap, item)
                 return sort_scored_desc(scored)[:k]
+            total = np.zeros(len(cand))
             for t, q in present:
                 ids, _ = self.postings[t]
                 pos = np.searchsorted(ids, cand)
@@ -245,6 +245,13 @@ class ScorerCore:
         cursors = {t: 0 for t in terms}
         plists = {t: self.postings[t][0] for t in terms}
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+        # every fully-scored doc is COLLECTED: the heap alone would
+        # drop raw-score ties within EPS of the k-th (candidates the
+        # quantized doc_id tiebreak can still rank above it) — the
+        # final cut goes through the same EPS-band _topk_from as every
+        # other scoring path, keeping results identical across actor
+        # counts and methods
+        collected: list[tuple[float, int]] = []
         max_score = {t: qtf[t] * float(self.block_max[t].max())
                      if len(self.block_max[t]) else 0.0 for t in terms}
         while True:
@@ -272,6 +279,7 @@ class ScorerCore:
                         cursors[t] += 1
                     elif ids[min(ci, len(ids) - 1)] > pivot_doc:
                         break
+                collected.append((s, pivot_doc))
                 item = (s, -pivot_doc)
                 if len(heap) < k:
                     heapq.heappush(heap, item)
@@ -282,7 +290,11 @@ class ScorerCore:
                     if plists[t][cursors[t]] >= pivot_doc:
                         break
                     cursors[t] = int(np.searchsorted(plists[t], pivot_doc))
-        return sort_scored_desc([(s, -nd) for s, nd in heap])[:k]
+        if not collected:
+            return []
+        sc = np.array([c[0] for c in collected])
+        di = np.array([c[1] for c in collected], dtype=np.int64)
+        return self._topk_from(di, sc, k)
 
     # ------------------------------------------------- reference cosine
 
@@ -394,8 +406,10 @@ class QueryEngine:
         # Scale path: replace with a per-term-shard df lookup service.
         df_t = pq.read_table(os.path.join(index_dir, "term_df",
                                           "term_df.parquet"))
-        self.global_df = dict(zip(df_t["term"].to_pylist(),
-                                  df_t["df"].to_numpy().tolist()))
+        # membership-only (A8 global-vocabulary filter) — df values
+        # live in the posting rows, the shard actors never ask for
+        # these, so a set beats a term->int dict
+        self.global_df = frozenset(df_t["term"].to_pylist())
 
     def bm25_topk(self, sentence: str, k: int | None = None,
                   conjunctive: bool = True,

@@ -9,14 +9,17 @@ doc (`Page.hpp:323-333`).  The Ray-Data-native layout (north star):
   (rank in the df table) before the exchange, and the term string /
   df are gathered back from broadcast arrays on the group side —
   no strings and no per-row df cross the wire;
-- shuffle key: ``(term, doc_shard, salt)`` where
-  ``doc_shard = doc_id % D`` — the secondary doc partition makes
-  conjunctive intersection (A8) shard-local at query time, and is
-  simultaneously the hot-term skew split: a term with global df = N
-  lands as D groups of N/D, not one straggler group (SURVEY §4 skew);
-  ``salt`` further splits terms whose *per-shard* postings exceed
-  ``hot_term_df_threshold`` (second-pass merge happens at scorer load:
-  sorted runs are merged per (term, doc_shard));
+- shuffle key: the COARSE pair ``(term_shard, doc_shard)`` where
+  ``doc_shard = doc_id % D`` — one pandas group per pair, with
+  per-term runs detected inside the group kernel (tiny-group
+  map_groups is catastrophically slow).  The doc partition makes
+  conjunctive intersection (A8) shard-local at query time and spreads
+  a hot term's rows over D groups; ``salt`` does NOT partition the
+  exchange — it splits the ENCODED ROWS of terms whose *per-shard*
+  postings exceed ``hot_term_df_threshold``, bounding row payloads
+  (second-pass merge happens at scorer load: sorted runs are merged
+  per (term, doc_shard)).  Skew analysis therefore applies at the
+  (term_shard, doc_shard) granularity;
 - term sharding parity: ``term_shard = fnv1a(term) % S`` (the
   reference's zone hash, `include/helper/ihsah.hpp:8-27`) is stamped on
   every posting row for layout/debug parity with the reference's dict

@@ -136,3 +136,46 @@ class TestEdgeCases:
         assert all(v < 0 for v in w.values())
         assert abs(sum(v * v for v in w.values()) - 1.0) < 1e-12
         assert w["hello"] < w["world"]  # tf 2 => more negative
+
+
+class TestWandEpsTies:
+    """Regression for the review-found heap defect: a raw score within
+    EPS below the k-th must survive WAND and win the quantized doc_id
+    tiebreak, exactly as the exhaustive EPS-band path ranks it."""
+
+    def test_sub_eps_tie_kept(self, t1_index):
+        import numpy as np
+
+        from searchenginesimple_ray.pipelines.query import ScorerCore
+        core = ScorerCore(t1_index["dir"], list(range(8)))
+        term = max(core.postings, key=lambda t: len(core.postings[t][0]))
+        ids, _ = core.postings[term]
+        if len(ids) < 4:
+            pytest.skip("needs a term with several postings")
+        # force k-1 clear winners plus two sub-EPS-tied docs where the
+        # LOWER raw score has the SMALLER doc id (quantized tie -> it
+        # must rank above)
+        s = core.scores[term].copy()
+        try:
+            core.scores[term][:] = 1e-6
+            k = 3
+            hi = np.argsort(ids)[-1]       # biggest doc id
+            lo = np.argsort(ids)[0]        # smallest doc id
+            mid = np.argsort(ids)[len(ids) // 2]
+            core.scores[term][mid] = 5.0               # clear winner
+            core.scores[term][hi] = 1.0                # k-th raw score
+            core.scores[term][lo] = 1.0 - 5e-10        # sub-EPS below
+            # keep block upper bounds consistent with the doctored
+            # scores (the ctor computes them the same way)
+            core.block_max[term] = np.maximum.reduceat(
+                core.scores[term],
+                np.arange(0, len(s), core.block_size))
+            a = core.bm25_local_topk([(term, 1)], k, conjunctive=False,
+                                     method="pruned")
+            b = core.bm25_local_topk([(term, 1)], k, conjunctive=False,
+                                     method="exhaustive")
+            assert a == b
+            got_ids = [d for _, d in a]
+            assert int(ids[lo]) in got_ids     # the sub-EPS tie survived
+        finally:
+            core.scores[term] = s
