@@ -193,6 +193,13 @@ def simhash_combo_keys(hashes, threshold: int = 3) -> np.ndarray:
 
     Returns shape (n, C(B,3)) uint64.
     """
+    if threshold > 5:
+        # C(threshold+3, 3) combos must fit the 6-bit combo-id fold
+        # (64 ids); beyond that distinct combos would alias into one
+        # key space and blow up candidate verification
+        raise ValueError(f"threshold={threshold} > 5: combo ids "
+                         "exceed the 6-bit key fold")
+
     from itertools import combinations
 
     h = np.asarray(hashes, dtype=np.uint64).reshape(-1)
@@ -221,6 +228,13 @@ def simhash_combo_key_band(hashes, threshold: int, band: int) -> np.ndarray:
     """ONE combo band's keys (column ``band`` of ``simhash_combo_keys``)
     without computing the other C(B,3)-1 columns — for band-parallel
     candidate generation where each task owns a single band."""
+    if threshold > 5:
+        # C(threshold+3, 3) combos must fit the 6-bit combo-id fold
+        # (64 ids); beyond that distinct combos would alias into one
+        # key space and blow up candidate verification
+        raise ValueError(f"threshold={threshold} > 5: combo ids "
+                         "exceed the 6-bit key fold")
+
     from itertools import combinations
 
     h = np.asarray(hashes, dtype=np.uint64).reshape(-1)

@@ -24,8 +24,16 @@ def qround(s: float) -> float:
 
 
 def sort_scored_desc(items):
-    """[(score, doc_id), ...] -> sorted best-first (score desc, doc asc)."""
-    return sorted(items, key=lambda sd: (-qround(sd[0]), sd[1]))
+    """[(score, doc_id), ...] -> sorted best-first (score desc, doc
+    asc); NaN scores last by doc_id (a bare -qround(NaN) key is
+    non-transitive under sorted() and left NaN rows wherever they
+    arrived — shard-merge order, not a total order)."""
+    def key(sd):
+        s, d = sd[0], sd[1]
+        if isinstance(s, float) and math.isnan(s):
+            return (1, 0.0, d)
+        return (0, -qround(s), d)
+    return sorted(items, key=key)
 
 
 def sort_scored_asc_nan_last(items):

@@ -10,10 +10,12 @@ Reference flow (`include/simhash/Simhasher.hpp:44-71`, topN=5 at
    bit j of the result = 1 iff vote > 0 (`Simhasher.hpp:50-68`).
 
 **Documented deviation** (SURVEY §7.5): step 1's keyword weights here
-are ``tf`` within the doc with ties broken by lexicographic term order
-(deterministic, model-free) instead of jieba's IDF-weighted TF.  Steps
-2-3 are bit-exact with the reference (including strict ``> 0`` vote and
-equal-weight ties).  The hamming-distance equality test used for
+are ``1 + log2(tf)`` (log-damped term frequency, ties broken by
+lexicographic term order — deterministic, model-free) instead of
+jieba's IDF-weighted TF; raw tf let one hot term dominate the vote
+(measured 1065 vs 38 false hamming<=3 pairs on the fixture corpus).
+Steps 2-3 are bit-exact with the reference (including strict ``> 0``
+vote and equal-weight ties).  The hamming-distance equality test used for
 near-dedup is exact parity (`Simhasher.hpp:109-151`).
 """
 
@@ -29,11 +31,12 @@ def top_keywords(tf: Counter, top_n: int = 0) -> list[tuple[str, float]]:
     """(term, weight) features for the bit vote.
 
     ``top_n > 0``: top-N by tf desc then term asc — the reference's
-    keyword-extraction shape (topN=5, `Page.hpp:94`), with tf standing
-    in for jieba's IDF-weighted scores (documented deviation).
-    ``top_n <= 0`` (engine default): ALL terms, weight = tf — standard
-    full-feature simhash (Charikar 2002), far more discriminative on
-    Zipf-skewed corpora where many docs share the same hot keywords.
+    keyword-extraction shape (topN=5, `Page.hpp:94`).  ``top_n <= 0``
+    (engine default): ALL terms — standard full-feature simhash
+    (Charikar 2002), far more discriminative on Zipf-skewed corpora
+    where many docs share the same hot keywords.  In BOTH modes the
+    weight is ``1 + log2(tf)`` (documented deviation from jieba's
+    IDF-weighted scores; see the module header and the comment below).
     """
     items = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
     if top_n > 0:
@@ -57,20 +60,23 @@ def simhash_from_keywords(keywords: list[tuple[str, float]],
     """
     if not keywords:
         return 0
-    votes = [0.0] * 64
+    import numpy as np
+    votes = np.zeros(64)
     for term, w in keywords:
-        if hash_cache is not None:
-            h = hash_cache.get(term)
-            if h is None:
-                h = jenkins64(term)
-                hash_cache[term] = h
-        else:
+        # cache the +-1 vote VECTOR, not just the hash: the 64-step
+        # Python unpack loop per (term, doc) occurrence dominated the
+        # tokenize hot path on Zipf corpora.  w * (+-1.0) is exactly
+        # +-w, accumulated in the same term order => bit-identical to
+        # the scalar loop.
+        bits = hash_cache.get(term) if hash_cache is not None else None
+        if bits is None:
             h = jenkins64(term)
-        for j in range(64):
-            if (h >> j) & 1:
-                votes[j] += w
-            else:
-                votes[j] -= w
+            bits = np.fromiter(
+                (1.0 if (h >> j) & 1 else -1.0 for j in range(64)),
+                np.float64, 64)
+            if hash_cache is not None:
+                hash_cache[term] = bits
+        votes += w * bits
     v = 0
     for j in range(64):
         if votes[j] > 0.0:

@@ -252,3 +252,50 @@ class TestMinhash:
         want = np.stack([M.minhash_signature(M.char_shingles(t, 5), 64)
                          for t in texts])
         assert (got == want).all()
+
+
+class TestReviewKernelFixes:
+    def test_sort_scored_desc_nan_last(self):
+        from searchenginesimple_ray.functions.ranking import \
+            sort_scored_desc
+        nan = float("nan")
+        out = sort_scored_desc([(5.0, 2), (nan, 9), (3.0, 3),
+                                (nan, 1), (4.0, 4)])
+        assert [d for _, d in out] == [2, 4, 3, 1, 9]
+        import math
+        assert all(math.isnan(s) for s, _ in out[3:])
+
+    def test_combo_key_threshold_guard(self):
+        import numpy as np
+        import pytest as _pt
+
+        from searchenginesimple_ray.functions.hashing import (
+            simhash_combo_key_band, simhash_combo_keys)
+        h = np.array([0], np.uint64)
+        simhash_combo_keys(h, 5)          # C(8,3)=56 <= 64: fine
+        with _pt.raises(ValueError, match="6-bit"):
+            simhash_combo_keys(h, 6)      # C(9,3)=84 aliases
+        with _pt.raises(ValueError, match="6-bit"):
+            simhash_combo_key_band(h, 6, 0)
+
+    def test_simhash_vector_cache_bit_identical(self):
+        from searchenginesimple_ray.functions.hashing import jenkins64
+        from searchenginesimple_ray.functions.simhash import \
+            simhash_from_keywords
+        kws = [("alpha", 2.5849625007211562), ("beta", 1.0),
+               ("gamma", 3.321928094887362), ("alpha", 1.0)]
+        cache: dict = {}
+        a = simhash_from_keywords(kws, cache)
+        b = simhash_from_keywords(kws, cache)   # warm-cache path
+        c = simhash_from_keywords(kws, None)    # uncached path
+        # reference scalar implementation
+        votes = [0.0] * 64
+        for t, w in kws:
+            h = jenkins64(t)
+            for j in range(64):
+                votes[j] += w if (h >> j) & 1 else -w
+        want = 0
+        for j in range(64):
+            if votes[j] > 0.0:
+                want |= 1 << j
+        assert a == b == c == want
