@@ -356,21 +356,13 @@ def _dedup_stage(out_dir: str, cfg: EngineConfig, res: BuildResult,
                 and cfg.dedup_policy == "simhash"):
             # persist the per-band SORTED key runs so appends probe
             # the delta's key ranges instead of re-scanning (see
-            # stages/dedup.write_band_key_runs)
-            import pyarrow.compute as _pc
-
-            from ..stages.dedup import write_band_key_runs
-            t = pq.read_table(_pq_files(os.path.join(out_dir,
-                                                     "docs_raw")),
-                              columns=["doc_id", "simhash"])
-            t = t.filter(_pc.not_equal(t["simhash"],
-                                       pa.scalar(0, pa.uint64())))
-            t = t.combine_chunks()
-            cons = ray.put(
-                (t["simhash"].to_numpy(zero_copy_only=False)
-                 .astype(np.uint64),
-                 t["doc_id"].to_numpy(zero_copy_only=False)
-                 .astype(np.int64)))
+            # stages/dedup.write_band_key_runs).  Fingerprints are
+            # consolidated in a TASK — the corpus-sized array never
+            # lands in the driver heap
+            from ..stages.dedup import (_consolidate_from_files,
+                                        write_band_key_runs)
+            cons = _consolidate_from_files.remote(
+                _pq_files(os.path.join(out_dir, "docs_raw")))
             write_band_key_runs(cons, cfg.hamming_threshold,
                                 os.path.join(tmp, "keys"), "run-full")
         return len(drop), {"n_clusters": len(set(rep.values())), **subs}
@@ -441,9 +433,13 @@ def _dedup_stage_append(index_dir: str, cfg: EngineConfig,
                     .astype(np.uint64)
                 dN = t["doc_id"].to_numpy(zero_copy_only=False) \
                     .astype(np.int64)
+            cons_ref = None
+            if hN is not None:
+                cons_ref = ray.put((hN, dN))
             if have_keys:
                 new_edges = simhash_delta_edges(
-                    keys_dir, hN, dN, cfg.hamming_threshold)
+                    keys_dir, hN, dN, cfg.hamming_threshold,
+                    cons_ref=cons_ref)
                 # old star edges carry component anchors so a new doc
                 # near an old dup maps to the OLD representative
                 old_edges = pd.DataFrame(
@@ -477,10 +473,12 @@ def _dedup_stage_append(index_dir: str, cfg: EngineConfig,
                           columns=["doc_id", "rep_id"])
         pq.write_table(pa.Table.from_pandas(cl, preserve_index=False),
                        os.path.join(tmp, "clusters.parquet"))
-        if cfg.dedup_enabled and cfg.dedup_key_index:
-            # carry the candidate index forward: hardlink old runs
-            # (no copy), append one delta run per band
+        if (cfg.dedup_enabled and cfg.dedup_key_index
+                and cfg.dedup_policy == "simhash"):
+            from ..stages.dedup import _consolidate_from_files
             if os.path.isdir(keys_dir):
+                # carry the candidate index forward: hardlink old
+                # runs (no copy), append one delta run per band
                 for band in sorted(os.listdir(keys_dir)):
                     src_bd = os.path.join(keys_dir, band)
                     dst_bd = os.path.join(tmp, "keys", band)
@@ -489,10 +487,20 @@ def _dedup_stage_append(index_dir: str, cfg: EngineConfig,
                         if f.endswith(".parquet"):
                             os.link(os.path.join(src_bd, f),
                                     os.path.join(dst_bd, f))
-            cons = ray.put((hN, dN))
-            write_band_key_runs(cons, cfg.hamming_threshold,
-                                os.path.join(tmp, "keys"),
-                                f"run-{tag}")
+                write_band_key_runs(cons_ref, cfg.hamming_threshold,
+                                    os.path.join(tmp, "keys"),
+                                    f"run-{tag}")
+            else:
+                # no index to carry forward (defense in depth — the
+                # config-fingerprint gate should make this
+                # unreachable): seed FULL-corpus runs, never
+                # delta-only ones a later append would probe as if
+                # they were complete
+                full = _consolidate_from_files.remote(
+                    _pq_files(os.path.join(index_dir, "docs_raw")))
+                write_band_key_runs(full, cfg.hamming_threshold,
+                                    os.path.join(tmp, "keys"),
+                                    "run-full")
         return len(drop), subs
 
     m = run_or_skip("dedup", "global", dedup_dir, fn=dedup,

@@ -1204,7 +1204,8 @@ def _band_delta_edges_task(old_run_files: list, consolidated_delta,
 
 def simhash_delta_edges(keys_dir: str, delta_h: np.ndarray,
                         delta_d: np.ndarray,
-                        threshold: int = 3) -> pd.DataFrame:
+                        threshold: int = 3,
+                        cons_ref=None) -> pd.DataFrame:
     """All verified near-dup edges with at least one DELTA endpoint,
     using the persisted band key runs under ``keys_dir`` (see
     `write_band_key_runs`).  One task per band, delta fingerprints
@@ -1214,7 +1215,9 @@ def simhash_delta_edges(keys_dir: str, delta_h: np.ndarray,
 
     from ..functions.hashing import simhash_num_combo_bands
     n_bands = simhash_num_combo_bands(threshold)
-    cons = ray.put((delta_h.astype(np.uint64), delta_d.astype(np.int64)))
+    # reuse the caller's object-store copy of the delta when provided
+    cons = cons_ref if cons_ref is not None else ray.put(
+        (delta_h.astype(np.uint64), delta_d.astype(np.int64)))
     futs = []
     for k in range(n_bands):
         files = sorted(_glob.glob(
