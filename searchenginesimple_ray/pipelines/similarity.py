@@ -326,12 +326,15 @@ def _semdedup_greedy(ids: np.ndarray, V: np.ndarray,
     V = V[order]
     G = V @ V.T
     n = len(ids)
-    kept_rows: list[int] = []
     keep = np.zeros(n, dtype=bool)
+    # running max-similarity-to-any-kept vector: one np.maximum per
+    # KEPT row, O(1) membership test per row (a per-row fancy-indexed
+    # gather over the kept list was O(c * kept))
+    best = np.full(n, -np.inf)
     for i in range(n):
-        if not kept_rows or float(G[i, kept_rows].max()) <= threshold:
+        if best[i] <= threshold:
             keep[i] = True
-            kept_rows.append(i)
+            np.maximum(best, G[i], out=best)
     out = np.zeros(n, dtype=bool)
     out[order] = keep
     return out
@@ -360,14 +363,14 @@ def semdedup(ds: ray.data.Dataset, id_col: str, vec_col: str,
     assigned = assign_partitions(ds.select_columns([id_col, vec_col]),
                                  id_col, vec_col, C)
 
-    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        V = _normalize(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        V = _normalize(_vec_matrix(g, vec_col))
         keep = _semdedup_greedy(ids, V, threshold)
-        return pd.DataFrame({id_col: ids,
-                             "cluster": g["ivf_partition"].to_numpy(),
-                             "keep": keep})
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster": g["ivf_partition"],
+            "keep": pa.array(keep)})
 
     return assigned.groupby("ivf_partition").map_groups(
-        dedup_group, batch_format="pandas")
+        dedup_group, batch_format="pyarrow")
