@@ -299,3 +299,47 @@ class TestReviewKernelFixes:
             if votes[j] > 0.0:
                 want |= 1 << j
         assert a == b == c == want
+
+
+class TestSketchKernelProperties:
+    """Pure-kernel invariants of the sketch ops (no Ray): the
+    Misra-Gries compress must never lose a phi-heavy candidate, and
+    the quantile rank rule must match percentile_disc semantics."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=30),
+                    min_size=1, max_size=400),
+           st.integers(min_value=2, max_value=20))
+    @settings(max_examples=100, deadline=None)
+    def test_mg_compress_superset_guarantee(self, stream, cap):
+        import numpy as np
+
+        from searchenginesimple_ray.stages.sketches import _mg_compress
+        vals, counts = np.unique(np.asarray(stream), return_counts=True)
+        total = len(stream)
+        kept_vals, kept_w = _mg_compress(vals.astype(object),
+                                         counts.astype(np.int64), cap)
+        kept = dict(zip(kept_vals, kept_w))
+        for v, c in zip(vals, counts):
+            # undercount bound: a single compress removes <= pivot
+            # from each counter and >= (cap+1)*pivot total mass
+            if c > total / (cap + 1):
+                assert v in kept, (v, c, total, cap)
+            if v in kept:
+                assert kept[v] <= c          # never overcount
+
+    @given(st.lists(st.integers(min_value=0, max_value=50),
+                    min_size=1, max_size=300))
+    @settings(max_examples=100, deadline=None)
+    def test_quantile_rank_rule_is_percentile_disc(self, values):
+        """The cumulative-histogram walk == smallest value whose rank
+        reaches ceil(q*n) — checked against a sorted-array oracle."""
+        import numpy as np
+        v = np.sort(np.asarray(values, dtype=np.int64))
+        uniq, counts = np.unique(v, return_counts=True)
+        cum = counts.cumsum()
+        n = len(v)
+        for q in (0.25, 0.5, 0.75):
+            k = max(int(np.ceil(q * n)), 1)
+            got = int(uniq[np.searchsorted(cum, k)])
+            want = int(v[k - 1])     # 1-based rank in the sorted array
+            assert got == want
