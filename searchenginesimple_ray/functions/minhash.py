@@ -70,6 +70,10 @@ def char_shingles_flat(col, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     n = len(col)
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
+    if col.null_count:
+        # nulls would poison the offsets math (utf8_length -> NaN) and
+        # crash the short-doc fallback; treat them as empty strings
+        col = pc.fill_null(col, "")
     low = pc.utf8_lower(col)
     char_len = pc.utf8_length(low).to_numpy(zero_copy_only=False) \
         .astype(np.int64)

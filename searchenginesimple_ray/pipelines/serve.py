@@ -69,6 +69,14 @@ class SearchGateway:
             # CRLF in a Location header = HTTP response splitting;
             # stdlib send_header does not validate
             raise ValueError("invalid redirect URL")
+        # open-redirect guard: only absolute http(s) targets are
+        # redirectable (the reference 302s to whatever the payload says,
+        # `WebServer.cc:205-237`; a javascript:/data:/file: scheme in a
+        # Location header is an attack, not parity)
+        from urllib.parse import urlsplit
+        scheme = urlsplit(url).scheme.lower()
+        if scheme not in ("http", "https"):
+            raise ValueError("redirect scheme must be http(s)")
         # Location must be latin-1 encodable: percent-encode anything
         # beyond it (keeps already-valid URLs byte-identical)
         from urllib.parse import quote

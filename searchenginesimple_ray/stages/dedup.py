@@ -51,15 +51,107 @@ _MAX_PAIRWISE = 4096
 
 # ---------------------------------------------------------------- exact
 
+# two independent 64-bit key-hash seeds (pd.util.hash_pandas_object
+# hash_key): both colliding for DISTINCT texts ~ 2^-128 per pair —
+# documented residual risk of the hash-key plan
+_XD_K1 = "se-ray-dedup-k1!"
+_XD_K2 = "se-ray-dedup-k2!"
+
+
+def _hash_key_batch(batch: pa.Table, key: str, order_col: str) -> pa.Table:
+    """(h1, h2, order) triple per row — the ONLY payload that enters
+    the dedup exchange (24 B/row; the raw key text never ships)."""
+    s = batch[key].to_pandas()
+    h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_XD_K1) \
+        .to_numpy().view(np.int64)
+    h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_XD_K2) \
+        .to_numpy().view(np.int64)
+    return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                     "ord": batch[order_col].cast(pa.int64())})
+
+
+def _lookup_pairs(wh1: np.ndarray, wh2: np.ndarray, h1: np.ndarray,
+                  h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 2-key membership: winners sorted by (h1, h2); returns
+    (hit_mask, pos).  h1 runs in the winner table are ~always length 1
+    (a run > 1 needs an h1 collision BETWEEN dup groups); longer runs
+    resolve with a tiny per-row binary search."""
+    left = np.searchsorted(wh1, h1, side="left")
+    right = np.searchsorted(wh1, h1, side="right")
+    pos = np.clip(left, 0, max(0, len(wh1) - 1))
+    multi = right - left > 1
+    for i in np.flatnonzero(multi):        # ~never taken
+        seg = wh2[left[i]:right[i]]
+        j = np.searchsorted(seg, h2[i])
+        pos[i] = left[i] + min(j, len(seg) - 1)
+    hit = (left < right) & (wh1[pos] == h1) & (wh2[pos] == h2)
+    return hit, pos
+
+
 def exact_dedup_first(ds: ray.data.Dataset, key: str,
                       order_col: str) -> ray.data.Dataset:
     """Keep the min-``order_col`` row per ``key`` group (A3 analogue for
-    generic tables; hash-partition + per-group first)."""
+    generic tables).
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col).head(1)
+    SCALE shape (same count-prefilter pattern as the simhash/minhash
+    paths): the raw key never enters any exchange.  (1) each batch adds
+    two independent 64-bit hashes of the key (vectorized
+    ``pd.util.hash_pandas_object``); (2) a NATIVE ``groupby(h1).count``
+    finds hot hashes — O(duplicate groups), broadcast once; (3) only
+    rows holding a hot hash (dup-rate bounded) are collected and their
+    per-(h1, h2) winners (min order) resolved with one lexsort; (4) the
+    input streams through a filter keeping every row that is not in a
+    dup group, plus each group's winner.  Two distinct keys colliding
+    on BOTH 64-bit hashes (~2^-128 per pair) would drop a unique row —
+    the documented residual of not shipping text."""
+    import pyarrow.compute as pc
 
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+    slim = ds.map_batches(_hash_key_batch,
+                          fn_kwargs={"key": key, "order_col": order_col},
+                          batch_format="pyarrow").materialize()
+    hot = slim.groupby("h1").count().map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if not len(hot):
+        return ds
+    hot_h1 = np.sort(hot["h1"].to_numpy().astype(np.int64))
+    hot_ref = ray.put(hot_h1)
+
+    def filter_hot(t: pa.Table) -> pa.Table:
+        w = ray.get(hot_ref)
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        p = np.clip(np.searchsorted(w, h1), 0, len(w) - 1)
+        return t.filter(pa.array(w[p] == h1))
+
+    cand = slim.map_batches(filter_hot, batch_format="pyarrow").to_pandas()
+    c1 = cand["h1"].to_numpy().astype(np.int64)
+    c2 = cand["h2"].to_numpy().astype(np.int64)
+    co = cand["ord"].to_numpy().astype(np.int64)
+    o = np.lexsort((co, c2, c1))
+    c1, c2, co = c1[o], c2[o], co[o]
+    run_start = np.concatenate(
+        [[True], (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])])
+    run_id = np.cumsum(run_start) - 1
+    run_len = np.bincount(run_id)
+    dup_run = run_len[run_id[run_start.nonzero()[0]]] > 1
+    wh1 = c1[run_start][dup_run]
+    wh2 = c2[run_start][dup_run]
+    wmin = co[run_start][dup_run]     # rows sorted by ord within run
+    if not len(wh1):
+        return ds
+    win_ref = ray.put((wh1, wh2, wmin))
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        vh1, vh2, vmin = ray.get(win_ref)
+        hb = _hash_key_batch(t, key, order_col)
+        h1 = hb["h1"].to_numpy()
+        h2 = hb["h2"].to_numpy()
+        od = hb["ord"].to_numpy()
+        hit, pos = _lookup_pairs(vh1, vh2, h1, h2)
+        keep = ~hit | (od == vmin[pos])
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- simhash banded
@@ -1056,7 +1148,12 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset, id_col: str, vec_col: str,
     """
     # hyperplanes derived once on the driver and broadcast (deterministic
     # per-batch derivation was correct but wasted work per batch)
-    dim = len(ds.take(1)[0][vec_col])
+    probe = ds.take(1)
+    if not probe:
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=float)})
+    dim = len(probe[0][vec_col])
     planes_ref = ray.put(
         np.random.RandomState(seed).randn(dim, num_planes))
 

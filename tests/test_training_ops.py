@@ -397,6 +397,37 @@ class TestDedupFamily:
                       .to_pandas()["doc_id"])
         assert kept == [3, 7]
 
+    def test_exact_dedup_first_randomized_vs_pandas(self, ray_session):
+        """Hash-key plan == groupby(text).min(doc_id) ground truth on a
+        randomized corpus with heavy duplication, unique rows, empty
+        strings and nulls."""
+        from searchenginesimple_ray.stages.dedup import exact_dedup_first
+        rng = np.random.RandomState(17)
+        pool = [f"text body {i}" for i in range(40)]
+        texts = [pool[rng.randint(len(pool))] if rng.rand() < 0.7
+                 else f"unique {i}" for i in range(500)]
+        texts[10] = ""
+        texts[20] = ""
+        texts[30] = None
+        texts[40] = None
+        ids = rng.permutation(500).astype(np.int64)
+        pdf = pd.DataFrame({"doc_id": ids, "text": texts})
+        want = sorted(pdf.fillna({"text": "<null-sentinel>"})
+                      .groupby("text")["doc_id"].min())
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids), "text": pa.array(texts, pa.string())}))
+        got = sorted(exact_dedup_first(ds, "text", "doc_id")
+                     .to_pandas()["doc_id"])
+        assert got == want
+
+    def test_exact_dedup_first_no_dups_passthrough(self, ray_session):
+        from searchenginesimple_ray.stages.dedup import exact_dedup_first
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+            "text": [f"t{i}" for i in range(20)]}))
+        got = exact_dedup_first(ds, "text", "doc_id").to_pandas()
+        assert sorted(got["doc_id"]) == list(range(20))
+
 
 class TestMultimodal:
     def test_image_stage_plumbing(self, ray_session):
