@@ -367,13 +367,21 @@ def _edges_from_candidates(cand: pd.DataFrame, threshold: int) -> pd.DataFrame:
 
     same_bucket = (bid[1:] == bid[:-1]) & (bval[1:] == bval[:-1])
     same_sim = same_bucket & (sims[1:] == sims[:-1])
-    # 1) identical fingerprints: chain consecutive docs (hamming 0)
-    src = [docs[:-1][same_sim]]
-    dst = [docs[1:][same_sim]]
+    # 1) identical fingerprints: STAR every run member to the run's
+    # first (= min, docs ascend within the run) doc.  A consecutive
+    # chain built linear paths whose graph diameter equals the
+    # duplicate-run length, forcing O(run) min-label rounds at the
+    # >20M-edge scale; the star keeps component diameter O(1) at the
+    # same edge count.
+    first = np.concatenate([[True], ~same_sim])
+    hub = docs[np.maximum.accumulate(
+        np.where(first, np.arange(len(docs)), 0))]
+    member = ~first
+    src = [hub[member]]
+    dst = [docs[member]]
 
     # 2) distinct-fingerprint representatives per bucket: first row of
     # each (bucket, simhash) run; all-pairs within each bucket run
-    first = np.concatenate([[True], ~same_sim])
     rb, rv = bid[first], bval[first]
     rs, rd = sims[first], docs[first]
     same_b = (rb[1:] == rb[:-1]) & (rv[1:] == rv[:-1])
@@ -549,22 +557,70 @@ def _reduce_labels(shard, labels: np.ndarray, *received):
     return lab, int(lab.sum())
 
 
+@ray.remote
+def _request_labels(shard, labels: np.ndarray, num_buckets: int):
+    """Pointer-doubling phase 1: every node whose label is another node
+    asks that node's bucket for ITS label.  Returns ``num_buckets``
+    (requester, queried_label) pairs."""
+    nodes = shard[0]
+    m = labels != nodes
+    req, lbl = nodes[m], labels[m]
+    b = lbl % num_buckets
+    out = []
+    for i in range(num_buckets):
+        s = b == i
+        out.append((req[s], lbl[s]))
+    return tuple(out) if num_buckets > 1 else out[0]
+
+
+@ray.remote
+def _answer_labels(shard, labels: np.ndarray, num_buckets: int,
+                   *received):
+    """Pointer-doubling phase 2: answer label(lbl) for each request and
+    route the answer back to the requester's bucket.  Every label value
+    is a node id appearing in the edge set (labels are min-combines of
+    node ids), so the lookup always resolves; unknown ids pass through
+    unchanged as a defensive no-op."""
+    nodes = shard[0]
+    req = np.concatenate([r[0] for r in received]) if received \
+        else np.empty(0, np.int64)
+    lbl = np.concatenate([r[1] for r in received]) if received \
+        else np.empty(0, np.int64)
+    if len(lbl) and len(nodes):
+        pos = np.clip(np.searchsorted(nodes, lbl), 0, len(nodes) - 1)
+        ans = np.where(nodes[pos] == lbl, labels[pos], lbl)
+    else:
+        ans = lbl
+    b = req % num_buckets
+    out = []
+    for i in range(num_buckets):
+        s = b == i
+        out.append((req[s], ans[s]))
+    return tuple(out) if num_buckets > 1 else out[0]
+
+
 def components_min_label_distributed(edges: ray.data.Dataset,
                                      num_buckets: int = 16,
                                      max_iters: int = 64) -> pd.DataFrame:
-    """Connected components via iterated MIN-LABEL PROPAGATION — the
-    scale path for when the verified edge set outgrows the driver's
-    union-find.
+    """Connected components via iterated MIN-LABEL PROPAGATION with
+    POINTER DOUBLING — the scale path for when the verified edge set
+    outgrows the driver's union-find.
 
     Implemented as a hand-rolled bucket shuffle over raw Ray tasks
     (the one place the Dataset API genuinely fails here: an iterative
     loop of groupby jobs wedged Ray Data's streaming executor after a
     few rounds).  Edges are hash-partitioned by node once; per round
-    each bucket task ships its nodes' labels across their edges to the
-    target buckets and a reduce task takes the min — the driver only
-    routes O(num_buckets^2) object refs, never edge data.  Labels only
-    decrease, so the per-bucket label sums (returned by the reduce
-    tasks anyway) witness convergence; rounds = O(component diameter).
+    each bucket task (1) ships its nodes' labels across their edges to
+    the target buckets with a min-reduce, then (2) shortcuts
+    label := min(label, label(label)) via a request/answer exchange
+    (pointer doubling), so rounds = O(log component diameter) instead
+    of O(diameter).  The driver only routes O(num_buckets^2) object
+    refs, never edge data.  Labels only decrease over a finite domain,
+    so the per-bucket label sums witness convergence exactly: the loop
+    runs UNTIL a full round leaves the sum unchanged (guaranteed to
+    terminate); ``max_iters`` is a hard safety valve — with doubling it
+    covers diameters ~2^max_iters, so exhausting it indicates a logic
+    error and raises rather than silently under-merging.
     Returns (id, rep_id) for every node appearing in an edge,
     rep = component min id.
     """
@@ -583,7 +639,9 @@ def components_min_label_distributed(edges: ray.data.Dataset,
 
     labels = [_labels_of.remote(s) for s in shards]
     prev = None
+    converged = False
     for _ in range(max_iters):
+        # (1) edge propagation: min over neighbours
         flows = [_flow_labels.options(**nret).remote(shards[i], labels[i], B)
                  for i in range(B)]
         if B == 1:
@@ -592,10 +650,32 @@ def components_min_label_distributed(edges: ray.data.Dataset,
                                          *[flows[j][i] for j in range(B)])
                    for i in range(B)]
         labels = [r[0] for r in results]
+        # (2) pointer doubling: label := min(label, label(label))
+        reqs = [_request_labels.options(**nret).remote(shards[i], labels[i],
+                                                       B)
+                for i in range(B)]
+        if B == 1:
+            reqs = [[r] for r in reqs]
+        answers = [_answer_labels.options(**nret).remote(
+            shards[i], labels[i], B, *[reqs[j][i] for j in range(B)])
+            for i in range(B)]
+        if B == 1:
+            answers = [[a] for a in answers]
+        results = [_reduce_labels.remote(shards[i], labels[i],
+                                         *[answers[j][i] for j in range(B)])
+                   for i in range(B)]
+        labels = [r[0] for r in results]
         cur = sum(ray.get([r[1] for r in results]))
         if prev is not None and cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iters} "
+            "rounds — with pointer doubling this bounds component "
+            "diameter at ~2^rounds, so this indicates corrupt edge "
+            "input or a partitioning bug, not a large graph")
     nodes = np.concatenate(ray.get([_nodes_of.remote(s) for s in shards]))
     labs = np.concatenate(ray.get(list(labels)))
     out = pd.DataFrame({"id": nodes, "rep_id": labs})

@@ -387,6 +387,23 @@ class TestDedupFamily:
         # also returns the roots (mapped to themselves) — same clusters
         assert got == {k: v for k, v in want.items() if k != v}
 
+    def test_min_label_deep_chain_converges(self, ray_session):
+        """A path graph with diameter far above the iteration cap must
+        still fully merge: pointer doubling gives O(log diameter)
+        rounds, and the loop runs to an exact sum fixed point (the old
+        one-hop version silently under-merged past max_iters hops)."""
+        from searchenginesimple_ray.stages.dedup import \
+            components_min_label_distributed
+        n = 600   # diameter 599 >> max_iters
+        pdf = pd.DataFrame({"src": np.arange(n - 1, dtype=np.int64),
+                            "dst": np.arange(1, n, dtype=np.int64)})
+        ds = ray.data.from_arrow(pa.Table.from_pandas(pdf,
+                                                      preserve_index=False))
+        got = components_min_label_distributed(ds, num_buckets=4,
+                                               max_iters=24)
+        assert (got["rep_id"].to_numpy() == 0).all()
+        assert len(got) == n
+
     def test_exact_dedup_first(self, ray_session):
         ds = ray.data.from_arrow(pa.table({
             "doc_id": np.array([5, 3, 9, 7], dtype=np.int64),
