@@ -1019,8 +1019,146 @@ def _gram_signature(tokens: list[str], token_hash: dict, n: int) -> np.ndarray:
     return np.unique(g)
 
 
+def _pair_intersections(flat: np.ndarray, starts: np.ndarray,
+                        lens: np.ndarray, pi: np.ndarray,
+                        pj: np.ndarray) -> np.ndarray:
+    """Exact ``|g_i ∩ g_j|`` for every pair of signature ROWS — fully
+    vectorized: gather both sides' gram hashes tagged by pair id, one
+    lexsort, count adjacent equals within a pair (each hash occurs at
+    most once per side, signatures are distinct-sorted)."""
+    npairs = len(pi)
+    if not npairs:
+        return np.empty(0, np.int64)
+
+    def gather(rows):
+        ls = lens[rows]
+        total = int(ls.sum())
+        if not total:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        base = np.repeat(starts[rows] -
+                         np.concatenate([[0], np.cumsum(ls)[:-1]]), ls)
+        idx = base + np.arange(total)
+        return flat[idx], np.repeat(np.arange(len(rows)), ls)
+
+    vi, pii = gather(pi)
+    vj, pjj = gather(pj)
+    vals = np.concatenate([vi, vj])
+    pid = np.concatenate([pii, pjj])
+    o = np.lexsort((vals, pid))
+    vals, pid = vals[o], pid[o]
+    dup = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+    return np.bincount(pid[1:][dup], minlength=npairs)
+
+
+def _ngram_verify_table(t: pa.Table, threshold: float) -> pd.DataFrame:
+    """Verify one candidate table (key, id, grams): run-detect on the
+    sorted keys, pair generation grouped by run size (same shape as the
+    simhash verify, incl. the degenerate-run window fallback), doc-pair
+    dedupe, then ONE vectorized exact-Jaccard pass."""
+    import pyarrow.compute as pc
+    empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=float)})
+    if t.num_rows == 0:
+        return empty
+    grams = t["grams"]
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    lens_o = pc.list_value_length(grams).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = grams.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    starts_o = np.asarray(grams.offsets)[:-1].astype(np.int64)
+    key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    order = np.lexsort((ids, key))
+    key_s, ids_s = key[order], ids[order]
+    starts_s, lens_s = starts_o[order], lens_o[order]
+
+    same = key_s[1:] == key_s[:-1]
+    run_id = np.concatenate([[0], np.cumsum(~same)])
+    sizes = np.bincount(run_id)
+    rstarts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    sel = sizes >= 2
+    sz_a, st_a = sizes[sel].astype(np.int64), rstarts[sel]
+    if not len(sz_a):
+        return empty
+    o2 = np.argsort(sz_a, kind="stable")
+    sz_s, st_s = sz_a[o2], st_a[o2]
+    cuts = np.concatenate([[0], np.flatnonzero(np.diff(sz_s)) + 1,
+                           [len(sz_s)]])
+    W = 8
+    pi_parts, pj_parts = [], []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        if a == b:
+            continue
+        sz = int(sz_s[a])
+        sts = st_s[a:b]
+        if sz <= _MAX_PAIRWISE:
+            ii, jj = np.triu_indices(sz, k=1)
+        else:   # degenerate shared-prefix key: windowed neighbours
+            import logging
+            logging.getLogger(__name__).warning(
+                "ngram verify: key run of %d docs exceeds pairwise cap "
+                "%d — windowed neighbour verify (W=%d; recall may drop)",
+                sz, _MAX_PAIRWISE, W)
+            ii = np.concatenate([np.arange(sz - w)
+                                 for w in range(1, min(W, sz - 1) + 1)])
+            jj = np.concatenate([np.arange(w, sz)
+                                 for w in range(1, min(W, sz - 1) + 1)])
+        pi_parts.append((sts[:, None] + ii[None, :]).ravel())
+        pj_parts.append((sts[:, None] + jj[None, :]).ravel())
+    pi = np.concatenate(pi_parts)
+    pj = np.concatenate(pj_parts)
+    # dedupe doc pairs across keys BEFORE the intersection pass
+    a_id, b_id = ids_s[pi], ids_s[pj]
+    lo, hi = np.minimum(a_id, b_id), np.maximum(a_id, b_id)
+    po = np.lexsort((hi, lo))
+    keep = np.concatenate([[True], (lo[po][1:] != lo[po][:-1])
+                           | (hi[po][1:] != hi[po][:-1])])
+    keep &= lo[po] != hi[po]
+    pi, pj = pi[po[keep]], pj[po[keep]]
+    if not len(pi):
+        return empty
+    inter = _pair_intersections(flat, starts_s, lens_s, pi, pj)
+    li, lj = lens_s[pi], lens_s[pj]
+    union = np.maximum(li + lj - inter, 1)
+    jac = inter / union
+    hit = jac >= threshold
+    if not hit.any():
+        return empty
+    a_id, b_id = ids_s[pi[hit]], ids_s[pj[hit]]
+    return pd.DataFrame({"src": np.minimum(a_id, b_id),
+                         "dst": np.maximum(a_id, b_id),
+                         "jaccard": jac[hit]}) \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+@ray.remote
+def _part_cand_by_key(tbl: pa.Table, num_buckets: int):
+    """Split one candidate block by ``key % B`` (num_returns=B)."""
+    key = tbl["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = key % num_buckets
+    out = [tbl.filter(pa.array(b == i)) for i in range(num_buckets)]
+    return tuple(out) if num_buckets > 1 else out[0]
+
+
+@ray.remote
+def _verify_cand_bucket(threshold: float, *pieces) -> pd.DataFrame:
+    """Verify ONE key bucket's candidate rows (vectorized kernel)."""
+    tabs = [p for p in pieces if p.num_rows]
+    if not tabs:
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=float)})
+    return _ngram_verify_table(pa.concat_tables(tabs).combine_chunks(),
+                               threshold)
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.8) -> pd.DataFrame:
+                        n: int = 3, threshold: float = 0.8,
+                        driver_limit: int = 2_000_000,
+                        num_buckets: int = 32) -> pd.DataFrame:
     """EXACT word-n-gram Jaccard >= threshold pairs via prefix filtering
     (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 "All-Pairs";
     Xiao et al. WWW'08 PPJoin).
@@ -1038,9 +1176,13 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     Scale notes: the signature dataset is ~8 B/gram ≈ the text size and
     stays distributed; hot-key detection is a native count aggregate
     over the prefix rows; only docs holding a shared prefix key — a
-    dup-rate-bounded set — are collected for verification.  Scale path
-    past driver bounds: bucket candidates by ``key % B`` and verify per
-    bucket in Ray tasks (same run-detect shape as the simhash verify).
+    dup-rate-bounded set — hold candidates.  Verification is one
+    vectorized kernel (run-detect + pair-size grouping + a single
+    lexsort intersection pass, ``_ngram_verify_table``): it runs on the
+    driver below ``driver_limit`` candidate rows, else candidates are
+    bucketed by ``key % num_buckets`` and verified in parallel Ray
+    tasks with a cross-bucket pair dedupe — tested identical to the
+    driver path.
     """
     import math
 
@@ -1120,55 +1262,33 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
             "grams": pa.array([grams[r] for r in row], pa.list_(pa.int64())),
         })
 
+    # candidate volume is dup-rate bounded; verify with the vectorized
+    # kernel — on the driver when small, else bucketed by ``key % B``
+    # in parallel Ray tasks (rows route once; pairs dedupe per bucket
+    # and once more across buckets, since a pair sharing several
+    # prefix keys can land in several buckets)
     cand = sigs.map_batches(filter_candidates,
-                            batch_format="pyarrow").to_pandas()
-    if not len(cand):
+                            batch_format="pyarrow").materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
         return empty
-
-    # verify per shared-key run; dedupe doc pairs across keys FIRST so
-    # a pair sharing many prefix keys is intersected once
-    cand = cand.sort_values(["key", "id"]).reset_index(drop=True)
-    seen: set[tuple[int, int]] = set()
-    src_l, dst_l, jac_l = [], [], []
-    key_arr = cand["key"].to_numpy()
-    id_arr = cand["id"].to_numpy()
-    gram_arr = cand["grams"].to_numpy()
-    run_starts = np.flatnonzero(
-        np.concatenate([[True], key_arr[1:] != key_arr[:-1]]))
-    run_ends = np.concatenate([run_starts[1:], [len(key_arr)]])
-    for a, b in zip(run_starts, run_ends):
-        m = b - a
-        if m < 2:
-            continue
-        if m > _MAX_PAIRWISE:
-            import logging
-            logging.getLogger(__name__).warning(
-                "ngram verify: key run of %d docs exceeds pairwise cap "
-                "%d — truncated to the cap (recall may drop)",
-                m, _MAX_PAIRWISE)
-            b = a + _MAX_PAIRWISE
-            m = _MAX_PAIRWISE
-        for i in range(a, b):
-            for j in range(i + 1, b):
-                if id_arr[i] == id_arr[j]:
-                    continue
-                pr = (int(min(id_arr[i], id_arr[j])),
-                      int(max(id_arr[i], id_arr[j])))
-                if pr in seen:
-                    continue
-                seen.add(pr)
-                gi = np.asarray(gram_arr[i], dtype=np.int64)
-                gj = np.asarray(gram_arr[j], dtype=np.int64)
-                inter = len(np.intersect1d(gi, gj, assume_unique=True))
-                jac = inter / (len(gi) + len(gj) - inter)
-                if jac >= threshold:
-                    src_l.append(pr[0]); dst_l.append(pr[1])
-                    jac_l.append(jac)
-    if not src_l:
+    if n_cand <= driver_limit:
+        tabs = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        return _ngram_verify_table(
+            pa.concat_tables(tabs).combine_chunks(), threshold)
+    nret = {"num_returns": num_buckets} if num_buckets > 1 else {}
+    parts = [_part_cand_by_key.options(**nret).remote(r, num_buckets)
+             for r in cand.to_arrow_refs()]
+    if num_buckets == 1:
+        parts = [[p] for p in parts]
+    futs = [_verify_cand_bucket.remote(
+        threshold, *[parts[j][i] for j in range(len(parts))])
+        for i in range(num_buckets)]
+    out = [p for p in ray.get(futs) if len(p)]
+    if not out:
         return empty
-    return pd.DataFrame({"src": np.asarray(src_l, np.int64),
-                         "dst": np.asarray(dst_l, np.int64),
-                         "jaccard": np.asarray(jac_l, float)}) \
+    return pd.concat(out, ignore_index=True) \
+        .drop_duplicates(["src", "dst"]) \
         .sort_values(["src", "dst"]).reset_index(drop=True)
 
 

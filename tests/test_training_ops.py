@@ -321,6 +321,31 @@ class TestDedupFamily:
         pairs = ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=0.7)
         assert [(int(r.src), int(r.dst)) for r in pairs.itertuples()] == [(1, 2)]
 
+    def test_ngram_bucketed_verify_matches_driver(self, ray_session):
+        """The distributed key-bucketed verify (forced via
+        driver_limit=0) must produce exactly the driver-path pairs on a
+        dup-heavy randomized corpus, including jaccard values."""
+        from searchenginesimple_ray.stages.dedup import ngram_jaccard_pairs
+        rng = np.random.RandomState(23)
+        vocab = [f"tok{i}" for i in range(40)]
+        texts = []
+        for i in range(160):
+            base = [vocab[rng.randint(40)] for _ in range(12)]
+            texts.append(" ".join(base))
+            if rng.rand() < 0.5:   # near-dup: mutate one token
+                mut = list(base)
+                mut[rng.randint(12)] = vocab[rng.randint(40)]
+                texts.append(" ".join(mut))
+        ids = np.arange(len(texts), dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        t = 0.5
+        drv = ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=t)
+        dist = ngram_jaccard_pairs(ds, "doc_id", "text", n=3, threshold=t,
+                                   driver_limit=0, num_buckets=7)
+        assert len(drv) > 0
+        pd.testing.assert_frame_equal(
+            drv.reset_index(drop=True), dist.reset_index(drop=True))
+
     def test_embedding_near_dup(self, ray_session):
         rng = np.random.RandomState(3)
         base = rng.randn(8, 16).astype(np.float32)
