@@ -21,12 +21,41 @@ class TestDictSegmenter:
         # city + bridge reading, not 市长 (mayor)
         assert seg.cut("南京市长江大桥") == ["南京市", "长江大桥"]
 
-    def test_oov_falls_back_to_codepoints(self):
+    def test_oov_falls_back_to_codepoints_without_hmm(self):
         from searchenginesimple_ray.functions.segment import DictSegmenter
-        seg = DictSegmenter({"大桥": 4})
+        seg = DictSegmenter({"大桥": 4}, hmm=False)
         assert seg.cut("某某大桥") == ["某", "某", "大桥"]
         assert seg.cut("") == []
         assert seg.cut("一") == ["一"]
+
+    def test_hmm_joins_oov_run(self):
+        """With hmm=True (the reference's Cut(text, words, true)), an
+        OOV run whose characters the emission model has seen in B/E
+        positions is joined into one word by the Viterbi pass: B→E
+        (-0.2627-0.5108+emit) beats the S,S path whose first S
+        emission is the unseen floor."""
+        from searchenginesimple_ray.functions.segment import DictSegmenter
+        seg = DictSegmenter({"长江": 5, "长城": 1, "大桥": 4})  # hmm on
+        # 长桥 is OOV but 长 is B-trained and 桥 is E-trained → joined
+        assert seg.cut("长桥大桥") == ["长桥", "大桥"]
+        assert seg.cut("") == []
+        assert seg.cut("一") == ["一"]
+        # a single OOV char between dict words stays single (buf len 1)
+        assert seg.cut("大桥某大桥") == ["大桥", "某", "大桥"]
+        # chars the emission model has NEVER seen tie at the MIN floor
+        # and resolve to S,S — same as jieba's decoder on chars absent
+        # from prob_emit (max() tuple tie-break picks 'S' over 'E')
+        assert seg.cut("某某大桥") == ["某", "某", "大桥"]
+
+    def test_hmm_invocab_buffer_emitted_per_char(self):
+        """jieba __cut_DAG: a buffered single-char run that IS a dict
+        word is emitted per character, not HMM-joined."""
+        from searchenginesimple_ray.functions.segment import DictSegmenter
+        # freq chosen so the DAG prefers 单+字 over the word 单字:
+        # log(9)+log(9)-2logT > log(1)-logT with T=19
+        seg = DictSegmenter({"单": 9, "字": 9, "单字": 1})
+        assert seg._cut_dag("单字") == ["单", "字"]
+        assert seg.cut("单字") == ["单", "字"]
 
     def test_tie_prefers_longer_word(self):
         from searchenginesimple_ray.functions.segment import DictSegmenter
@@ -58,6 +87,91 @@ class TestDictSegmenter:
             DictTokenCounter
         c = DictTokenCounter({"长江": 5})
         assert c.tokens("abc 长江人") == ["abc", "长江", "人"]
+
+
+class TestHmmModel:
+    """The B/M/E/S Viterbi decoder (jieba finalseg semantics)."""
+
+    def test_published_constants(self):
+        """start/trans are jieba's published finalseg parameters
+        (prob_start.py / prob_trans.py of the MIT source)."""
+        from searchenginesimple_ray.functions.segment import (
+            HMM_START_P, HMM_TRANS_P)
+        assert HMM_START_P["B"] == pytest.approx(-0.26268660809250016)
+        assert HMM_START_P["S"] == pytest.approx(-1.4652633398537678)
+        assert HMM_START_P["M"] < -1e100 and HMM_START_P["E"] < -1e100
+        assert set(HMM_TRANS_P["B"]) == {"E", "M"}
+        assert set(HMM_TRANS_P["E"]) == {"B", "S"}
+        assert set(HMM_TRANS_P["M"]) == {"E", "M"}
+        assert set(HMM_TRANS_P["S"]) == {"B", "S"}
+        assert HMM_TRANS_P["B"]["E"] == pytest.approx(-0.510825623765990)
+        assert HMM_TRANS_P["S"]["S"] == pytest.approx(-0.6658631448798212)
+
+    def test_from_dictionary_positional_counts(self):
+        from searchenginesimple_ray.functions.segment import HmmModel
+        import math
+        m = HmmModel.from_dictionary({"长江": 3, "长城": 1, "人": 2})
+        # B: 长 appears word-initial 4 times (only B char)
+        assert m.emit_p["B"]["长"] == pytest.approx(math.log(1.0))
+        # E: 江 3 of 4, 城 1 of 4
+        assert m.emit_p["E"]["江"] == pytest.approx(math.log(3 / 4))
+        assert m.emit_p["E"]["城"] == pytest.approx(math.log(1 / 4))
+        # S: the single-char word
+        assert m.emit_p["S"]["人"] == pytest.approx(math.log(1.0))
+        assert m.emit_p["M"] == {}
+
+    def test_viterbi_matches_bruteforce(self):
+        """Viterbi decode == exhaustive max over all legal state
+        sequences (start in {B,S}, legal transitions, end in {E,S}),
+        on random emission tables with full character coverage."""
+        import itertools
+        import math
+
+        import numpy as np
+
+        from searchenginesimple_ray.functions.segment import (
+            HMM_START_P, HMM_TRANS_P, HmmModel)
+
+        def tags_to_words(text, tags):
+            out, begin, nexti = [], 0, 0
+            for i, tg in enumerate(tags):
+                if tg == "B":
+                    begin = i
+                elif tg == "E":
+                    out.append(text[begin:i + 1])
+                    nexti = i + 1
+                elif tg == "S":
+                    out.append(text[i])
+                    nexti = i + 1
+            if nexti < len(text):
+                out.append(text[nexti:])
+            return out
+
+        rng = np.random.RandomState(7)
+        chars = "xyz"
+        for trial in range(40):
+            emit = {s: {c: float(math.log(rng.uniform(0.05, 1.0)))
+                        for c in chars} for s in "BMES"}
+            m = HmmModel(emit)
+            n = int(rng.randint(1, 7))
+            text = "".join(chars[rng.randint(3)] for _ in range(n))
+            best, best_tags = -math.inf, None
+            for seq in itertools.product("BMES", repeat=n):
+                if seq[-1] not in ("E", "S"):
+                    continue
+                if HMM_START_P[seq[0]] < -1e100 or any(
+                        b not in HMM_TRANS_P[a]
+                        for a, b in zip(seq, seq[1:])):
+                    continue
+                sc = HMM_START_P[seq[0]] + emit[seq[0]][text[0]]
+                for i in range(1, n):
+                    sc += HMM_TRANS_P[seq[i - 1]][seq[i]] + \
+                        emit[seq[i]][text[i]]
+                if sc > best:
+                    best, best_tags = sc, seq
+            assert best_tags is not None
+            assert m.cut(text) == tags_to_words(text, best_tags), \
+                (trial, text, best_tags)
 
 
 @pytest.mark.skipif(not os.path.exists(REF_DAT),
