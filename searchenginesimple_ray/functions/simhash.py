@@ -9,14 +9,24 @@ Reference flow (`include/simhash/Simhasher.hpp:44-71`, topN=5 at
 3. weighted ±1 bit vote per of 64 bits, weight = keyword weight;
    bit j of the result = 1 iff vote > 0 (`Simhasher.hpp:50-68`).
 
-**Documented deviation** (SURVEY §7.5): step 1's keyword weights here
-are ``1 + log2(tf)`` (log-damped term frequency, ties broken by
-lexicographic term order — deterministic, model-free) instead of
-jieba's IDF-weighted TF; raw tf let one hot term dominate the vote
+The ENGINE DEFAULT weighting (``top_keywords``) is ``1 + log2(tf)``
+(log-damped term frequency, ties broken by lexicographic term order —
+deterministic, model-free): raw tf let one hot term dominate the vote
 (measured 1065 vs 38 false hamming<=3 pairs on the fixture corpus).
-Steps 2-3 are bit-exact with the reference (including strict ``> 0``
-vote and equal-weight ties).  The hamming-distance equality test used for
-near-dedup is exact parity (`Simhasher.hpp:109-151`).
+
+REFERENCE-SEMANTICS weighting is available too (r3):
+``RefKeywordExtractor`` / ``ref_keyword_weights`` reproduce cppjieba's
+``KeywordExtractor::Extract`` (the MIT cppjieba source the reference
+vendors; wiring at `Simhasher.hpp:21-44`): mixed dict+HMM cut, drop
+single-rune words and stop words, weight = tf * idf with the table
+average for OOV words, top-N by weight.  Supply any IDF table in
+jieba's public ``idf.txt`` shape (``word -> idf``); jieba's shipped
+corpus table itself is not vendored.  cppjieba's ``partial_sort``
+leaves equal-weight order unspecified — we break ties by word asc
+(deterministic; documented choice).  Steps 2-3 are bit-exact with the
+reference (including strict ``> 0`` vote and equal-weight ties).  The
+hamming-distance equality test used for near-dedup is exact parity
+(`Simhasher.hpp:109-151`).
 """
 
 from __future__ import annotations
@@ -48,6 +58,81 @@ def top_keywords(tf: Counter, top_n: int = 0) -> list[tuple[str, float]]:
     # the reference's jieba-IDF keyword weights, shared with the oracle.
     import math
     return [(t, 1.0 + math.log2(c)) for t, c in items]
+
+
+def ref_keyword_weights(tf: Counter, idf: dict[str, float],
+                        idf_avg: float, stop: frozenset,
+                        top_n: int = 5) -> list[tuple[str, float]]:
+    """cppjieba ``KeywordExtractor::Extract`` weighting over a term
+    frequency Counter: drop single-rune words (``IsSingleWord``) and
+    stop words, weight = tf * idf (table average for OOV), top-N by
+    weight desc then word asc (deterministic tie rule; cppjieba's
+    partial_sort leaves ties unspecified)."""
+    weighted = [(w, c * idf.get(w, idf_avg)) for w, c in tf.items()
+                if len(w) > 1 and w not in stop]
+    weighted.sort(key=lambda kv: (-kv[1], kv[0]))
+    return weighted[:top_n] if top_n > 0 else weighted
+
+
+def make_ref_weighter(idf: dict[str, float], stop_words=()):
+    """A ``keyword_fn(tf, top_n)`` closure for the simhash stages —
+    reference-semantics (tf*idf) weighting behind the same hook the
+    default ``top_keywords`` fills."""
+    idf = {w: float(v) for w, v in
+           (idf.items() if isinstance(idf, dict) else idf)}
+    idf_avg = (sum(idf.values()) / len(idf)) if idf else 1.0
+    stop = frozenset(stop_words)
+
+    def keyword_fn(tf: Counter, top_n: int = 5):
+        return ref_keyword_weights(tf, idf, idf_avg, stop, top_n)
+
+    return keyword_fn
+
+
+class RefKeywordExtractor:
+    """Standalone reference-semantics keyword extractor + simhash:
+    the full cppjieba ``Jieba.extractor.Extract`` -> jenkins64 ->
+    weighted bit vote path of ``Simhasher::make``
+    (`Simhasher.hpp:26-71`, topN=5 at `Page.hpp:94`).
+
+    ``words`` is the segmentation dictionary (word -> freq) cut with
+    jieba's max-prob DAG + HMM OOV step (``DictSegmenter(hmm=True)``
+    == cppjieba's MixSegment); ``idf`` is a (word -> idf) table in
+    jieba's public ``idf.txt`` shape."""
+
+    def __init__(self, words, idf: dict[str, float], stop_words=()):
+        from .segment import _RUNS, DictSegmenter
+        self._runs = _RUNS
+        self.seg = DictSegmenter(words, hmm=True)
+        self.idf = {w: float(v) for w, v in
+                    (idf.items() if isinstance(idf, dict) else idf)}
+        self.idf_avg = (sum(self.idf.values()) / len(self.idf)) \
+            if self.idf else 1.0
+        self.stop = frozenset(stop_words)
+        self.hash_cache: dict = {}
+
+    def term_frequencies(self, text: str) -> Counter:
+        """Mixed-segment tf: CJK runs via the dictionary+HMM cut,
+        ASCII alnum runs as single words (jieba keeps ascii runs
+        whole), punctuation/whitespace skipped."""
+        tf: Counter = Counter()
+        for m in self._runs.finditer(text):
+            run = m.group()
+            if 0x4E00 <= ord(run[0]) <= 0x9FA5:
+                tf.update(self.seg.cut(run))
+            else:
+                tf[run] += 1
+        return tf
+
+    def extract(self, text: str, top_n: int = 5) \
+            -> list[tuple[str, float]]:
+        return ref_keyword_weights(self.term_frequencies(text),
+                                   self.idf, self.idf_avg, self.stop,
+                                   top_n)
+
+    def simhash(self, text: str, top_n: int = 5) -> int:
+        return simhash_from_keywords(self.extract(text, top_n),
+                                     self.hash_cache)
 
 
 def simhash_from_keywords(keywords: list[tuple[str, float]],

@@ -24,16 +24,18 @@ class PrepStage:
     pass over every text (tokenization is the build's dominant CPU)."""
 
     def __init__(self, bases_ref, stop_words=(), top_n: int = 0,
-                 min_len: int = 10, tokenizer_factory=None):
+                 min_len: int = 10, tokenizer_factory=None,
+                 keyword_fn=None):
         self.assign = AssignDocIds(bases_ref)
         self.simhash = SimhashStage(stop_words=stop_words, top_n=top_n,
-                                    tokenizer_factory=tokenizer_factory)
+                                    tokenizer_factory=tokenizer_factory,
+                                    keyword_fn=keyword_fn)
         self.min_len = min_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        from ..functions.simhash import simhash_from_keywords, top_keywords
+        from ..functions.simhash import simhash_from_keywords
         t = batch.filter(
             pc.greater_equal(pc.utf8_length(batch["text"]), self.min_len))
         t = self.assign(t)
@@ -46,9 +48,10 @@ class PrepStage:
         counter = self.simhash.counter
         cache = self.simhash.hash_cache
         top_n = self.simhash.top_n
+        keyword_fn = self.simhash.keyword_fn
         for i, tx in enumerate(texts):
             tf = counter.doc_counts(tx)
-            sims[i] = simhash_from_keywords(top_keywords(tf, top_n), cache)
+            sims[i] = simhash_from_keywords(keyword_fn(tf, top_n), cache)
             terms_col.append(list(tf.keys()))
             tfs_col.append(list(tf.values()))
             doc_len[i] = sum(tf.values())

@@ -18,12 +18,16 @@ from .tokenizer import TokenCounter
 
 class SimhashStage:
     def __init__(self, stop_words=(), top_n: int = 0,
-                 tokenizer_factory=None):
+                 tokenizer_factory=None, keyword_fn=None):
         # tokenizer_factory: a registry.py "tokenizer" entry (§2.9);
-        # default is the reference-exact TokenCounter
+        # default is the reference-exact TokenCounter.
+        # keyword_fn(tf, top_n) -> [(term, weight)]: the bit-vote
+        # feature weighter; default log-damped tf (top_keywords),
+        # reference tf*idf semantics via make_ref_weighter.
         mk = tokenizer_factory or TokenCounter
         self.counter = mk(stop_words=stop_words)
         self.top_n = top_n
+        self.keyword_fn = keyword_fn or top_keywords
         self.hash_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -32,7 +36,7 @@ class SimhashStage:
         for i, tx in enumerate(texts):
             tf = self.counter.doc_counts(tx)
             out[i] = simhash_from_keywords(
-                top_keywords(tf, self.top_n), self.hash_cache)
+                self.keyword_fn(tf, self.top_n), self.hash_cache)
         return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 

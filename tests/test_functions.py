@@ -175,6 +175,78 @@ class TestSimhash:
         assert d <= 16
 
 
+class TestRefKeywordExtractor:
+    """T2 reference-semantics parity: cppjieba KeywordExtractor
+    weighting (tf * idf, avg-idf OOV, single-rune + stopword drop)
+    feeding the bit-exact jenkins64 weighted vote."""
+
+    WORDS = {"南京市": 10, "长江": 5, "大桥": 4, "天气": 3, "不错": 2}
+    IDF = {"南京市": 3.0, "长江": 2.0, "大桥": 5.0, "天气": 1.5}
+
+    def _ex(self, stop=("天气",)):
+        from searchenginesimple_ray.functions.simhash import \
+            RefKeywordExtractor
+        return RefKeywordExtractor(self.WORDS, self.IDF, stop_words=stop)
+
+    def test_extract_weights_and_order(self):
+        ex = self._ex()
+        # tf: 南京市 1, 长江 2, 大桥 1, hello 1 (OOV idf = avg 2.875)
+        got = ex.extract("南京市长江大桥 长江 hello", top_n=3)
+        assert got == [("大桥", 5.0), ("长江", 4.0), ("南京市", 3.0)]
+        # full list includes the OOV word at the table-average idf
+        got_all = ex.extract("南京市长江大桥 长江 hello", top_n=0)
+        assert ("hello", pytest.approx(2.875)) in \
+            [(w, pytest.approx(v)) for w, v in got_all]
+
+    def test_single_rune_and_stopword_dropped(self):
+        ex = self._ex()
+        # 人 segments to a single rune (IsSingleWord -> dropped);
+        # 天气 is a stop word; x is a single ascii rune
+        got = ex.extract("天气 人 x 大桥", top_n=0)
+        assert got == [("大桥", 5.0)]
+
+    def test_hmm_oov_word_reaches_extractor(self):
+        ex = self._ex()
+        # 长桥 is OOV but B/E-trained -> HMM joins it; weight = avg idf
+        got = dict(ex.extract("长桥 大桥", top_n=0))
+        assert got["长桥"] == pytest.approx(2.875)
+
+    def test_fingerprint_matches_independent_vote(self):
+        """Extractor fingerprint == a scalar reimplementation of
+        Simhasher::make's per-bit loop (Simhasher.hpp:50-68) over the
+        hand-verified keyword list."""
+        from searchenginesimple_ray.functions.hashing import jenkins64
+        ex = self._ex()
+        text = "南京市长江大桥 长江 hello 不错"
+        kws = ex.extract(text, top_n=5)
+        votes = [0.0] * 64
+        for w, wt in kws:
+            h = jenkins64(w)
+            for j in range(64):
+                votes[j] += wt if (h >> j) & 1 else -wt
+        want = 0
+        for j in range(64):
+            if votes[j] > 0.0:
+                want |= 1 << j
+        assert ex.simhash(text, top_n=5) == want != 0
+        assert ex.simhash("", top_n=5) == 0
+
+    def test_stage_hook_weighter(self):
+        """make_ref_weighter plugs the same weighting into the
+        SimhashStage keyword_fn hook (Counter -> weighted top-N)."""
+        from collections import Counter
+
+        from searchenginesimple_ray.functions.simhash import \
+            make_ref_weighter
+        fn = make_ref_weighter(self.IDF, stop_words=("天气",))
+        tf = Counter({"长江": 2, "大桥": 1, "天气": 9, "人": 7,
+                      "hello": 1})
+        assert fn(tf, 2) == [("大桥", 5.0), ("长江", 4.0)]
+        got = dict(fn(tf, 0))
+        assert "天气" not in got and "人" not in got
+        assert got["hello"] == pytest.approx(2.875)
+
+
 class TestTextStats:
     def test_token_counts(self):
         assert X.whitespace_token_count("a  b c") == 3
