@@ -132,6 +132,17 @@ class ScorerCore:
             else:
                 self.block_max[term] = np.empty(0)
 
+    # ----------------------------------------------------- A8 membership
+
+    def has_terms(self, terms: list[str]) -> list[bool]:
+        """Shard-local vocabulary membership.  The GLOBAL A8 decision
+        ("erase query terms with empty postings",
+        `WebPageQuery.hpp:52-58`) is the OR of this over all actors —
+        every term with df >= 1 has a posting row in exactly the
+        shards that hold its docs, so union-of-shards == the term_df
+        vocabulary without any driver-side vocab materialization."""
+        return [t in self.postings for t in terms]
+
     # ------------------------------------------------------------ BM25
 
     def _bm25_idf(self, df: int) -> float:
@@ -401,22 +412,39 @@ class QueryEngine:
         self.actors = [Actor.remote(index_dir, shards)
                        for shards in shard_sets]
         self.k_default = 10  # WebPageQuery.hpp:121
-        # global vocabulary (term -> global df): the A8 "erase terms with
-        # empty postings" decision is global, so the driver owns it.
-        # Scale path: replace with a per-term-shard df lookup service.
-        df_t = pq.read_table(os.path.join(index_dir, "term_df",
-                                          "term_df.parquet"))
-        # membership-only (A8 global-vocabulary filter) — df values
-        # live in the posting rows, the shard actors never ask for
-        # these, so a set beats a term->int dict
-        self.global_df = frozenset(df_t["term"].to_pylist())
+        # A8 "erase terms with empty postings" is a GLOBAL decision —
+        # served by the shard actors (OR of has_terms over the pool),
+        # NOT a driver-side vocabulary set: driver memory stays O(1)
+        # in vocabulary size.  Verdicts memoize into a bounded LRU so
+        # repeated query terms (Zipf traffic) skip the fan-out.
+        self._vocab_memo: dict[str, bool] = {}
+        self._vocab_memo_cap = 1_000_000
+
+    def _memoize_membership(self, terms: list[str]) -> None:
+        """ONE membership fan-out for every term not yet memoized;
+        afterwards every term in ``terms`` is guaranteed memoized."""
+        if len(self._vocab_memo) + len(terms) > self._vocab_memo_cap:
+            self._vocab_memo.clear()   # rare; Zipf hot terms re-warm fast
+        unknown = sorted({t for t in terms if t not in self._vocab_memo})
+        if not unknown:
+            return
+        futs = [a.has_terms.remote(unknown) for a in self.actors]
+        present = np.any(np.asarray(ray.get(futs), dtype=bool), axis=0)
+        for t, v in zip(unknown, present.tolist()):
+            self._vocab_memo[t] = bool(v)
+
+    def _filter_global(self, terms: list[str]) -> set[str]:
+        """The globally-present subset of ``terms`` (A8 erasure)."""
+        self._memoize_membership(terms)
+        return {t for t in terms if self._vocab_memo[t]}
 
     def bm25_topk(self, sentence: str, k: int | None = None,
                   conjunctive: bool = True,
                   method: str = "auto") -> list[dict]:
         k = k or self.k_default
-        qterms = [(t, q) for t, q in bm25_query_terms(sentence)
-                  if t in self.global_df]   # A8: drop globally-absent terms
+        all_q = bm25_query_terms(sentence)
+        keep = self._filter_global([t for t, _ in all_q])
+        qterms = [(t, q) for t, q in all_q if t in keep]  # A8 erasure
         if not qterms:
             return []
         futs = [a.bm25_local_topk.remote(qterms, k, conjunctive, method)
@@ -429,7 +457,8 @@ class QueryEngine:
     def ref_cosine_topk(self, sentence: str, k: int | None = None) -> list[dict]:
         k = k or self.k_default
         raw, weight = query_weight_vector(sentence)
-        ikeys = sorted(t for t in weight if t in self.global_df)
+        keep = self._filter_global(list(weight))
+        ikeys = sorted(t for t in weight if t in keep)
         if not weight or not ikeys:
             return []
         futs = [a.ref_cosine_local.remote(raw, weight, ikeys, k)
@@ -457,11 +486,25 @@ class QueryEngine:
         k = k or self.k_default
         if scorer not in ("bm25", "ref", "ref_cosine"):
             return [self.topk(s, scorer=scorer, k=k) for s in sentences]
-        futs_per_q = []
+        # tokenize the whole batch first => ONE membership fan-out for
+        # every not-yet-memoized term across all queries in the batch
+        parsed = []
+        batch_terms: list[str] = []
         for s in sentences:
             if scorer == "bm25":
-                qterms = [(t, q) for t, q in bm25_query_terms(s)
-                          if t in self.global_df]
+                all_q = bm25_query_terms(s)
+                parsed.append(("bm25", all_q))
+                batch_terms += [t for t, _ in all_q]
+            else:
+                raw, weight = query_weight_vector(s)
+                parsed.append(("ref", (raw, weight)))
+                batch_terms += list(weight)
+        self._memoize_membership(batch_terms)
+        memo = self._vocab_memo
+        futs_per_q = []
+        for kind, payload in parsed:
+            if kind == "bm25":
+                qterms = [(t, q) for t, q in payload if memo[t]]
                 futs_per_q.append((
                     "bm25", None,
                     [a.bm25_local_topk.remote(qterms, k,
@@ -469,8 +512,8 @@ class QueryEngine:
                                               kw.get("method", "auto"))
                      for a in self.actors] if qterms else []))
             else:
-                raw, weight = query_weight_vector(s)
-                ikeys = sorted(t for t in weight if t in self.global_df)
+                raw, weight = payload
+                ikeys = sorted(t for t in weight if memo[t])
                 futs_per_q.append((
                     "ref", None,
                     [a.ref_cosine_local.remote(raw, weight, ikeys, k)

@@ -118,17 +118,48 @@ class TestEdgeCases:
             assert _ids(br) == _ids(t1_engine.ref_cosine_topk(q))
 
     def test_actor_count_invariance(self, t1_index, t1_engine, queries):
-        """Same results with a different number of scorer actors."""
+        """Same results with 1, 2 and 4 scorer actors — including the
+        sharded A8 membership decision (OR of has_terms across the
+        pool), which must erase the same terms at every actor count."""
         from searchenginesimple_ray.pipelines.query import QueryEngine
         eng4 = QueryEngine(t1_index["dir"], num_actors=4,
                            num_cpus_per_actor=0.5)
+        eng1 = QueryEngine(t1_index["dir"], num_actors=1,
+                           num_cpus_per_actor=0.5)
         try:
             for q in queries[:15]:
-                assert _ids(eng4.bm25_topk(q)) == _ids(t1_engine.bm25_topk(q))
-                assert _ids(eng4.ref_cosine_topk(q)) == \
-                    _ids(t1_engine.ref_cosine_topk(q))
+                want_bm = _ids(t1_engine.bm25_topk(q))
+                want_rc = _ids(t1_engine.ref_cosine_topk(q))
+                for eng in (eng1, eng4):
+                    assert _ids(eng.bm25_topk(q)) == want_bm
+                    assert _ids(eng.ref_cosine_topk(q)) == want_rc
         finally:
             eng4.shutdown()
+            eng1.shutdown()
+
+    def test_membership_memo_semantics(self, t1_index, t1_engine):
+        """The driver holds NO vocabulary set: membership verdicts are
+        served by the shard actors and memoized per queried term only."""
+        from searchenginesimple_ray.pipelines.query import QueryEngine
+        eng = QueryEngine(t1_index["dir"], num_actors=4,
+                          num_cpus_per_actor=0.5)
+        try:
+            from searchenginesimple_ray.functions.tokenize import \
+                ref_transform
+            from searchenginesimple_ray.sources.transcripts import \
+                make_vocab
+            hot = ref_transform(make_vocab(5000, 42)[0])
+            assert eng._vocab_memo == {}   # no O(vocab) driver state
+            present = eng._filter_global([hot, "zzzzabsent"])
+            assert present == {hot}
+            assert eng._vocab_memo == {hot: True, "zzzzabsent": False}
+            # a mixed query drops only the absent term (A8), and the
+            # result matches the baseline engine's decision
+            q = f"{hot} zzzzabsent"
+            assert _ids(eng.bm25_topk(q)) == _ids(t1_engine.bm25_topk(q))
+            assert len(_ids(eng.bm25_topk(q))) > 0
+        finally:
+            eng.shutdown()
 
     def test_query_weight_vector_signs(self):
         raw, w = query_weight_vector("hello world hello")
