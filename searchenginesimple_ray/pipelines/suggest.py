@@ -187,12 +187,25 @@ class SuggesterActor:
 
     CACHE_SIZE = 30   # KeyServer.cc:119-121
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, cache_dir: str | None = None):
         from collections import OrderedDict
         self.core = Suggester(index_dir)
         self.cache: OrderedDict[tuple, list] = OrderedDict()
+        # durable tier (S8 full parity): the reference backs its LRUs
+        # with Redis — LRU miss -> GET; Redis miss -> compute + SET
+        # (`KeyServer.cc:165-219`).  Here: a keyed parquet store.
+        self.durable = None
+        if cache_dir:
+            from ..state.kvcache import DurableKVCache
+            self.durable = DurableKVCache(cache_dir)
         self.hits = 0
+        self.hits_durable = 0
         self.misses = 0
+
+    def _lru_put(self, key: tuple, res: list) -> None:
+        self.cache[key] = res
+        if len(self.cache) > self.CACHE_SIZE:
+            self.cache.popitem(last=False)
 
     def suggest(self, query: str, k: int = 10) -> list[dict]:
         key = (query, k)
@@ -201,13 +214,27 @@ class SuggesterActor:
             self.cache.move_to_end(key)
             self.hits += 1
             return got
+        dkey = f"{k}\x00{query}"
+        if self.durable is not None:
+            got = self.durable.get_json(dkey)
+            if got is not None:   # Redis-hit path: fill LRU, return
+                self.hits_durable += 1
+                self._lru_put(key, got)
+                return got
         self.misses += 1
         res = self.core.suggest(query, k)
-        self.cache[key] = res
-        if len(self.cache) > self.CACHE_SIZE:
-            self.cache.popitem(last=False)
+        self._lru_put(key, res)
+        if self.durable is not None:   # compute + SET path
+            self.durable.put_json(dkey, res)
         return res
 
+    def flush_cache(self) -> None:
+        """Persist any buffered durable-cache writes now."""
+        if self.durable is not None:
+            self.durable.flush()
+
     def cache_stats(self) -> dict:
-        return {"hits": self.hits, "misses": self.misses,
-                "size": len(self.cache)}
+        return {"hits": self.hits, "hits_durable": self.hits_durable,
+                "misses": self.misses, "size": len(self.cache),
+                "durable_size": (len(self.durable)
+                                 if self.durable is not None else 0)}

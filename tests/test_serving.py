@@ -61,6 +61,61 @@ class TestSuggesterActorCache:
         finally:
             ray.kill(actor)
 
+    def test_durable_cache_survives_actor_restart(self, ray_session,
+                                                  t1_index, tmp_path):
+        """S8 full parity (KeyServer.cc:165-219): LRU miss -> durable
+        GET; durable miss -> compute + durable SET.  A fresh actor
+        (restart) serves the prior actor's queries from the durable
+        tier without recomputing."""
+        from searchenginesimple_ray.pipelines.index_build import \
+            index_doc_terms
+        from searchenginesimple_ray.pipelines.suggest import (
+            SuggesterActor, build_char_index, build_dict, write_dict_index)
+        d = build_dict(index_doc_terms(t1_index["dir"]))
+        write_dict_index(str(tmp_path / "dict"), d, build_char_index(d))
+        cache_dir = str(tmp_path / "qcache")
+        mk = lambda: SuggesterActor.options(num_cpus=0.5).remote(  # noqa: E731
+            str(tmp_path / "dict"), cache_dir=cache_dir)
+        a1 = mk()
+        qs = [d["term"].iloc[i] for i in range(3)]
+        try:
+            want = [ray.get(a1.suggest.remote(q, 10)) for q in qs]
+            ray.get(a1.flush_cache.remote())
+            s1 = ray.get(a1.cache_stats.remote())
+            assert s1["misses"] == 3 and s1["durable_size"] == 3
+        finally:
+            ray.kill(a1)
+        a2 = mk()
+        try:
+            got = [ray.get(a2.suggest.remote(q, 10)) for q in qs]
+            assert got == want
+            s2 = ray.get(a2.cache_stats.remote())
+            # no recompute: every answer came from the durable tier
+            assert s2["misses"] == 0 and s2["hits_durable"] == 3
+            # and the durable hit filled the LRU: a repeat is a mem hit
+            assert ray.get(a2.suggest.remote(qs[0], 10)) == want[0]
+            assert ray.get(a2.cache_stats.remote())["hits"] == 1
+        finally:
+            ray.kill(a2)
+
+    def test_durable_kvcache_semantics(self, tmp_path):
+        """Last-write-wins across segments, flush batching, compact."""
+        from searchenginesimple_ray.state.kvcache import DurableKVCache
+        c1 = DurableKVCache(str(tmp_path), flush_every=2)
+        c1.put("a", "1")          # buffered
+        assert c1.get("a") == "1"
+        c1.put("b", "2")          # triggers flush (2 pending)
+        c1.put("a", "3")          # new segment after flush()
+        c1.flush()
+        c2 = DurableKVCache(str(tmp_path))
+        assert c2.get("a") == "3" and c2.get("b") == "2"
+        assert c2.get("zzz") is None and len(c2) == 2
+        c2.compact()
+        import glob as g
+        assert len(g.glob(str(tmp_path / "seg-*.parquet"))) == 1
+        c3 = DurableKVCache(str(tmp_path))
+        assert c3.get("a") == "3" and len(c3) == 2
+
 
 class TestClickSink:
     def test_write_partitioned_by_day(self, ray_session, tmp_path):
