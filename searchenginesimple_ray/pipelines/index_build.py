@@ -975,11 +975,21 @@ def append_index(new_files: list[str], index_dir: str,
 
 
 @ray.remote
-def _compact_shard_task(files: list, block_size: int) -> pa.Table:
+def _compact_shard_task(files: list, block_size: int,
+                        num_doc_shards: int = 1,
+                        hot_term_df_threshold: int = 0) -> pa.Table:
     """Merge all posting rows of one doc shard: decode every run of a
     term (append deltas, salted sub-lists), concat + sort by doc id,
-    re-encode once.  df := max over rows (append rows carry the grown
-    global value)."""
+    re-encode.  df := max over rows (append rows carry the grown
+    global value).
+
+    Hot terms are RE-SPLIT at re-encode time: a merged term whose
+    local postings exceed ``hot_term_df_threshold`` is emitted as
+    ``ceil(n_local/threshold)`` salted rows with the build stage's
+    salt arithmetic (``(doc_id // D) % nsalts``,
+    `stages/postings.py` StampShards), so compaction preserves the
+    bounded-row-payload invariant the salt exists to enforce instead
+    of re-creating one giant varbyte row per hot term."""
     from ..functions.varbyte import decode_postings, encode_postings
     t = pq.read_table(files)
     terms = t["term"].to_pylist()
@@ -1008,16 +1018,29 @@ def _compact_shard_task(files: list, block_size: int) -> pa.Table:
             tfs = np.concatenate([r[1] for r in rs])
             o = np.argsort(ids)
             ids, tfs = ids[o], tfs[o]
-        d, v, bl, bm = encode_postings(ids, tfs, block_size)
-        out["term"].append(term)
-        out["term_shard"].append(meta[term][0])
-        out["salt"].append(0)
-        out["df"].append(meta[term][1])
-        out["n_local"].append(len(ids))
-        out["doc_ids_vb"].append(d)
-        out["tfs_vb"].append(v)
-        out["block_last_doc"].append(np.asarray(bl).tolist())
-        out["block_max_tf"].append(np.asarray(bm).tolist())
+        nsalts = 1
+        if hot_term_df_threshold > 0:
+            nsalts = max(1, -(-len(ids) // hot_term_df_threshold))
+        if nsalts == 1:
+            pieces = [(0, ids, tfs)]
+        else:
+            salt_of = (np.asarray(ids, np.int64)
+                       // max(num_doc_shards, 1)) % nsalts
+            pieces = [(s, ids[salt_of == s], tfs[salt_of == s])
+                      for s in range(nsalts)]
+        for s, p_ids, p_tfs in pieces:
+            if not len(p_ids):
+                continue
+            d, v, bl, bm = encode_postings(p_ids, p_tfs, block_size)
+            out["term"].append(term)
+            out["term_shard"].append(meta[term][0])
+            out["salt"].append(s)
+            out["df"].append(meta[term][1])
+            out["n_local"].append(len(p_ids))
+            out["doc_ids_vb"].append(d)
+            out["tfs_vb"].append(v)
+            out["block_last_doc"].append(np.asarray(bl).tolist())
+            out["block_max_tf"].append(np.asarray(bm).tolist())
     return pa.table({
         "term": pa.array(out["term"], pa.string()),
         "term_shard": pa.array(out["term_shard"], pa.int32()),
@@ -1061,8 +1084,9 @@ def compact_index(index_dir: str,
         files = _pq_files(sd)
         stats["rows_before"] += sum(pq.read_metadata(f).num_rows
                                     for f in files)
-        futs.append(_compact_shard_task.remote(files,
-                                               cfg.posting_block_size))
+        futs.append(_compact_shard_task.remote(
+            files, cfg.posting_block_size, cfg.num_doc_shards,
+            cfg.hot_term_df_threshold))
         names.append(sd)
     for sd, fut in zip(names, futs):
         t = ray.get(fut)

@@ -295,6 +295,23 @@ def build_postings(doc_terms: ray.data.Dataset,
         # a per-(term,salt) map_groups would make one pandas call per
         # vocabulary entry — the Ray-side shuffle stays identical but the
         # per-group work is a single int lexsort + run-detection here
+        if not len(g):
+            # typed empty frame: a schema-less empty bundle would both
+            # crash iloc[0] below and trip the streaming executor's
+            # "RefBundle with a different schema" warning, masking
+            # real schema drift
+            return pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "term_shard": pd.Series([], dtype=np.int32),
+                "doc_shard": pd.Series([], dtype=np.int32),
+                "salt": pd.Series([], dtype=np.int32),
+                "df": pd.Series([], dtype=np.int64),
+                "n_local": pd.Series([], dtype=np.int32),
+                "doc_ids_vb": pd.Series([], dtype=object),
+                "tfs_vb": pd.Series([], dtype=object),
+                "block_last_doc": pd.Series([], dtype=object),
+                "block_max_tf": pd.Series([], dtype=object),
+            })
         key = ref.hex()
         vt = _group_cache.get(key)
         if vt is None:

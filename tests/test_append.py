@@ -474,3 +474,37 @@ class TestCompaction:
             assert isinstance(eng.bm25_topk("w01"), list)
         finally:
             eng.shutdown()
+
+    def test_compact_preserves_hot_term_salting(self, ray_session,
+                                                tmp_path_factory):
+        """Compaction must NOT undo the hot-term payload bound: a term
+        whose merged local postings exceed hot_term_df_threshold is
+        re-split into salted rows, not one giant varbyte row."""
+        from searchenginesimple_ray.config import EngineConfig
+        from searchenginesimple_ray.pipelines.index_build import (
+            append_index, build_index, compact_index)
+        from searchenginesimple_ray.pipelines.query import QueryEngine
+        thr = 5
+        cfg = EngineConfig(num_input_buckets=2, num_doc_shards=2,
+                           min_text_len=1, hot_term_df_threshold=thr)
+        root = tmp_path_factory.mktemp("compact_hot")
+        fa = _write_corpus(str(root / "a.parquet"), "conva", 25, 41)
+        fb = _write_corpus(str(root / "b.parquet"), "convb", 12, 42)
+        d = str(tmp_path_factory.mktemp("idx_compact_hot"))
+        build_index([fa], d, cfg)
+        append_index([fb], d, cfg)
+        before = _decoded_postings(d)
+        compact_index(d, cfg)
+        assert _decoded_postings(d) == before
+        post = pq.read_table(os.path.join(d, "postings")).to_pandas()
+        # every row's payload stays bounded (modulo split is near-even
+        # on dense per-shard doc ids; 2x covers the worst imbalance)
+        assert post["n_local"].max() <= 2 * thr
+        per = post.groupby(["term", "doc_shard"])["salt"].nunique()
+        assert per.max() >= 2, "no hot term kept >1 salted row"
+        eng = QueryEngine(d, num_actors=2)
+        try:
+            got = eng.bm25_topk("w01 w02")
+            assert len(got) > 0
+        finally:
+            eng.shutdown()
