@@ -272,17 +272,24 @@ class DictTokenCounter:
         return out
 
 
-def register_dict_tokenizer(name: str, words) -> None:
+def register_dict_tokenizer(name: str, words, hmm: bool = True) -> None:
     """Register a dictionary tokenizer under ``name`` so
     ``EngineConfig(tokenizer=name)`` selects it for a build (the name
-    becomes part of the lineage fingerprint)."""
+    becomes part of the lineage fingerprint).
+
+    MIGRATION NOTE: ``hmm`` defaults to True since r3 (the reference
+    cuts with ``Cut(text, words, true)``) — OOV CJK runs now join into
+    HMM words instead of single codepoints.  An index built with a
+    pre-r3 dict tokenizer must either be REBUILT or re-register its
+    tokenizer with ``hmm=False``; otherwise query-side tokens for OOV
+    runs no longer match the indexed vocabulary."""
     from ..registry import register
 
     @register("tokenizer", name)
     def _factory(stop_words=(), apply_stop: bool = True,
-                 _words=words):
+                 _words=words, _hmm=hmm):
         return DictTokenCounter(_words, stop_words=stop_words,
-                                apply_stop=apply_stop)
+                                apply_stop=apply_stop, hmm=_hmm)
 
 
 __all__ = ["DictSegmenter", "DictTokenCounter", "HmmModel",

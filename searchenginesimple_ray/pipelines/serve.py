@@ -69,13 +69,15 @@ class SearchGateway:
             # CRLF in a Location header = HTTP response splitting;
             # stdlib send_header does not validate
             raise ValueError("invalid redirect URL")
-        # open-redirect guard: only absolute http(s) targets are
-        # redirectable (the reference 302s to whatever the payload says,
-        # `WebServer.cc:205-237`; a javascript:/data:/file: scheme in a
-        # Location header is an attack, not parity)
+        # open-redirect guard: block dangerous SCHEMES
+        # (javascript:/data:/file: in a Location header is an attack,
+        # not parity — the reference 302s to whatever the payload says,
+        # `WebServer.cc:205-237`).  Scheme-less targets stay allowed:
+        # relative paths and protocol-relative //host URLs are
+        # legitimate corpus links and must keep their click analytics.
         from urllib.parse import urlsplit
         scheme = urlsplit(url).scheme.lower()
-        if scheme not in ("http", "https"):
+        if scheme not in ("", "http", "https"):
             raise ValueError("redirect scheme must be http(s)")
         # Location must be latin-1 encodable: percent-encode anything
         # beyond it (keeps already-valid URLs byte-identical)

@@ -194,9 +194,23 @@ class SuggesterActor:
         # durable tier (S8 full parity): the reference backs its LRUs
         # with Redis — LRU miss -> GET; Redis miss -> compute + SET
         # (`KeyServer.cc:165-219`).  Here: a keyed parquet store.
+        # Keys are namespaced by a CONTENT digest of the dictionary
+        # artifacts, so a rebuilt dictionary invalidates prior entries
+        # (an identical rebuild still hits) — the reference never
+        # solves this (stale Redis survives reindex); we must.
         self.durable = None
+        self._cache_ns = ""
         if cache_dir:
+            import hashlib
+
             from ..state.kvcache import DurableKVCache
+            dig = hashlib.sha256()
+            for name in ("dict.parquet", "char_index.parquet"):
+                p = os.path.join(index_dir, name)
+                if os.path.exists(p):
+                    with open(p, "rb") as f:
+                        dig.update(f.read())
+            self._cache_ns = dig.hexdigest()[:16]
             self.durable = DurableKVCache(cache_dir)
         self.hits = 0
         self.hits_durable = 0
@@ -214,7 +228,7 @@ class SuggesterActor:
             self.cache.move_to_end(key)
             self.hits += 1
             return got
-        dkey = f"{k}\x00{query}"
+        dkey = f"{self._cache_ns}\x00{k}\x00{query}"
         if self.durable is not None:
             got = self.durable.get_json(dkey)
             if got is not None:   # Redis-hit path: fill LRU, return

@@ -60,14 +60,32 @@ _XD_K2 = "se-ray-dedup-k2!"
 
 def _hash_key_batch(batch: pa.Table, key: str, order_col: str) -> pa.Table:
     """(h1, h2, order) triple per row — the ONLY payload that enters
-    the dedup exchange (24 B/row; the raw key text never ships)."""
-    s = batch[key].to_pandas()
+    the dedup exchange (24 B/row; the raw key text never ships).
+
+    Non-string key columns are cast to string FIRST:
+    ``hash_pandas_object`` applies ``hash_key`` only to object-dtype
+    data (numeric dtypes take a keyless bit-mix path), so without the
+    cast h1 == h2 identically and the two-hash 2^-128 guarantee would
+    silently collapse to a single 64-bit hash.  The order column keeps
+    integer vs floating representation (int64 > 2^53 must not round-
+    trip through float64)."""
+    import pyarrow.compute as pc
+    col = batch[key]
+    kt = col.type
+    if not (pa.types.is_string(kt) or pa.types.is_large_string(kt)
+            or pa.types.is_binary(kt) or pa.types.is_large_binary(kt)):
+        col = pc.cast(col, pa.string())
+    s = col.to_pandas()
     h1 = pd.util.hash_pandas_object(s, index=False, hash_key=_XD_K1) \
         .to_numpy().view(np.int64)
     h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_XD_K2) \
         .to_numpy().view(np.int64)
+    ot = batch[order_col].type
+    ord_arr = batch[order_col].cast(
+        pa.int64() if (pa.types.is_integer(ot) or pa.types.is_boolean(ot)
+                       or pa.types.is_temporal(ot)) else pa.float64())
     return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
-                     "ord": batch[order_col].cast(pa.int64())})
+                     "ord": ord_arr})
 
 
 def _lookup_pairs(wh1: np.ndarray, wh2: np.ndarray, h1: np.ndarray,
@@ -103,7 +121,12 @@ def exact_dedup_first(ds: ray.data.Dataset, key: str,
     input streams through a filter keeping every row that is not in a
     dup group, plus each group's winner.  Two distinct keys colliding
     on BOTH 64-bit hashes (~2^-128 per pair) would drop a unique row —
-    the documented residual of not shipping text."""
+    the documented residual of not shipping text.
+
+    ``order_col`` must be UNIQUE within each key group (a row id /
+    doc id): the winner filter keeps rows matching the group-minimum
+    VALUE, so a tie at the minimum is refused with a ValueError rather
+    than silently keeping several rows."""
     import pyarrow.compute as pc
 
     slim = ds.map_batches(_hash_key_batch,
@@ -126,14 +149,27 @@ def exact_dedup_first(ds: ray.data.Dataset, key: str,
     cand = slim.map_batches(filter_hot, batch_format="pyarrow").to_pandas()
     c1 = cand["h1"].to_numpy().astype(np.int64)
     c2 = cand["h2"].to_numpy().astype(np.int64)
-    co = cand["ord"].to_numpy().astype(np.int64)
+    co = cand["ord"].to_numpy()       # int64 or float64 per source type
     o = np.lexsort((co, c2, c1))
     c1, c2, co = c1[o], c2[o], co[o]
     run_start = np.concatenate(
         [[True], (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])])
     run_id = np.cumsum(run_start) - 1
     run_len = np.bincount(run_id)
-    dup_run = run_len[run_id[run_start.nonzero()[0]]] > 1
+    starts = run_start.nonzero()[0]
+    dup_run = run_len[run_id[starts]] > 1
+    # the winner filter keeps rows by VALUE equality with the group
+    # minimum, so a tie at the minimum would keep several rows — refuse
+    # loudly instead of silently under-deduplicating
+    dstarts = starts[dup_run]
+    tied = co[dstarts + 1] == co[dstarts] if len(dstarts) else \
+        np.zeros(0, bool)
+    if tied.any():
+        raise ValueError(
+            f"exact_dedup_first: {int(tied.sum())} duplicate group(s) "
+            f"tie at the minimum {order_col!r} value — supply an "
+            f"order column that is unique within each key group "
+            f"(e.g. a row id)")
     wh1 = c1[run_start][dup_run]
     wh2 = c2[run_start][dup_run]
     wmin = co[run_start][dup_run]     # rows sorted by ord within run
@@ -1050,6 +1086,31 @@ def _pair_intersections(flat: np.ndarray, starts: np.ndarray,
     return np.bincount(pid[1:][dup], minlength=npairs)
 
 
+def _pair_intersections_chunked(flat: np.ndarray, starts: np.ndarray,
+                                lens: np.ndarray, pi: np.ndarray,
+                                pj: np.ndarray,
+                                budget: int = 32_000_000) -> np.ndarray:
+    """``_pair_intersections`` with bounded peak memory: pairs are
+    processed in chunks whose total gathered elements (|g_i| + |g_j|
+    summed) stay under ``budget`` (~0.5 GB of work arrays at the
+    default), so a hot shared-prefix run of long signatures cannot
+    OOM the verify task.  Exact — chunking only splits the lexsort."""
+    cost = (lens[pi] + lens[pj]).astype(np.int64)
+    if int(cost.sum()) <= budget:
+        return _pair_intersections(flat, starts, lens, pi, pj)
+    cum = np.cumsum(cost)
+    out = np.empty(len(pi), np.int64)
+    a = 0
+    while a < len(pi):
+        base = int(cum[a - 1]) if a else 0
+        b = int(np.searchsorted(cum, base + budget, side="right"))
+        b = min(max(b, a + 1), len(pi))
+        out[a:b] = _pair_intersections(flat, starts, lens,
+                                       pi[a:b], pj[a:b])
+        a = b
+    return out
+
+
 def _ngram_verify_table(t: pa.Table, threshold: float) -> pd.DataFrame:
     """Verify one candidate table (key, id, grams): run-detect on the
     sorted keys, pair generation grouped by run size (same shape as the
@@ -1120,7 +1181,7 @@ def _ngram_verify_table(t: pa.Table, threshold: float) -> pd.DataFrame:
     pi, pj = pi[po[keep]], pj[po[keep]]
     if not len(pi):
         return empty
-    inter = _pair_intersections(flat, starts_s, lens_s, pi, pj)
+    inter = _pair_intersections_chunked(flat, starts_s, lens_s, pi, pj)
     li, lj = lens_s[pi], lens_s[pj]
     union = np.maximum(li + lj - inter, 1)
     jac = inter / union
@@ -1193,7 +1254,9 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        tok_lists = [tx.split() for tx in texts]
+        # null text == empty text (same rule as the minhash kernel:
+        # None rows would AttributeError the tokenizer mid-task)
+        tok_lists = [tx.split() if tx is not None else [] for tx in texts]
         uniq_tokens = set()
         for tl in tok_lists:
             uniq_tokens.update(tl)

@@ -98,6 +98,40 @@ class TestSuggesterActorCache:
         finally:
             ray.kill(a2)
 
+    def test_durable_cache_invalidated_by_dict_rebuild(
+            self, ray_session, t1_index, tmp_path):
+        """Keys are namespaced by a content digest of the dictionary
+        artifacts: a REBUILT dictionary must not serve prior (stale)
+        cached results, while an identical dictionary still hits."""
+        from searchenginesimple_ray.pipelines.index_build import \
+            index_doc_terms
+        from searchenginesimple_ray.pipelines.suggest import (
+            SuggesterActor, build_char_index, build_dict, write_dict_index)
+        d = build_dict(index_doc_terms(t1_index["dir"]))
+        dict_dir = str(tmp_path / "dict")
+        cache_dir = str(tmp_path / "qcache")
+        write_dict_index(dict_dir, d, build_char_index(d))
+        q = d["term"].iloc[0]
+        a1 = SuggesterActor.options(num_cpus=0.5).remote(
+            dict_dir, cache_dir=cache_dir)
+        try:
+            ray.get(a1.suggest.remote(q, 10))
+            ray.get(a1.flush_cache.remote())
+        finally:
+            ray.kill(a1)
+        # rebuild the dictionary with CHANGED content (counts bumped)
+        d2 = d.copy()
+        d2["count"] = d2["count"] + 1
+        write_dict_index(dict_dir, d2, build_char_index(d2))
+        a2 = SuggesterActor.options(num_cpus=0.5).remote(
+            dict_dir, cache_dir=cache_dir)
+        try:
+            ray.get(a2.suggest.remote(q, 10))
+            s = ray.get(a2.cache_stats.remote())
+            assert s["hits_durable"] == 0 and s["misses"] == 1
+        finally:
+            ray.kill(a2)
+
     def test_durable_kvcache_semantics(self, tmp_path):
         """Last-write-wins across segments, flush batching, compact."""
         from searchenginesimple_ray.state.kvcache import DurableKVCache
@@ -261,6 +295,53 @@ class TestGatewayHardening:
             # stop_server flushes the buffered clicks (1 valid click)
             n = stop_server(srv, th, gw)
             assert n == 1
+
+    def test_redirect_scheme_guard(self, ray_session, t1_engine,
+                                   tmp_path):
+        """Dangerous schemes 500; relative / scheme-less targets keep
+        their 302 AND their click analytics (they are legitimate
+        corpus links, not open-redirect vectors)."""
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        from searchenginesimple_ray.functions.urlcodec import \
+            base64url_encode
+        from searchenginesimple_ray.pipelines.serve import (SearchGateway,
+                                                            stop_server,
+                                                            start_server)
+        gw = SearchGateway(t1_engine, None,
+                           clicks_dir=str(tmp_path / "c"))
+        srv, th = start_server(gw)
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+        class NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **kw):
+                return None
+        opener = urllib.request.build_opener(NoRedirect)
+        try:
+            for bad in ("javascript:alert(1)", "data:text/html,x",
+                        "file:///etc/passwd"):
+                b64 = base64url_encode(_json.dumps(
+                    {"url": bad, "ts": 0, "data": {}}).encode())
+                try:
+                    opener.open(f"{base}/link/{b64}")
+                    assert False, f"expected 500 for {bad}"
+                except urllib.error.HTTPError as e:
+                    assert e.code == 500, bad
+            for ok in ("/local/path?x=1", "www.example.com/page",
+                       "//host.example/p"):
+                b64 = base64url_encode(_json.dumps(
+                    {"url": ok, "ts": 0, "data": {}}).encode())
+                try:
+                    opener.open(f"{base}/link/{b64}")
+                    assert False, "expected 302"
+                except urllib.error.HTTPError as e:
+                    assert e.code == 302, ok
+                    assert e.headers["Location"] == ok
+        finally:
+            n = stop_server(srv, th, gw)
+            assert n == 3   # the three allowed clicks were recorded
 
     def test_actor_suggester_backend(self, ray_session, t1_index,
                                      tmp_path):

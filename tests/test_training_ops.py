@@ -346,6 +346,35 @@ class TestDedupFamily:
         pd.testing.assert_frame_equal(
             drv.reset_index(drop=True), dist.reset_index(drop=True))
 
+    def test_ngram_null_text_treated_empty(self, ray_session):
+        from searchenginesimple_ray.stages.dedup import ngram_jaccard_pairs
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.array([1, 2, 3], np.int64)),
+            "text": pa.array(["a b c d e", None, "a b c d e"],
+                             pa.string())}))
+        pairs = ngram_jaccard_pairs(ds, "doc_id", "text", n=2,
+                                    threshold=0.8)
+        assert [(int(r.src), int(r.dst)) for r in pairs.itertuples()] \
+            == [(1, 3)]
+
+    def test_pair_intersections_chunked_exact(self):
+        """Tiny budget forces many chunks; result must equal the
+        single-pass kernel exactly."""
+        from searchenginesimple_ray.stages.dedup import (
+            _pair_intersections, _pair_intersections_chunked)
+        rng = np.random.RandomState(11)
+        rows = [np.unique(rng.randint(0, 50, size=rng.randint(1, 20))
+                          .astype(np.int64)) for _ in range(30)]
+        lens = np.array([len(r) for r in rows], np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        flat = np.concatenate(rows)
+        pi = rng.randint(0, 30, size=200).astype(np.int64)
+        pj = rng.randint(0, 30, size=200).astype(np.int64)
+        want = _pair_intersections(flat, starts, lens, pi, pj)
+        got = _pair_intersections_chunked(flat, starts, lens, pi, pj,
+                                          budget=16)
+        np.testing.assert_array_equal(got, want)
+
     def test_embedding_near_dup(self, ray_session):
         rng = np.random.RandomState(3)
         base = rng.randn(8, 16).astype(np.float32)
@@ -469,6 +498,46 @@ class TestDedupFamily:
             "text": [f"t{i}" for i in range(20)]}))
         got = exact_dedup_first(ds, "text", "doc_id").to_pandas()
         assert sorted(got["doc_id"]) == list(range(20))
+
+    def test_exact_dedup_first_int_key_double_hash(self, ray_session):
+        """Non-string key columns must still get TWO independent
+        hashes (hash_pandas_object applies hash_key only to object
+        dtype — the kernel casts to string first) and dedupe
+        correctly."""
+        from searchenginesimple_ray.stages.dedup import (
+            _XD_K1, _XD_K2, _hash_key_batch, exact_dedup_first)
+        t = pa.table({
+            "k": pa.array(np.array([7, 7, 8, 9, 9, 9], np.int64)),
+            "doc_id": pa.array(np.arange(6, dtype=np.int64))})
+        hb = _hash_key_batch(t, "k", "doc_id")
+        h1 = hb["h1"].to_numpy()
+        h2 = hb["h2"].to_numpy()
+        assert not np.array_equal(h1, h2), \
+            "second hash collapsed to the first (hash_key ignored)"
+        assert _XD_K1 != _XD_K2
+        ds = ray.data.from_arrow(t)
+        kept = sorted(exact_dedup_first(ds, "k", "doc_id")
+                      .to_pandas()["doc_id"])
+        assert kept == [0, 2, 3]
+
+    def test_exact_dedup_first_min_tie_refused(self, ray_session):
+        """A duplicate group tying at the minimum order value cannot
+        be resolved by value filtering — must raise, not under-dedup."""
+        from searchenginesimple_ray.stages.dedup import exact_dedup_first
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.array([5, 5, 9], np.int64)),
+            "text": ["x", "x", "x"]}))
+        with pytest.raises(ValueError, match="tie at the minimum"):
+            exact_dedup_first(ds, "text", "doc_id").materialize()
+
+    def test_exact_dedup_first_float_order(self, ray_session):
+        from searchenginesimple_ray.stages.dedup import exact_dedup_first
+        ds = ray.data.from_arrow(pa.table({
+            "score": pa.array([5.25, 3.5, 9.0, 7.125], pa.float64()),
+            "text": ["x", "x", "y", "y"]}))
+        kept = sorted(exact_dedup_first(ds, "text", "score")
+                      .to_pandas()["score"])
+        assert kept == [3.5, 7.125]
 
 
 class TestMultimodal:
