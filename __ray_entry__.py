@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data suite: dedup family
         "exact_dedup": d.q_exact_dedup,
         "minhash_pairs": d.q_minhash_pairs,
+        "minhash_dedup_keep": d.q_minhash_dedup_keep,
         "ngram_jaccard_pairs": d.q_ngram_jaccard,
         "simhash_fingerprints": d.q_simhash_fingerprints,  # rows-only
         "embedding_near_dup": d.q_embedding_near_dup,
@@ -182,6 +183,51 @@ def _minhash_perm_values() -> str:
     a, b = _permutations(64, 7)
     return ", ".join(f"({j + 1}, {int(a[j])}, {int(b[j])})"
                      for j in range(64))
+
+
+def _minhash_cluster_ctes() -> str:
+    """The exact MinHash cluster computation shared by the
+    ``minhash_pairs`` and ``minhash_dedup_keep`` oracles: recompute
+    signatures exactly (5-byte shingles of lowercased text, Horner
+    base-257 mod 2^32, min over (a*x+b) mod 2^31-1 per permutation;
+    short texts space-padded), pair docs whose estimated Jaccard
+    (matching signature positions / 64) >= 0.8, then min-label
+    reachability for cluster reps."""
+    return f"""perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
+mh_docs AS (
+  SELECT doc_id, CASE WHEN length(lower(text)) < 5
+      THEN lower(text) || repeat(' ', 5 - length(lower(text)))
+      ELSE lower(text) END AS t
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(t) - 3), i ->
+      ((((ord(substr(t, i, 1))::BIGINT * 257
+         + ord(substr(t, i + 1, 1))) * 257
+         + ord(substr(t, i + 2, 1))) * 257
+         + ord(substr(t, i + 3, 1))) * 257
+         + ord(substr(t, i + 4, 1))) % 4294967296)) AS x
+  FROM mh_docs
+),
+sig AS (
+  SELECT doc_id, j,
+         min((p.a * (shingles.x % 2147483647) + p.b) % 2147483647) AS s
+  FROM shingles CROSS JOIN perms p GROUP BY doc_id, j
+),
+sigv AS (SELECT doc_id, list(s ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigv a JOIN sigv b ON a.doc_id < b.doc_id
+  WHERE list_sum(list_transform(range(1, 65),
+        i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / 64.0 >= 0.8
+),
+und AS (SELECT src AS u, dst AS v FROM edges
+        UNION ALL SELECT dst, src FROM edges),
+reach(id, lab) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT w.v, r.lab FROM reach r JOIN und w ON w.u = r.id
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -530,43 +576,23 @@ WHERE t.doc_id % 50 <> 0
         # via recursive min-label propagation; reps' own rows are
         # omitted, matching components_min_rep's output.
         "minhash_pairs": f"""
-WITH RECURSIVE perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
-mh_docs AS (
-  SELECT doc_id, CASE WHEN length(lower(text)) < 5
-      THEN lower(text) || repeat(' ', 5 - length(lower(text)))
-      ELSE lower(text) END AS t
-  FROM documents
-),
-shingles AS (
-  SELECT doc_id, unnest(list_transform(range(1, length(t) - 3), i ->
-      ((((ord(substr(t, i, 1))::BIGINT * 257
-         + ord(substr(t, i + 1, 1))) * 257
-         + ord(substr(t, i + 2, 1))) * 257
-         + ord(substr(t, i + 3, 1))) * 257
-         + ord(substr(t, i + 4, 1))) % 4294967296)) AS x
-  FROM mh_docs
-),
-sig AS (
-  SELECT doc_id, j,
-         min((p.a * (shingles.x % 2147483647) + p.b) % 2147483647) AS s
-  FROM shingles CROSS JOIN perms p GROUP BY doc_id, j
-),
-sigv AS (SELECT doc_id, list(s ORDER BY j) AS sig FROM sig GROUP BY doc_id),
-edges AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM sigv a JOIN sigv b ON a.doc_id < b.doc_id
-  WHERE list_sum(list_transform(range(1, 65),
-        i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) / 64.0 >= 0.8
-),
-und AS (SELECT src AS u, dst AS v FROM edges
-        UNION ALL SELECT dst, src FROM edges),
-reach(id, lab) AS (
-  SELECT DISTINCT u, u FROM und
-  UNION
-  SELECT w.v, r.lab FROM reach r JOIN und w ON w.u = r.id
-)
+WITH RECURSIVE {_minhash_cluster_ctes()}
 SELECT id, min(lab) AS rep_id FROM reach GROUP BY id
 HAVING min(lab) <> id
+""",
+        # end-to-end fuzzy dedup: the same exact cluster computation,
+        # then keep every doc that is NOT a non-representative cluster
+        # member (rep = min id survives — the engine's arrival-order
+        # keep rule).
+        "minhash_dedup_keep": f"""
+WITH RECURSIVE {_minhash_cluster_ctes()},
+dropped AS (
+  SELECT id FROM reach GROUP BY id HAVING min(lab) <> id
+)
+SELECT d.doc_id, length(d.text)::BIGINT AS text_len
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+ORDER BY d.doc_id
 """,
         # exact word-3-gram Jaccard >= 0.8 pairs.  The engine's prefix
         # filter (Bayardo WWW'07) is candidate-EXACT, so plain all-pairs

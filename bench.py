@@ -106,6 +106,7 @@ def run_ops_suite(sf_dir: str) -> dict:
     for name, fn in [("term_df", d.q_term_df),
                      ("exact_dedup", d.q_exact_dedup),
                      ("minhash_pairs", d.q_minhash_pairs),
+                     ("minhash_dedup_keep", d.q_minhash_dedup_keep),
                      ("ngram_jaccard_pairs", d.q_ngram_jaccard),
                      ("simhash_fingerprints", d.q_simhash_fingerprints),
                      ("ann_topk", d.q_ann_topk),
@@ -175,8 +176,12 @@ def run_skew_build(sf: float) -> dict:
             "skew_hot_query_ms": round(hot_q_ms, 2)}
 
 
-def _scale_child(num_cpus: int, corpus_dir: str) -> dict:
-    """Run ONE cold index build in this (fresh) process; print JSON."""
+def _scale_child(num_cpus: int, corpus_dir: str,
+                 extra_dir: str = "") -> dict:
+    """Run ONE cold index build in this (fresh) process; print JSON.
+    With ``extra_dir`` set, also time an incremental append of that
+    delta corpus plus a hot-term skew build at the same CPU level
+    (the scaling table's secondary rows)."""
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
@@ -187,10 +192,21 @@ def _scale_child(num_cpus: int, corpus_dir: str) -> dict:
     from searchenginesimple_ray.sources.transcripts import transcripts_files
     n_turns = sum(pq.read_metadata(f).num_rows
                   for f in transcripts_files(corpus_dir))
-    dt, _ = run_index_build(corpus_dir, f"scale_{num_cpus}")
+    dt, info = run_index_build(corpus_dir, f"scale_{num_cpus}")
+    out = {"num_cpus": num_cpus, "build_sec": dt,
+           "turns_per_sec": n_turns / dt, "n_turns": n_turns}
+    if extra_dir:
+        from searchenginesimple_ray.config import EngineConfig
+        from searchenginesimple_ray.pipelines.index_build import append_index
+        t0 = time.perf_counter()
+        append_index(transcripts_files(extra_dir), info["out"],
+                     EngineConfig(num_input_buckets=8, num_doc_shards=8))
+        out["append_sec"] = round(time.perf_counter() - t0, 3)
+        # skew fixture at the HEADLINE sf (scale corpus is sf*mult):
+        sf_eq = n_turns / 6_000_000   # invert the _bench_corpus sizing
+        out["skew_sec"] = run_skew_build(sf_eq / 4)["skew_build"]
     ray.shutdown()
-    return {"num_cpus": num_cpus, "build_sec": dt,
-            "turns_per_sec": n_turns / dt, "n_turns": n_turns}
+    return out
 
 
 def scaling_main():
@@ -234,10 +250,20 @@ def scaling_main():
     scale_mult = float(os.environ.get("RAY_GRAFT_SCALE_CORPUS_MULT", "4"))
     corpus_dir, n_turns = _bench_corpus(sf * scale_mult)
 
-    def one(cpus: int) -> dict:
+    # the append/skew secondary rows run once per level (first trial):
+    # same 10%-delta corpus at both levels
+    n_extra = max(20, int(600_000 * sf * scale_mult) // 10)
+    from searchenginesimple_ray.sources.transcripts import \
+        generate_transcripts
+    extra_dir = generate_transcripts(
+        os.path.join(BENCH_ROOT, f"corpus_extra_{n_extra}"),
+        n_convs=n_extra, seed=77, n_files=8, conv_prefix="convz-")
+
+    def one(cpus: int, with_ops: bool) -> dict:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--_scale_child", str(cpus), corpus_dir],
+             "--_scale_child", str(cpus), corpus_dir]
+            + ([extra_dir] if with_ops else []),
             capture_output=True, text=True, cwd=REPO)
         line = [ln for ln in p.stdout.strip().splitlines()
                 if ln.startswith("{")][-1]
@@ -245,12 +271,22 @@ def scaling_main():
 
     n_lo, n_hi = base_n, 4 * base_n
     raw: dict[int, list[float]] = {n_lo: [], n_hi: []}
-    for _ in range(trials):
+    ops: dict[int, dict] = {}
+    for trial in range(trials):
         for cpus in (n_lo, n_hi):
-            raw[cpus].append(one(cpus)["build_sec"])
+            r = one(cpus, with_ops=(trial == 0))
+            raw[cpus].append(r["build_sec"])
+            if trial == 0:
+                ops[cpus] = {"append_sec": r.get("append_sec"),
+                             "skew_sec": r.get("skew_sec")}
     best_lo, best_hi = min(raw[n_lo]), min(raw[n_hi])
     tn, t4n = n_turns / best_lo, n_turns / best_hi
     eff = t4n / (4 * tn)
+
+    def _eff(key: str) -> float | None:
+        lo, hi = ops[n_lo].get(key), ops[n_hi].get(key)
+        return round(lo / (4 * hi), 4) if lo and hi else None
+
     print(json.dumps({
         "metric": "index_build_scaling_efficiency",
         "value": round(eff, 4), "unit": "ratio",
@@ -263,6 +299,12 @@ def scaling_main():
         f"build_sec_at_{n_hi}": round(best_hi, 2),
         f"raw_trials_at_{n_lo}": [round(x, 2) for x in raw[n_lo]],
         f"raw_trials_at_{n_hi}": [round(x, 2) for x in raw[n_hi]],
+        f"append_sec_at_{n_lo}": ops[n_lo].get("append_sec"),
+        f"append_sec_at_{n_hi}": ops[n_hi].get("append_sec"),
+        "append_scaling_efficiency": _eff("append_sec"),
+        f"skew_build_sec_at_{n_lo}": ops[n_lo].get("skew_sec"),
+        f"skew_build_sec_at_{n_hi}": ops[n_hi].get("skew_sec"),
+        "skew_scaling_efficiency": _eff("skew_sec"),
         "queries": {f"build@{n_lo}cpus": round(best_lo, 2),
                     f"build@{n_hi}cpus": round(best_hi, 2)},
         "num_cpus": n_hi,
@@ -325,7 +367,9 @@ def main():
 if __name__ == "__main__":
     if "--_scale_child" in sys.argv:
         i = sys.argv.index("--_scale_child")
-        print(json.dumps(_scale_child(int(sys.argv[i + 1]), sys.argv[i + 2])))
+        extra = sys.argv[i + 3] if len(sys.argv) > i + 3 else ""
+        print(json.dumps(_scale_child(int(sys.argv[i + 1]),
+                                      sys.argv[i + 2], extra)))
     elif "--scaling" in sys.argv:
         scaling_main()
     else:

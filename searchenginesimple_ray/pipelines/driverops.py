@@ -547,6 +547,27 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
                              jaccard_threshold=0.8)
 
 
+def q_minhash_dedup_keep(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, text_len) of documents surviving end-to-end MinHash
+    fuzzy dedup (cluster rep = min id kept, other members dropped).
+    The keep filter streams; only the drop set is broadcast."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import minhash_dedup_keep
+    kept = minhash_dedup_keep(_read_documents(sf_dir), "doc_id", "text",
+                              jaccard_threshold=0.8)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    pdf = kept.map_batches(project, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """(src, dst): EXACT word-3-gram Jaccard >= 0.8 near-dup pairs
     (prefix-filter candidates are exact, so the all-pairs DuckDB SQL is

@@ -1026,6 +1026,36 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                                               np.int64)})
 
 
+def minhash_dedup_keep(ds: ray.data.Dataset, id_col: str, text_col: str,
+                       num_perm: int = 64, num_bands: int = 16,
+                       jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+    """End-to-end fuzzy dedup: MinHash+LSH clusters -> broadcast drop
+    set -> STREAMING keep filter.  Every non-representative cluster
+    member is dropped (cluster rep = min id survives — the A3/A4
+    arrival-order rule on a generic table); unique docs pass through.
+
+    SCALE shape: the drop set is O(duplicate docs) — ``ray.put`` once,
+    binary-searched per batch; the input dataset streams through the
+    filter unmaterialized, so the keep path costs one pass regardless
+    of corpus size."""
+    clusters = minhash_lsh_dedup(ds, id_col, text_col, num_perm=num_perm,
+                                 num_bands=num_bands,
+                                 jaccard_threshold=jaccard_threshold)
+    drop = np.sort(clusters["id"].to_numpy().astype(np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep_batch(t: pa.Table, ref=None) -> pa.Table:
+        d = ray.get(ref)
+        if not len(d) or not t.num_rows:
+            return t
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+        return t.filter(pa.array(d[pos] != ids))
+
+    return ds.map_batches(keep_batch, fn_kwargs={"ref": drop_ref},
+                          batch_format="pyarrow")
+
+
 # ------------------------------------------------- n-gram Jaccard (generic)
 
 _GRAM_INIT = np.uint64(14695981039346656037)

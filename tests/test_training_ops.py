@@ -346,6 +346,37 @@ class TestDedupFamily:
         pd.testing.assert_frame_equal(
             drv.reset_index(drop=True), dist.reset_index(drop=True))
 
+    def test_minhash_dedup_keep_streaming_filter(self, ray_session):
+        """keep == all docs minus non-representative cluster members,
+        exactly complementing minhash_lsh_dedup's (id, rep_id) map."""
+        from searchenginesimple_ray.stages.dedup import (
+            minhash_dedup_keep, minhash_lsh_dedup)
+        rng = np.random.RandomState(5)
+        base = ["the quick brown fox jumps over the lazy dog " * 3,
+                "pack my box with five dozen liquor jugs " * 3,
+                "sphinx of black quartz judge my vow " * 3]
+        texts = []
+        for i in range(60):
+            t = base[i % 3]
+            if i % 4 == 0:   # near-dup: flip one character
+                j = rng.randint(len(t))
+                t = t[:j] + "Z" + t[j + 1:]
+            texts.append(t + f" tail{i % 3}")
+        ids = np.arange(60, dtype=np.int64)
+        tab = pa.table({"doc_id": ids, "text": texts,
+                        "extra": np.arange(60, dtype=np.int64) * 2})
+        ds = ray.data.from_arrow(tab)
+        clusters = minhash_lsh_dedup(ds, "doc_id", "text",
+                                     jaccard_threshold=0.8)
+        kept = minhash_dedup_keep(ds, "doc_id", "text",
+                                  jaccard_threshold=0.8).to_pandas()
+        dropped = set(clusters["id"])
+        assert len(dropped) > 0
+        assert sorted(kept["doc_id"]) == sorted(set(ids) - dropped)
+        # non-id columns pass through the streaming filter untouched
+        assert (kept["extra"].to_numpy()
+                == kept["doc_id"].to_numpy() * 2).all()
+
     def test_ngram_null_text_treated_empty(self, ray_session):
         from searchenginesimple_ray.stages.dedup import ngram_jaccard_pairs
         ds = ray.data.from_arrow(pa.table({
