@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": d.q_minhash_pairs,
         "minhash_dedup_keep": d.q_minhash_dedup_keep,
         "ngram_jaccard_pairs": d.q_ngram_jaccard,
+        "ngram_dedup_keep": d.q_ngram_dedup_keep,
         "simhash_fingerprints": d.q_simhash_fingerprints,  # rows-only
         "embedding_near_dup": d.q_embedding_near_dup,
         "embedding_sim_pairs": d.q_embedding_sim_pairs,
@@ -227,6 +228,45 @@ reach(id, lab) AS (
   SELECT DISTINCT u, u FROM und
   UNION
   SELECT w.v, r.lab FROM reach r JOIN und w ON w.u = r.id
+)"""
+
+
+def _ngram_pairs_ctes() -> str:
+    """The exact word-3-gram Jaccard >= 0.8 pair computation shared by
+    the ``ngram_jaccard_pairs`` and ``ngram_dedup_keep`` oracles.
+    Tokens = whitespace split; docs with < 3 tokens contribute their
+    whole token list as one gram; 0-token docs never pair."""
+    return """tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g1 AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM tok WHERE len(toks) >= 3)
+),
+g2 AS (
+  SELECT doc_id, array_to_string(toks, ' ') AS gram FROM tok
+  WHERE len(toks) BETWEEN 1 AND 2
+),
+dgr AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+),
+sz AS (SELECT doc_id, count(*) AS s FROM dgr GROUP BY doc_id),
+ipairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+  FROM dgr a JOIN dgr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+npairs AS (
+  SELECT src, dst
+  FROM ipairs
+  JOIN sz sa ON sa.doc_id = src
+  JOIN sz sb ON sb.doc_id = dst
+  WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
 )"""
 
 
@@ -599,37 +639,29 @@ ORDER BY d.doc_id
         # SQL over distinct grams is a true oracle.  Tokens = whitespace
         # split; docs with < 3 tokens contribute their whole token list
         # as one gram; 0-token docs have no grams and never pair.
-        "ngram_jaccard_pairs": """
-WITH tok AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'),
-                     x -> x <> '') AS toks
-  FROM documents
+        "ngram_jaccard_pairs": f"""
+WITH {_ngram_pairs_ctes()}
+SELECT src, dst FROM npairs
+""",
+        # end-to-end exact n-gram dedup: the same exact pair set, then
+        # min-label reachability for cluster reps; keep every doc that
+        # is not a non-representative member.
+        "ngram_dedup_keep": f"""
+WITH RECURSIVE {_ngram_pairs_ctes()},
+und AS (SELECT src AS u, dst AS v FROM npairs
+        UNION ALL SELECT dst, src FROM npairs),
+reach(id, lab) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT w.v, r.lab FROM reach r JOIN und w ON w.u = r.id
 ),
-g1 AS (
-  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
-  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
-        FROM tok WHERE len(toks) >= 3)
-),
-g2 AS (
-  SELECT doc_id, array_to_string(toks, ' ') AS gram FROM tok
-  WHERE len(toks) BETWEEN 1 AND 2
-),
-dgr AS (
-  SELECT DISTINCT doc_id, gram
-  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
-),
-sz AS (SELECT doc_id, count(*) AS s FROM dgr GROUP BY doc_id),
-ipairs AS (
-  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
-  FROM dgr a JOIN dgr b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+dropped AS (
+  SELECT id FROM reach GROUP BY id HAVING min(lab) <> id
 )
-SELECT src, dst
-FROM ipairs
-JOIN sz sa ON sa.doc_id = src
-JOIN sz sb ON sb.doc_id = dst
-WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+SELECT d.doc_id, length(d.text)::BIGINT AS text_len
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+ORDER BY d.doc_id
 """,
         "suggest_topk": f"""
 WITH {_tokenize_cte('documents')},

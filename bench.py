@@ -108,6 +108,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("minhash_pairs", d.q_minhash_pairs),
                      ("minhash_dedup_keep", d.q_minhash_dedup_keep),
                      ("ngram_jaccard_pairs", d.q_ngram_jaccard),
+                     ("ngram_dedup_keep", d.q_ngram_dedup_keep),
                      ("simhash_fingerprints", d.q_simhash_fingerprints),
                      ("ann_topk", d.q_ann_topk),
                      ("ivf_topk", d.q_ivf_topk),

@@ -568,6 +568,26 @@ def q_minhash_dedup_keep(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ngram_dedup_keep(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, text_len) surviving end-to-end exact n-gram dedup
+    (prefix-filtered pairs -> components -> streaming keep)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import ngram_dedup_keep
+    kept = ngram_dedup_keep(_read_documents(sf_dir), "doc_id", "text",
+                            n=3, threshold=0.8)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    pdf = kept.map_batches(project, batch_format="pyarrow").to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """(src, dst): EXACT word-3-gram Jaccard >= 0.8 near-dup pairs
     (prefix-filter candidates are exact, so the all-pairs DuckDB SQL is

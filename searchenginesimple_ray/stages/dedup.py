@@ -1026,22 +1026,13 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
                                               np.int64)})
 
 
-def minhash_dedup_keep(ds: ray.data.Dataset, id_col: str, text_col: str,
-                       num_perm: int = 64, num_bands: int = 16,
-                       jaccard_threshold: float = 0.8) -> ray.data.Dataset:
-    """End-to-end fuzzy dedup: MinHash+LSH clusters -> broadcast drop
-    set -> STREAMING keep filter.  Every non-representative cluster
-    member is dropped (cluster rep = min id survives — the A3/A4
-    arrival-order rule on a generic table); unique docs pass through.
-
-    SCALE shape: the drop set is O(duplicate docs) — ``ray.put`` once,
-    binary-searched per batch; the input dataset streams through the
-    filter unmaterialized, so the keep path costs one pass regardless
-    of corpus size."""
-    clusters = minhash_lsh_dedup(ds, id_col, text_col, num_perm=num_perm,
-                                 num_bands=num_bands,
-                                 jaccard_threshold=jaccard_threshold)
-    drop = np.sort(clusters["id"].to_numpy().astype(np.int64))
+def _broadcast_drop_filter(ds: ray.data.Dataset, id_col: str,
+                           drop_ids: np.ndarray) -> ray.data.Dataset:
+    """STREAMING keep filter: the (sorted) drop-id set is
+    ``ray.put`` ONCE — O(duplicate docs) — and binary-searched per
+    batch; the input dataset streams through unmaterialized, so the
+    keep path costs one pass regardless of corpus size."""
+    drop = np.sort(np.asarray(drop_ids, np.int64))
     drop_ref = ray.put(drop)
 
     def keep_batch(t: pa.Table, ref=None) -> pa.Table:
@@ -1054,6 +1045,32 @@ def minhash_dedup_keep(ds: ray.data.Dataset, id_col: str, text_col: str,
 
     return ds.map_batches(keep_batch, fn_kwargs={"ref": drop_ref},
                           batch_format="pyarrow")
+
+
+def minhash_dedup_keep(ds: ray.data.Dataset, id_col: str, text_col: str,
+                       num_perm: int = 64, num_bands: int = 16,
+                       jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+    """End-to-end fuzzy dedup: MinHash+LSH clusters -> broadcast drop
+    set -> streaming keep filter.  Every non-representative cluster
+    member is dropped (cluster rep = min id survives — the A3/A4
+    arrival-order rule on a generic table); unique docs pass through."""
+    clusters = minhash_lsh_dedup(ds, id_col, text_col, num_perm=num_perm,
+                                 num_bands=num_bands,
+                                 jaccard_threshold=jaccard_threshold)
+    return _broadcast_drop_filter(ds, id_col,
+                                  clusters["id"].to_numpy())
+
+
+def ngram_dedup_keep(ds: ray.data.Dataset, id_col: str, text_col: str,
+                     n: int = 3, threshold: float = 0.8) -> ray.data.Dataset:
+    """End-to-end EXACT n-gram-Jaccard dedup: prefix-filtered exact
+    pairs -> min-label connected components -> broadcast drop set ->
+    streaming keep filter (rep = min id survives)."""
+    pairs = ngram_jaccard_pairs(ds, id_col, text_col, n=n,
+                                threshold=threshold)
+    rep = components_min_rep(pairs[["src", "dst"]]) if len(pairs) else {}
+    return _broadcast_drop_filter(
+        ds, id_col, np.fromiter(rep.keys(), np.int64, len(rep)))
 
 
 # ------------------------------------------------- n-gram Jaccard (generic)

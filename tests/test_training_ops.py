@@ -377,6 +377,22 @@ class TestDedupFamily:
         assert (kept["extra"].to_numpy()
                 == kept["doc_id"].to_numpy() * 2).all()
 
+    def test_ngram_dedup_keep_complements_pairs(self, ray_session):
+        from searchenginesimple_ray.stages.dedup import (
+            components_min_rep, ngram_dedup_keep, ngram_jaccard_pairs)
+        texts = ["alpha beta gamma delta epsilon zeta"] * 3 + \
+                ["one two three four five six seven"] * 2 + \
+                [f"unique doc number {i} with words" for i in range(5)]
+        ids = np.arange(len(texts), dtype=np.int64)
+        ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+        pairs = ngram_jaccard_pairs(ds, "doc_id", "text", n=3,
+                                    threshold=0.8)
+        dropped = set(components_min_rep(pairs[["src", "dst"]]))
+        assert dropped == {1, 2, 4}
+        kept = ngram_dedup_keep(ds, "doc_id", "text", n=3,
+                                threshold=0.8).to_pandas()
+        assert sorted(kept["doc_id"]) == sorted(set(ids) - dropped)
+
     def test_ngram_null_text_treated_empty(self, ray_session):
         from searchenginesimple_ray.stages.dedup import ngram_jaccard_pairs
         ds = ray.data.from_arrow(pa.table({
