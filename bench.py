@@ -164,7 +164,9 @@ def run_skew_build(sf: float) -> dict:
     build_index(transcripts_files(corp), out, cfg)
     build_sec = _t.perf_counter() - t0
     hot_term = make_vocab(5000, 43)[0]
-    eng = QueryEngine(out, num_actors=8)
+    # fractional actor CPUs: run_skew_build is also called inside the
+    # 1-CPU scaling child, where 8 x 1.0-CPU actors would deadlock
+    eng = QueryEngine(out, num_actors=8, num_cpus_per_actor=0.1)
     try:
         eng.bm25_topk(hot_term)          # warm
         t0 = _t.perf_counter()
