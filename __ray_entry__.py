@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream temporal operators (windowed agg / sessions /
         # as-of join — custom operators Ray Data lacks natively)
         "json_props_agg": d.q_json_props_agg,
+        # exact quantiles over an unbounded double column (KLL window
+        # + exact recount — stages/sketches.exact_quantiles_unbounded)
+        "value_quantiles": d.q_value_quantiles,
         "event_window_agg": d.q_event_window_agg,
         "sessionize": d.q_sessionize,
         "asof_join": d.q_asof_join,
@@ -965,6 +968,22 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         # tumbling 1h windows aligned to the epoch; exact cent sums
+        # exact quantile_disc over the unbounded double column: the
+        # engine's KLL-window + exact-recount result is value-exact
+        # (selection, no arithmetic), so plain quantile_disc is the
+        # oracle.
+        "value_quantiles": """
+SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events
+UNION ALL
+SELECT 0.5, quantile_disc(value, 0.5) FROM events
+UNION ALL
+SELECT 0.75, quantile_disc(value, 0.75) FROM events
+UNION ALL
+SELECT 0.9, quantile_disc(value, 0.9) FROM events
+UNION ALL
+SELECT 0.99, quantile_disc(value, 0.99) FROM events
+ORDER BY q
+""",
         "event_window_agg": """
 SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
            AS window_start_us,

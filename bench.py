@@ -124,6 +124,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("decontaminate", d.q_decontaminate),
                      ("heavy_hitters", d.q_heavy_hitters),
                      ("token_len_quantiles", d.q_token_len_quantiles),
+                     ("value_quantiles", d.q_value_quantiles),
                      ("pii_scrub", d.q_pii_scrub),
                      ("nation_revenue", d.q_nation_revenue),
                      ("hash_split", d.q_hash_split),

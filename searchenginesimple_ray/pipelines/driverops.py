@@ -779,6 +779,18 @@ def _read_events(sf_dir: str) -> ray.data.Dataset:
         columns=["event_id", "ts", "user_id", "event_type", "value"])
 
 
+def q_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantile_disc over the UNBOUNDED double column
+    events.value — KLL sketch proposes rank windows, an exact recount
+    pass answers (the unbounded-domain scale path the bounded-domain
+    histogram of token_len_quantiles cannot cover)."""
+    from ..stages.sketches import exact_quantiles_unbounded
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    return exact_quantiles_unbounded(
+        ds, "value", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def q_json_props_agg(sf_dir: str) -> pd.DataFrame:
     """(event_type, n_events, sum_k): JSON record-parse of the events
     ``props`` column + per-type integer aggregate."""

@@ -225,3 +225,181 @@ def grouped_distinct_tokens(ds: ray.data.Dataset, text_col: str = "text",
 
 
 __all__.append("grouped_distinct_tokens")
+
+
+# ------------------------------------------------ KLL exact quantiles
+
+class KLLSketch:
+    """KLL-style mergeable quantile sketch (Karnin-Lang-Liberty,
+    FOCS'16 shape: levelled compactors, weight 2^i per level-i item,
+    random-offset halving on overflow).  Per-level capacity is a flat
+    ``k``, so memory is O(k log(n/k)) — the simpler MRL-style bound;
+    the asymptotically tighter (2/3)^depth capacities don't matter
+    here because the exact-recount pass below removes ALL dependence
+    on the sketch's error: the sketch only PROPOSES rank windows.
+
+    Determinism: offsets come from a seeded per-sketch RNG, so builds
+    are reproducible block-for-block."""
+
+    def __init__(self, k: int = 256, seed: int = 0):
+        self.k = max(int(k), 8)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self.rng = np.random.RandomState(seed)
+
+    def update(self, vals: np.ndarray) -> None:
+        vals = np.asarray(vals, np.float64)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return
+        self.n += len(vals)
+        self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> None:
+        for i, lv in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                v = np.sort(self.levels[i])
+                off = int(self.rng.randint(2))
+                if len(self.levels) == i + 1:
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], v[off::2]])
+                self.levels[i] = np.empty(0, np.float64)
+            i += 1
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels)
+        w = np.concatenate(
+            [np.full(len(lv), 1 << i, np.int64)
+             for i, lv in enumerate(self.levels)])
+        o = np.argsort(vals, kind="stable")
+        return vals[o], np.cumsum(w[o])
+
+    def value_at_rank(self, rank: int) -> float:
+        """Estimated value at 1-based rank (clamped)."""
+        vals, cw = self._weighted()
+        if not len(vals):
+            return float("nan")
+        j = int(np.searchsorted(cw, max(int(rank), 1)))
+        return float(vals[min(j, len(vals) - 1)])
+
+    def est_rank(self, value: float) -> int:
+        """Estimated # of items <= value."""
+        vals, cw = self._weighted()
+        if not len(vals):
+            return 0
+        j = int(np.searchsorted(vals, value, side="right"))
+        return 0 if j == 0 else int(cw[j - 1])
+
+
+def exact_quantiles_unbounded(ds: ray.data.Dataset, value_col: str,
+                              qs: tuple[float, ...],
+                              k: int = 256,
+                              _initial_slack: int | None = None
+                              ) -> pd.DataFrame:
+    """EXACT ``quantile_disc`` (smallest value whose cumulative count
+    >= ceil(q*n)) over an UNBOUNDED numeric column — the scale path
+    the bounded-domain histogram of ``token_count_quantiles`` can't
+    cover.  "Sketch for candidates, recount for exactness":
+
+    1. one streaming pass builds mergeable KLL partials per block
+       (O(k log n) state each), merged on the driver;
+    2. each target rank gets a candidate value WINDOW from the sketch
+       (rank +- slack);
+    3. a second streaming pass counts, per window, the exact number of
+       values below the window and the exact per-distinct-value counts
+       inside it (window population is ~2*slack ranks, dup-collapsed);
+    4. the exact answer is read off the cumulative walk.  If a window
+       fails rank coverage (sketch error beyond slack), slack doubles
+       and ONLY pass 3 re-runs — correctness never depends on the
+       sketch's guarantee, termination is certain (slack >= n covers
+       everything).
+
+    NaN/null values are ignored (DuckDB quantile_disc semantics).
+    Returns (q, value) sorted by q.
+    """
+    import pyarrow.compute as pc
+
+    sel = ds.select_columns([value_col])
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        import pickle
+        s = KLLSketch(k=k, seed=17)
+        s.update(t[value_col].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([pickle.dumps(s)],
+                                            pa.binary())})
+
+    import pickle
+    parts = sel.map_batches(sketch_batch,
+                            batch_format="pyarrow").to_pandas()
+    sk = KLLSketch(k=k, seed=17)
+    for b in parts["sketch"]:
+        sk.merge(pickle.loads(b))
+    n = sk.n
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                             "value": np.full(len(qs), np.nan)})
+    import math
+    targets = [max(1, math.ceil(q * n)) for q in qs]
+    slack = _initial_slack or max(64, (4 * n) // max(sk.k, 1))
+
+    while True:
+        windows = []
+        for r in targets:
+            lo = -np.inf if r - slack < 1 else sk.value_at_rank(r - slack)
+            hi = np.inf if r + slack > n else sk.value_at_rank(r + slack)
+            windows.append((lo, hi))
+        win_ref = ray.put(windows)
+
+        def window_counts(t: pa.Table, ref=None) -> pa.Table:
+            ws = ray.get(ref)
+            v = t.column(0).to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            widx_l, val_l, cnt_l = [], [], []
+            for i, (lo, hi) in enumerate(ws):
+                widx_l.append(i)
+                val_l.append(-np.inf)           # below-window marker
+                cnt_l.append(int((v < lo).sum()) if lo != -np.inf else 0)
+                inw = v[(v >= lo) & (v <= hi)]
+                if len(inw):
+                    u, c = np.unique(inw, return_counts=True)
+                    widx_l.extend([i] * len(u))
+                    val_l.extend(u.tolist())
+                    cnt_l.extend(c.tolist())
+            return pa.table({
+                "widx": pa.array(widx_l, pa.int32()),
+                "value": pa.array(val_l, pa.float64()),
+                "count": pa.array(cnt_l, pa.int64())})
+
+        agg = sel.map_batches(window_counts, fn_kwargs={"ref": win_ref},
+                              batch_format="pyarrow").to_pandas()
+        agg = agg.groupby(["widx", "value"], as_index=False)["count"].sum()
+        out_vals, covered = [], True
+        for i, r in enumerate(targets):
+            g = agg[agg["widx"] == i]
+            below = int(g[np.isneginf(g["value"])]["count"].sum())
+            inw = g[~np.isneginf(g["value"])].sort_values("value")
+            cum = below + inw["count"].cumsum()
+            hit = inw["value"].to_numpy()[(cum >= r).to_numpy()]
+            if below >= r or (not len(hit) and r > below):
+                covered = False       # window missed the target rank
+                break
+            out_vals.append(float(hit[0]))
+        if covered:
+            return pd.DataFrame({"q": pd.Series(qs, dtype=float),
+                                 "value": out_vals})
+        slack *= 2
+
+
+__all__.append("KLLSketch")
+__all__.append("exact_quantiles_unbounded")

@@ -783,6 +783,55 @@ class TestHeavyHitters:
         assert dict(zip(got["term"], got["n_occurrences"])) == want
         assert "alpha" in want  # the test is vacuous otherwise
 
+    def test_kll_exact_quantiles_unbounded(self, ray_session):
+        """KLL-window + exact recount == numpy quantile_disc ground
+        truth on unbounded floats with heavy duplication and NaNs,
+        at every tested k (the sketch only proposes windows)."""
+        import ray.data
+
+        from searchenginesimple_ray.stages.sketches import \
+            exact_quantiles_unbounded
+        rng = np.random.RandomState(9)
+        vals = np.concatenate([
+            rng.lognormal(3, 2, 4000),          # unbounded heavy tail
+            np.repeat(rng.lognormal(3, 2, 10), 200),   # duplicates
+            [np.nan] * 50])
+        rng.shuffle(vals)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"value": vals})).repartition(6)
+        clean = np.sort(vals[~np.isnan(vals)])
+        qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+        import math
+        want = [float(clean[max(1, math.ceil(q * len(clean))) - 1])
+                for q in qs]
+        for k in (8, 256):     # k=8: windows WILL miss -> retry path
+            got = exact_quantiles_unbounded(ds, "value", qs=qs, k=k)
+            assert got["value"].tolist() == want, k
+        # tiny initial slack forces the doubling retry loop explicitly
+        got = exact_quantiles_unbounded(ds, "value", qs=qs, k=256,
+                                        _initial_slack=1)
+        assert got["value"].tolist() == want
+
+    def test_kll_sketch_rank_estimates(self):
+        from searchenginesimple_ray.stages.sketches import KLLSketch
+        rng = np.random.RandomState(2)
+        a = KLLSketch(k=128, seed=1)
+        b = KLLSketch(k=128, seed=2)
+        va = rng.randn(30_000)
+        vb = rng.randn(20_000) + 0.5
+        a.update(va)
+        b.update(vb)
+        a.merge(b)
+        allv = np.sort(np.concatenate([va, vb]))
+        n = len(allv)
+        assert a.n == n
+        for q in (0.1, 0.5, 0.9):
+            r = int(q * n)
+            est = a.est_rank(float(allv[r]))
+            assert abs(est - r) < 0.05 * n   # loose sanity bound
+        # sketch memory stays O(k log n)
+        assert sum(len(lv) for lv in a.levels) < 128 * 24
+
     def test_empty_and_no_hitters(self, ray_session):
         import ray.data
 
