@@ -1226,6 +1226,13 @@ def _ngram_verify_table(t: pa.Table, threshold: float) -> pd.DataFrame:
                            | (hi[po][1:] != hi[po][:-1])])
     keep &= lo[po] != hi[po]
     pi, pj = pi[po[keep]], pj[po[keep]]
+    # SIZE filter (Arasu et al. VLDB'06): jaccard >= t implies
+    # min(|g_i|,|g_j|) >= t * max(|g_i|,|g_j|) — kills most candidate
+    # pairs BEFORE their signatures are gathered (the intersection
+    # pass is O(sum of gathered lengths), so this is the hot gate)
+    li_f, lj_f = lens_s[pi], lens_s[pj]
+    ok = np.minimum(li_f, lj_f) >= threshold * np.maximum(li_f, lj_f)
+    pi, pj = pi[ok], pj[ok]
     if not len(pi):
         return empty
     inter = _pair_intersections_chunked(flat, starts_s, lens_s, pi, pj)
@@ -1265,7 +1272,7 @@ def _verify_cand_bucket(threshold: float, *pieces) -> pd.DataFrame:
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        driver_limit: int = 2_000_000,
+                        driver_limit: int = 20_000,
                         num_buckets: int = 32) -> pd.DataFrame:
     """EXACT word-n-gram Jaccard >= threshold pairs via prefix filtering
     (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07 "All-Pairs";
