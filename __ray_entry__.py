@@ -967,7 +967,6 @@ SELECT event_type,
             AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """,
-        # tumbling 1h windows aligned to the epoch; exact cent sums
         # exact quantile_disc over the unbounded double column: the
         # engine's KLL-window + exact-recount result is value-exact
         # (selection, no arithmetic), so plain quantile_disc is the
@@ -984,6 +983,7 @@ UNION ALL
 SELECT 0.99, quantile_disc(value, 0.99) FROM events
 ORDER BY q
 """,
+        # tumbling 1h windows aligned to the epoch; exact cent sums
         "event_window_agg": """
 SELECT CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
            AS window_start_us,

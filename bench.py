@@ -206,9 +206,15 @@ def _scale_child(num_cpus: int, corpus_dir: str,
         append_index(transcripts_files(extra_dir), info["out"],
                      EngineConfig(num_input_buckets=8, num_doc_shards=8))
         out["append_sec"] = round(time.perf_counter() - t0, 3)
-        # skew fixture at the HEADLINE sf (scale corpus is sf*mult):
+        # skew fixture at the HEADLINE sf: the scale corpus is
+        # sf * RAY_GRAFT_SCALE_CORPUS_MULT, so divide the inverted
+        # sizing by the SAME env-configured multiplier (approximate
+        # below the max(200, ...) corpus floor — irrelevant there,
+        # the skew fixture has its own floor)
+        mult = float(os.environ.get("RAY_GRAFT_SCALE_CORPUS_MULT", "4"))
         sf_eq = n_turns / 6_000_000   # invert the _bench_corpus sizing
-        out["skew_sec"] = run_skew_build(sf_eq / 4)["skew_build"]
+        out["skew_sec"] = run_skew_build(sf_eq / max(mult, 1e-9))[
+            "skew_build"]
     ray.shutdown()
     return out
 

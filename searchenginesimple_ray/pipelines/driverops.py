@@ -547,16 +547,11 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
                              jaccard_threshold=0.8)
 
 
-def q_minhash_dedup_keep(sf_dir: str) -> pd.DataFrame:
-    """(doc_id, text_len) of documents surviving end-to-end MinHash
-    fuzzy dedup (cluster rep = min id kept, other members dropped).
-    The keep filter streams; only the drop set is broadcast."""
+def _kept_docs_to_df(kept: ray.data.Dataset) -> pd.DataFrame:
+    """(doc_id, text_len) projection shared by the dedup-keep entries
+    (one source of truth for the ★-checked output shape)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    from ..stages.dedup import minhash_dedup_keep
-    kept = minhash_dedup_keep(_read_documents(sf_dir), "doc_id", "text",
-                              jaccard_threshold=0.8)
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -566,26 +561,25 @@ def q_minhash_dedup_keep(sf_dir: str) -> pd.DataFrame:
 
     pdf = kept.map_batches(project, batch_format="pyarrow").to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_minhash_dedup_keep(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, text_len) of documents surviving end-to-end MinHash
+    fuzzy dedup (cluster rep = min id kept, other members dropped).
+    The keep filter streams; only the drop set is broadcast."""
+    from ..stages.dedup import minhash_dedup_keep
+    return _kept_docs_to_df(
+        minhash_dedup_keep(_read_documents(sf_dir), "doc_id", "text",
+                           jaccard_threshold=0.8))
 
 
 def q_ngram_dedup_keep(sf_dir: str) -> pd.DataFrame:
     """(doc_id, text_len) surviving end-to-end exact n-gram dedup
     (prefix-filtered pairs -> components -> streaming keep)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from ..stages.dedup import ngram_dedup_keep
-    kept = ngram_dedup_keep(_read_documents(sf_dir), "doc_id", "text",
-                            n=3, threshold=0.8)
-
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
-        })
-
-    pdf = kept.map_batches(project, batch_format="pyarrow").to_pandas()
-    return pdf.sort_values("doc_id").reset_index(drop=True)
+    return _kept_docs_to_df(
+        ngram_dedup_keep(_read_documents(sf_dir), "doc_id", "text",
+                         n=3, threshold=0.8))
 
 
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:

@@ -49,6 +49,18 @@ from ..functions.hashing import hamming64, simhash_combo_keys
 _MAX_PAIRWISE = 4096
 
 
+def _sorted_member_mask(sorted_arr: np.ndarray,
+                        ids: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``ids`` in a SORTED array — the shared
+    broadcast-set kernel (clip + searchsorted + compare) used by every
+    drop/keep/candidate filter in this module."""
+    if not len(sorted_arr) or not len(ids):
+        return np.zeros(len(ids), bool)
+    pos = np.clip(np.searchsorted(sorted_arr, ids), 0,
+                  len(sorted_arr) - 1)
+    return sorted_arr[pos] == ids
+
+
 # ---------------------------------------------------------------- exact
 
 # two independent 64-bit key-hash seeds (pd.util.hash_pandas_object
@@ -143,8 +155,7 @@ def exact_dedup_first(ds: ray.data.Dataset, key: str,
     def filter_hot(t: pa.Table) -> pa.Table:
         w = ray.get(hot_ref)
         h1 = t["h1"].to_numpy(zero_copy_only=False)
-        p = np.clip(np.searchsorted(w, h1), 0, len(w) - 1)
-        return t.filter(pa.array(w[p] == h1))
+        return t.filter(pa.array(_sorted_member_mask(w, h1)))
 
     cand = slim.map_batches(filter_hot, batch_format="pyarrow").to_pandas()
     c1 = cand["h1"].to_numpy().astype(np.int64)
@@ -1000,10 +1011,7 @@ def minhash_lsh_dedup(ds: ray.data.Dataset, id_col: str, text_col: str,
             def filter_ids(t: pa.Table, ref=None) -> pa.Table:
                 w = ray.get(ref)
                 idv = t["id"].to_numpy(zero_copy_only=False)
-                if not len(w) or not len(idv):
-                    return t.slice(0, 0)
-                pos = np.clip(np.searchsorted(w, idv), 0, len(w) - 1)
-                return t.filter(pa.array(w[pos] == idv))
+                return t.filter(pa.array(_sorted_member_mask(w, idv)))
 
             sig_tab = sigs_ds.map_batches(
                 filter_ids, fn_kwargs={"ref": need_ref},
@@ -1040,8 +1048,7 @@ def _broadcast_drop_filter(ds: ray.data.Dataset, id_col: str,
         if not len(d) or not t.num_rows:
             return t
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
-        return t.filter(pa.array(d[pos] != ids))
+        return t.filter(pa.array(~_sorted_member_mask(d, ids)))
 
     return ds.map_batches(keep_batch, fn_kwargs={"ref": drop_ref},
                           batch_format="pyarrow")

@@ -365,30 +365,38 @@ def exact_quantiles_unbounded(ds: ray.data.Dataset, value_col: str,
             ws = ray.get(ref)
             v = t.column(0).to_numpy(zero_copy_only=False)
             v = v[~np.isnan(v)]
-            widx_l, val_l, cnt_l = [], [], []
+            widx_l, val_l, cnt_l, below_l = [], [], [], []
             for i, (lo, hi) in enumerate(ws):
+                # below-window row carries an explicit FLAG, not a
+                # value sentinel: real -inf data values must stay
+                # distinguishable from the marker (the domain is
+                # unbounded by contract)
                 widx_l.append(i)
-                val_l.append(-np.inf)           # below-window marker
+                val_l.append(0.0)
+                below_l.append(True)
                 cnt_l.append(int((v < lo).sum()) if lo != -np.inf else 0)
                 inw = v[(v >= lo) & (v <= hi)]
                 if len(inw):
                     u, c = np.unique(inw, return_counts=True)
                     widx_l.extend([i] * len(u))
                     val_l.extend(u.tolist())
+                    below_l.extend([False] * len(u))
                     cnt_l.extend(c.tolist())
             return pa.table({
                 "widx": pa.array(widx_l, pa.int32()),
+                "below": pa.array(below_l, pa.bool_()),
                 "value": pa.array(val_l, pa.float64()),
                 "count": pa.array(cnt_l, pa.int64())})
 
         agg = sel.map_batches(window_counts, fn_kwargs={"ref": win_ref},
                               batch_format="pyarrow").to_pandas()
-        agg = agg.groupby(["widx", "value"], as_index=False)["count"].sum()
+        agg = agg.groupby(["widx", "below", "value"],
+                          as_index=False)["count"].sum()
         out_vals, covered = [], True
         for i, r in enumerate(targets):
             g = agg[agg["widx"] == i]
-            below = int(g[np.isneginf(g["value"])]["count"].sum())
-            inw = g[~np.isneginf(g["value"])].sort_values("value")
+            below = int(g[g["below"]]["count"].sum())
+            inw = g[~g["below"]].sort_values("value")
             cum = below + inw["count"].cumsum()
             hit = inw["value"].to_numpy()[(cum >= r).to_numpy()]
             if below >= r or (not len(hit) and r > below):

@@ -812,6 +812,23 @@ class TestHeavyHitters:
                                         _initial_slack=1)
         assert got["value"].tolist() == want
 
+    def test_kll_exact_quantiles_with_infinities(self, ray_session):
+        """Real +-inf values are legal in an unbounded domain and must
+        not be conflated with the below-window marker (regression: the
+        old -inf sentinel made a quantile inside a -inf run loop
+        forever)."""
+        import ray.data
+
+        from searchenginesimple_ray.stages.sketches import \
+            exact_quantiles_unbounded
+        vals = np.array([-np.inf] * 10 + [1.0] * 25 + [2.0] * 10
+                        + [np.inf] * 5)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"value": vals})).repartition(3)
+        got = exact_quantiles_unbounded(
+            ds, "value", qs=(0.1, 0.5, 0.95), k=16, _initial_slack=2)
+        assert got["value"].tolist() == [-np.inf, 1.0, np.inf]
+
     def test_kll_sketch_rank_estimates(self):
         from searchenginesimple_ray.stages.sketches import KLLSketch
         rng = np.random.RandomState(2)
