@@ -36,6 +36,28 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROOT = "/tmp/sesr_bench"
 
 
+def _install_empty_schema_filter() -> None:
+    """Drop ONLY the streaming executor's empty-new-schema RefBundle
+    warning ("new schema: .") — Ray's AllToAll sort emits schema-less
+    empty bundles for empty partitions, which is internal noise, while
+    a warning naming a REAL (non-empty) divergent schema still prints
+    and stays visible in the bench log."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, rec: logging.LogRecord) -> bool:
+            m = rec.getMessage()
+            return not ("RefBundle with a different schema" in m
+                        and "new schema: ." in m)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
+_install_empty_schema_filter()
+
+
 def _sf_value(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:

@@ -5,7 +5,7 @@ Replaces the reference's single-threaded ``page`` entry point
 `buildDict` -> `storeOnDisk`, SURVEY §3.1) with streaming Ray Data
 stages.  Layout under ``out_dir``::
 
-    conv_bases/bases.json            global docid bases (A5)
+    conv_bases/bases.parquet         global docid bases (A5; + ceiling json)
     docs_raw/bucket=K/*.parquet      prep + simhash + term lists, per bucket
     dedup/{drop_ids,clusters}.parquet  near-dup verdicts (A3/A4)
     docs/*.parquet                   deduped doc store (S5 analogue)
@@ -39,8 +39,7 @@ import ray.data
 
 from ..config import EngineConfig
 from ..registry import resolve as registry_resolve
-from ..stages.docids import conv_bases_and_ceiling
-from ..stages.dedup import components_min_rep
+from ..stages.dedup import components_min_rep_arrays
 from ..stages.postings import (build_postings, doc_stats_from_prepped,
                                term_df_from_prepped)
 from ..stages.prep import prep_transcripts
@@ -100,6 +99,30 @@ def _bucket_ranges(files: list[str], n_buckets: int) -> list[list[str]]:
     return [list(c) for c in np.array_split(files, n_buckets) if len(c)]
 
 
+@ray.remote
+def _sum_col_task(files: list[str], col: str) -> int:
+    return sum(int(pc.sum(pq.read_table(f, columns=[col])[col]).as_py()
+                   or 0) for f in files)
+
+
+def _sum_doc_len(stats_dir: str) -> int:
+    """Corpus total ``doc_len`` over a doc_stats dir — fanned out as
+    Ray tasks (one per file group); the driver adds a handful of ints
+    instead of decoding every stats file serially."""
+    # tmp-filter on the path RELATIVE to stats_dir: the atomic-write
+    # tmp dir itself carries ".tmp-" in its name and is a valid target
+    files = [f for f in glob.glob(os.path.join(stats_dir, "**",
+                                               "*.parquet"),
+                                  recursive=True)
+             if ".tmp-" not in os.path.relpath(f, stats_dir)]
+    if not files:
+        return 0
+    groups = [list(g) for g in np.array_split(
+        np.asarray(files, object), min(len(files), 32)) if len(g)]
+    return sum(ray.get([_sum_col_task.remote(g, "doc_len")
+                        for g in groups]))
+
+
 # task-based drop filter with per-worker memo of the broadcast drop
 # array (same rationale as stages.prep._prep_batch: no actor pools for
 # trivial state => no per-job actor spawn overhead)
@@ -138,40 +161,81 @@ def index_doc_terms(index_dir: str) -> ray.data.Dataset:
     return doc_terms_from_prepped(ds)
 
 
+@ray.remote
+def _conv_meta_task(files: list[str]):
+    """Per-file-group metadata scan: (unique conv_ids, max turn_idx)
+    over the two pruned columns only."""
+    t = pq.read_table(files, columns=["conv_id", "turn_idx"])
+    conv = t["conv_id"].to_numpy(zero_copy_only=False)
+    tidx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(conv, return_inverse=True)
+    mx = np.zeros(len(uniq), dtype=np.int64)
+    np.maximum.at(mx, inv, tidx)
+    return uniq, mx
+
+
 def _conv_bases_of(input_files: list[str],
-                   start: int = 0) -> tuple[dict[str, int], int]:
-    """(conv_id -> base, ceiling) over ``input_files``, bases starting
-    at ``start`` (append point for incremental updates)."""
-    total_bytes = sum(os.path.getsize(f) for f in input_files)
-    if total_bytes <= 512 * 1024 * 1024:
-        # small input: one driver-side pruned arrow read beats a
-        # full Dataset job (saves ~6 s of job latency per build)
-        t = pq.read_table(sorted(input_files),
-                          columns=["conv_id", "turn_idx"])
-        conv = t["conv_id"].to_numpy(zero_copy_only=False)
-        tidx = t["turn_idx"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(conv, return_inverse=True)
-        mx = np.zeros(len(uniq), dtype=np.int64)
-        np.maximum.at(mx, inv, tidx.astype(np.int64))
-        sizes = mx + 1
-        off = np.concatenate([[0], np.cumsum(sizes)[:-1]]) + start
-        return dict(zip(uniq.tolist(), off.tolist())), start + int(sizes.sum())
-    ds = _read_parquet(sorted(input_files),
-                       columns=["conv_id", "turn_idx"])
-    bases, ceiling = conv_bases_and_ceiling(ds)
-    if start:
-        bases = {c: b + start for c, b in bases.items()}
-    return bases, ceiling + start
+                   start: int = 0
+                   ) -> tuple[np.ndarray, np.ndarray, int]:
+    """(sorted conv_id array, base array, ceiling) over
+    ``input_files``, bases starting at ``start`` (append point for
+    incremental updates).
+
+    The row scan fans out as one Ray task per file group — the driver
+    only merges per-group (conv, max_turn) summaries (one row per
+    conversation, ~10x smaller than turns), so its serial share stays
+    flat as the corpus grows.  The former driver-side whole-corpus
+    read cost ~5 s of serial time per 2.4M turns."""
+    files = sorted(input_files)
+    if not files:
+        return (np.empty(0, object), np.empty(0, np.int64), start)
+    n_groups = min(len(files), 64)
+    refs = [_conv_meta_task.remote(list(g))
+            for g in np.array_split(np.asarray(files, object), n_groups)
+            if len(g)]
+    parts = ray.get(refs)
+    conv = np.concatenate([p[0] for p in parts])
+    mx = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(conv, return_inverse=True)
+    m2 = np.zeros(len(uniq), dtype=np.int64)
+    np.maximum.at(m2, inv, mx)
+    sizes = m2 + 1
+    off = np.concatenate([[0], np.cumsum(sizes)[:-1]]) + start
+    return uniq, off.astype(np.int64), start + int(sizes.sum())
 
 
-def _load_bases(bases_dir: str) -> tuple[dict[str, int], int | None]:
-    """Read bases.json in either format (pre-append builds stored the
-    flat dict with no ceiling; ceiling None => append unsupported)."""
+def _write_bases_files(dst_dir: str, conv: np.ndarray, base: np.ndarray,
+                       ceiling: int) -> None:
+    """bases.parquet (conv_id, base) + a tiny bases.json carrying the
+    ceiling.  The former single-json format serialized one dict entry
+    per conversation (~2 s of driver time per 240k convs)."""
+    pq.write_table(
+        pa.table({"conv_id": pa.array(conv.tolist(), pa.string()),
+                  "base": pa.array(base, pa.int64())}),
+        os.path.join(dst_dir, "bases.parquet"))
+    with open(os.path.join(dst_dir, "bases.json"), "w") as f:
+        json.dump({"ceiling": int(ceiling), "format": 2}, f)
+
+
+def _load_bases(bases_dir: str
+                ) -> tuple[np.ndarray, np.ndarray, int | None]:
+    """(sorted conv array, base array, ceiling) in any historical
+    format: format-2 parquet, the dict-with-ceiling json, or the
+    pre-append flat-dict json (ceiling None => append unsupported)."""
     with open(os.path.join(bases_dir, "bases.json")) as f:
         obj = json.load(f)
+    if isinstance(obj, dict) and obj.get("format") == 2:
+        t = pq.read_table(os.path.join(bases_dir, "bases.parquet"))
+        return (t["conv_id"].to_numpy(zero_copy_only=False),
+                t["base"].to_numpy(zero_copy_only=False).astype(np.int64),
+                int(obj["ceiling"]))
     if isinstance(obj, dict) and "bases" in obj and "ceiling" in obj:
-        return obj["bases"], int(obj["ceiling"])
-    return obj, None
+        d, ceiling = obj["bases"], int(obj["ceiling"])
+    else:
+        d, ceiling = obj, None
+    conv = np.array(sorted(d), dtype=object)
+    base = np.array([d[c] for c in conv], dtype=np.int64)
+    return conv, base, ceiling
 
 
 def _stage_runner(res: BuildResult, in_fp: str, cfg_fp: str):
@@ -245,14 +309,13 @@ def build_index(input_files: list[str], out_dir: str,
     bases_dir = os.path.join(out_dir, "conv_bases")
 
     def compute_bases(tmp):
-        bases, ceiling = _conv_bases_of(input_files)
-        with open(os.path.join(tmp, "bases.json"), "w") as f:
-            json.dump({"bases": bases, "ceiling": ceiling}, f)
-        return len(bases), {}
+        conv, base, ceiling = _conv_bases_of(input_files)
+        _write_bases_files(tmp, conv, base, ceiling)
+        return len(conv), {}
 
     run_or_skip("conv_bases", "global", bases_dir, compute_bases)
-    bases, _ = _load_bases(bases_dir)
-    bases_ref = ray.put(bases)
+    conv, base, _ = _load_bases(bases_dir)
+    bases_ref = ray.put((conv, base))
 
     # ---- stage 1: per-bucket doc prep + simhash (M8, A5, T1/T2) --------
     # buckets are independent -> submit their (small) Dataset jobs from a
@@ -337,19 +400,23 @@ def _dedup_stage(out_dir: str, cfg: EngineConfig, res: BuildResult,
                 comp = components_min_label_distributed(
                     ray.data.from_arrow(
                         pa.Table.from_pandas(edges, preserve_index=False)))
-                rep = dict(zip(comp["id"].astype(int),
-                               comp["rep_id"].astype(int)))
-                rep = {k: v for k, v in rep.items() if k != v}
+                ids = comp["id"].to_numpy().astype(np.int64)
+                reps = comp["rep_id"].to_numpy().astype(np.int64)
+                m = ids != reps
+                o = np.argsort(ids[m], kind="stable")
+                ids, reps = ids[m][o], reps[m][o]
+            elif len(edges):
+                ids, reps = components_min_rep_arrays(edges)
             else:
-                rep = components_min_rep(edges) if len(edges) else {}
+                ids = reps = np.empty(0, np.int64)
             subs["unionfind_sec"] = round(_t.perf_counter() - t0, 2)
         else:
-            rep = {}
-        drop = np.array(sorted(d for d, r in rep.items() if d != r),
-                        dtype=np.int64)
+            ids = reps = np.empty(0, np.int64)
+        n_clusters = len(np.unique(reps))
+        drop = ids                       # sorted, reps excluded by spec
         pq.write_table(pa.table({"doc_id": drop}),
                        os.path.join(tmp, "drop_ids.parquet"))
-        cl = pd.DataFrame(sorted(rep.items()), columns=["doc_id", "rep_id"])
+        cl = pd.DataFrame({"doc_id": ids, "rep_id": reps})
         pq.write_table(pa.Table.from_pandas(cl, preserve_index=False),
                        os.path.join(tmp, "clusters.parquet"))
         if (cfg.dedup_enabled and cfg.dedup_key_index
@@ -365,7 +432,7 @@ def _dedup_stage(out_dir: str, cfg: EngineConfig, res: BuildResult,
                 _pq_files(os.path.join(out_dir, "docs_raw")))
             write_band_key_runs(cons, cfg.hamming_threshold,
                                 os.path.join(tmp, "keys"), "run-full")
-        return len(drop), {"n_clusters": len(set(rep.values())), **subs}
+        return len(drop), {"n_clusters": int(n_clusters), **subs}
 
     m = run_or_skip("dedup", "global", dedup_dir, fn=dedup,
                     deps=list(raw_deps))
@@ -573,8 +640,10 @@ def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
 
     res.n_docs = m_docs["row_count"]
     res.n_terms = m["row_count"]
-    df_pdf = pq.read_table(os.path.join(df_dir, "term_df.parquet")).to_pandas()
-    df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
+    df_tab = pq.read_table(os.path.join(df_dir, "term_df.parquet"))
+    df_map = (df_tab["term"].to_numpy(zero_copy_only=False),
+              df_tab["df"].to_numpy(zero_copy_only=False)
+              .astype(np.int64))   # sorted-array pair, not a dict
 
     # ---- stage 5: doc_stats (doc_len, ref L2 norm — G4) ----------------
     stats_dir = os.path.join(out_dir, "doc_stats")
@@ -584,7 +653,9 @@ def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
                                     n_docs=res.n_docs,
                                     num_doc_shards=cfg.num_doc_shards)
         st.write_parquet(tmp, partition_cols=["doc_shard"])
-        return _count_rows(tmp), {}
+        # total doc_len rides in the manifest so meta never re-scans
+        # the stats files on the driver
+        return _count_rows(tmp), {"tot_len": _sum_doc_len(tmp)}
 
     stats_deps = df_deps + ["term_df/global"]
 
@@ -613,17 +684,16 @@ def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
                                 stats_dir, mk_stats, stats_deps)
         fut_post = pool.submit(run_or_skip, "postings", "global",
                                postings_dir, mk_postings, stats_deps)
-        n_stats = fut_stats.result()["row_count"]
+        m_stats = fut_stats.result()
+        n_stats = m_stats["row_count"]
         m = fut_post.result()
     res.n_posting_rows = m["row_count"]
     res.metrics["postings/per_shard"] = m["extra"].get("per_shard_rows", {})
 
     # ---- meta ----------------------------------------------------------
-    stats_files = _pq_files(stats_dir)
-    tot_len = 0
-    for f in stats_files:
-        t = pq.read_table(f, columns=["doc_len"])
-        tot_len += int(pc.sum(t["doc_len"]).as_py() or 0)
+    tot_len = m_stats.get("extra", {}).get("tot_len")
+    if tot_len is None:   # stage sealed by a pre-round-3 build
+        tot_len = _sum_doc_len(stats_dir)
     res.avgdl = (tot_len / n_stats) if n_stats else 0.0
     meta = {
         "n_docs": res.n_docs, "n_docs_raw": res.n_docs_raw,
@@ -700,26 +770,27 @@ def append_index(new_files: list[str], index_dir: str,
     lineage.gc_tmp_dirs(index_dir)
 
     bases_dir = os.path.join(index_dir, "conv_bases")
-    old_bases, ceiling = _load_bases(bases_dir)
+    old_conv, old_base, ceiling = _load_bases(bases_dir)
     if ceiling is None:
         raise ValueError(
             "index predates append support (bases.json has no docid "
             "ceiling); rebuild once with the current engine")
     new_files = sorted(new_files)
-    new_bases, new_ceiling = _conv_bases_of(new_files, start=ceiling)
-    overlap = sorted(set(new_bases) & set(old_bases))
-    if overlap and len(overlap) < len(new_bases):
+    new_conv, new_base, new_ceiling = _conv_bases_of(new_files,
+                                                     start=ceiling)
+    overlap = np.intersect1d(new_conv, old_conv)
+    if len(overlap) and len(overlap) < len(new_conv):
         raise ValueError(
             f"append supports new conversations only; {len(overlap)} "
-            f"of {len(new_bases)} conv_ids already indexed "
-            f"(e.g. {overlap[:3]})")
+            f"of {len(new_conv)} conv_ids already indexed "
+            f"(e.g. {overlap[:3].tolist()})")
 
     app_fp = lineage.input_fingerprint(new_files)
     if meta["input_fingerprint"].endswith("+" + app_fp):
         in_fp = meta["input_fingerprint"]      # idempotent re-append
     else:
         in_fp = meta["input_fingerprint"] + "+" + app_fp
-    if overlap:
+    if len(overlap):
         # every conv already has a base — legitimate only as a RESUME
         # of THIS exact append (same input fingerprint), detected via
         # the completed meta or the conv_bases seal of a killed run.
@@ -731,13 +802,16 @@ def append_index(new_files: list[str], index_dir: str,
         completed = meta["input_fingerprint"].endswith("+" + app_fp)
         if not (started or completed):
             raise ValueError(
-                f"all {len(new_bases)} conv_ids are already indexed "
+                f"all {len(new_conv)} conv_ids are already indexed "
                 "but the input fingerprint differs from any prior "
                 "append of them — re-appending modified files would "
                 "duplicate documents; build a fresh index instead")
-        merged, new_ceiling = dict(old_bases), ceiling
+        m_conv, m_base, new_ceiling = old_conv, old_base, ceiling
     else:
-        merged = {**old_bases, **new_bases}
+        cat = np.concatenate([old_conv, new_conv])
+        o = np.argsort(cat, kind="stable")
+        m_conv = cat[o]
+        m_base = np.concatenate([old_base, new_base])[o]
     res = BuildResult(out_dir=index_dir)
     run_or_skip = _stage_runner(res, in_fp, cfg_fp)
 
@@ -745,12 +819,11 @@ def append_index(new_files: list[str], index_dir: str,
     # so a stale full build over the original file list recomputes
     # instead of silently reading the merged map)
     def write_bases(tmp):
-        with open(os.path.join(tmp, "bases.json"), "w") as f:
-            json.dump({"bases": merged, "ceiling": new_ceiling}, f)
-        return len(merged), {"appended_convs": len(new_bases)}
+        _write_bases_files(tmp, m_conv, m_base, new_ceiling)
+        return len(m_conv), {"appended_convs": len(new_conv)}
 
     run_or_skip("conv_bases", "global", bases_dir, write_bases)
-    bases_ref = ray.put(merged)
+    bases_ref = ray.put((m_conv, m_base))
 
     # stage 1': prep ONLY the new files, namespaced buckets
     from concurrent.futures import ThreadPoolExecutor
@@ -885,9 +958,18 @@ def append_index(new_files: list[str], index_dir: str,
         else:
             import pandas as pd
             new_df = term_df_from_prepped(new_prepped_ds())
-            merged_df = pd.concat([old_df, new_df]) \
-                .groupby("term", as_index=False)["df"].sum() \
-                .sort_values("term").reset_index(drop=True)
+            # arrow-native merge (C++ hash agg + sort): the pandas
+            # groupby here was vocab-proportional driver serial time
+            agg = pa.concat_tables([
+                pa.Table.from_pandas(old_df, preserve_index=False),
+                pa.Table.from_pandas(new_df, preserve_index=False)],
+                promote_options="default") \
+                .group_by("term").aggregate([("df", "sum")]) \
+                .sort_by("term")
+            merged_df = pd.DataFrame({
+                "term": agg["term"].to_numpy(zero_copy_only=False),
+                "df": agg["df_sum"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)})
             applied = applied + [app_fp]
         pq.write_table(pa.Table.from_pandas(merged_df,
                                             preserve_index=False),
@@ -899,9 +981,10 @@ def append_index(new_files: list[str], index_dir: str,
     m = run_or_skip("term_df", "global", df_dir, mk_df_merged,
                     deps=dedup_dep)
     res.n_terms = m["row_count"]
-    df_pdf = pq.read_table(
-        os.path.join(df_dir, "term_df.parquet")).to_pandas()
-    df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(int)))
+    df_tab = pq.read_table(os.path.join(df_dir, "term_df.parquet"))
+    df_map = (df_tab["term"].to_numpy(zero_copy_only=False),
+              df_tab["df"].to_numpy(zero_copy_only=False)
+              .astype(np.int64))
 
     # stage 5': doc_stats — the ONE corpus-proportional recompute: the
     # reference L2 norm is IDF-weighted, and appending changes df/N for
@@ -915,7 +998,7 @@ def append_index(new_files: list[str], index_dir: str,
                                     n_docs=res.n_docs,
                                     num_doc_shards=cfg.num_doc_shards)
         st.write_parquet(tmp, partition_cols=["doc_shard"])
-        return _count_rows(tmp), {}
+        return _count_rows(tmp), {"tot_len": _sum_doc_len(tmp)}
 
     stats_deps = dedup_dep + ["term_df/global"]
 
@@ -946,15 +1029,15 @@ def append_index(new_files: list[str], index_dir: str,
                                 stats_dir, mk_stats, stats_deps)
         fut_post = pool.submit(run_or_skip, "postings_append", tag,
                                post_marker, postings_append, stats_deps)
-        n_stats = fut_stats.result()["row_count"]
+        m_stats = fut_stats.result()
+        n_stats = m_stats["row_count"]
         m = fut_post.result()
     res.n_posting_rows = m["row_count"]
 
     # ---- meta ------------------------------------------------------
-    tot_len = 0
-    for f in _pq_files(stats_dir):
-        t = pq.read_table(f, columns=["doc_len"])
-        tot_len += int(pc.sum(t["doc_len"]).as_py() or 0)
+    tot_len = m_stats.get("extra", {}).get("tot_len")
+    if tot_len is None:
+        tot_len = _sum_doc_len(stats_dir)
     res.avgdl = (tot_len / n_stats) if n_stats else 0.0
     meta_out = {
         "n_docs": res.n_docs, "n_docs_raw": res.n_docs_raw,

@@ -86,22 +86,68 @@ def term_df_from_prepped(prepped: ray.data.Dataset,
         .map_batches(partial, batch_format="pyarrow") \
         .repartition(combine_partitions) \
         .map_batches(combine, batch_format="pyarrow")
-    pdf = parts.to_pandas()
-    out = pdf.groupby("term", sort=True)["partial_df"].sum().reset_index()
-    out.columns = ["term", "df"]
-    return out
+    # final merge stays arrow-native (C++ hash agg + sort): the former
+    # pandas groupby over combine_partitions x vocab rows cost ~1.5 s
+    # of driver serial time per 2.4M-turn build
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype=np.int64)})
+    agg = pa.concat_tables(tabs, promote_options="default") \
+        .group_by("term").aggregate([("partial_df", "sum")]) \
+        .sort_by("term")
+    return pd.DataFrame({
+        "term": agg["term"].to_numpy(zero_copy_only=False),
+        "df": agg["partial_df_sum"].to_numpy(zero_copy_only=False)
+        .astype(np.int64)})
 
 
-def doc_stats_from_prepped(prepped: ray.data.Dataset, df_map: dict[str, int],
+def _df_arrays(df_map) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize a df table to ``(sorted term array, df array)`` —
+    accepts the array pair directly (preferred: no vocab-size Python
+    loop, ~10x cheaper through the object store) or a legacy dict."""
+    if isinstance(df_map, tuple):
+        return (np.asarray(df_map[0], dtype=object),
+                np.asarray(df_map[1]).astype(np.int64, copy=False))
+    vocab = np.array(sorted(df_map), dtype=object)
+    return vocab, np.fromiter((df_map[t] for t in vocab), np.int64,
+                              len(vocab))
+
+
+def _vocab_lookup(vocab: np.ndarray, uniq_terms: np.ndarray,
+                  missing_ok: bool = False
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, found-mask) of ``uniq_terms`` in the SORTED vocab
+    array — one vectorized searchsorted instead of per-term dict hits.
+    With ``missing_ok=False`` a miss raises (postings stamp: every
+    term was counted into the df table by construction)."""
+    u = np.asarray(uniq_terms, dtype=object)
+    if not len(u):
+        return np.empty(0, np.int64), np.empty(0, bool)
+    if not len(vocab):
+        if missing_ok:
+            return np.zeros(len(u), np.int64), np.zeros(len(u), bool)
+        raise KeyError("vocabulary is empty but terms were stamped")
+    pos = np.clip(np.searchsorted(vocab, u), 0, len(vocab) - 1)
+    found = vocab[pos] == u
+    if not missing_ok and not found.all():
+        miss = u[~found]
+        raise KeyError(f"{len(miss)} term(s) missing from vocabulary "
+                       f"(e.g. {miss[:3].tolist()})")
+    return pos.astype(np.int64), found
+
+
+def doc_stats_from_prepped(prepped: ray.data.Dataset, df_map,
                            n_docs: int,
                            num_doc_shards: int = 8) -> ray.data.Dataset:
     """doc_stats WITHOUT a shuffle: every doc's terms live in ONE list
     row, so the G4 norm is a per-row reduction (``np.add.reduceat`` at
     the list offsets) — the explode + ``groupby(doc_id)`` re-aggregation
     the exploded layout forced was pure exchange overhead.
+    ``df_map`` may be a dict or a ``(sorted terms, dfs)`` array pair.
     """
     assert n_docs > 0, "doc_stats called with n_docs=0"
-    df_ref = ray.put(df_map)
+    df_ref = ray.put(_df_arrays(df_map))
     n_docs_f = float(n_docs)
     _cache: dict = {}
 
@@ -109,10 +155,10 @@ def doc_stats_from_prepped(prepped: ray.data.Dataset, df_map: dict[str, int],
         key = ref.hex()
         state = _cache.get(key)
         if state is None:
-            state = {"df": ray.get(ref), "idf": {}}
+            state = ray.get(ref)
             _cache.clear()
             _cache[key] = state
-        df, idf_cache = state["df"], state["idf"]
+        vocab_w, dfv_w = state
         terms = batch["terms"]
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
@@ -122,14 +168,10 @@ def doc_stats_from_prepped(prepped: ray.data.Dataset, df_map: dict[str, int],
         import pyarrow.compute as pc
         flat = terms.flatten()
         denc = flat.dictionary_encode()
-        uniq = denc.dictionary.to_pylist()
-        idf_u = np.empty(len(uniq))
-        for i, t in enumerate(uniq):
-            v = idf_cache.get(t)
-            if v is None:
-                v = np.log2(n_docs_f / (df.get(t, 0) + 1.0))
-                idf_cache[t] = v
-            idf_u[i] = v
+        uniq = denc.dictionary.to_numpy(zero_copy_only=False)
+        pos, found = _vocab_lookup(vocab_w, uniq, missing_ok=True)
+        df_u = np.where(found, dfv_w[pos] if len(dfv_w) else 0, 0)
+        idf_u = np.log2(n_docs_f / (df_u + 1.0))
         idx = denc.indices.to_numpy(zero_copy_only=False)
         tf_flat = tfs.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.float64)
@@ -171,16 +213,15 @@ class StampShards:
 
     def __init__(self, vocab_ref, num_doc_shards: int):
         v = ray.get(vocab_ref) if not isinstance(vocab_ref, tuple) else vocab_ref
-        self.id_map, self.tshard_arr, self.nsalt_arr = v
+        self.vocab, self.tshard_arr, self.nsalt_arr = v
         self.D = num_doc_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms = batch["term"].to_numpy(zero_copy_only=False)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(terms, return_inverse=True)
-        id_map = self.id_map
-        uids = np.fromiter((id_map[u] for u in uniq), np.int64, len(uniq))
-        tid = uids[inv]
+        uids, _ = _vocab_lookup(self.vocab, uniq)
+        tid = uids[inv] if len(uniq) else np.empty(0, np.int64)
         dshard = (doc_ids % self.D).astype(np.int32)
         nsalts = self.nsalt_arr[tid]
         salt = np.where(nsalts > 1,
@@ -214,15 +255,13 @@ def build_postings(doc_terms: ray.data.Dataset,
     count live in broadcast numpy arrays gathered back on the group
     side, so the exchange carries no strings and no per-row df.
     """
-    vocab = np.array(sorted(df_map), dtype=object)
-    df_arr = np.fromiter((df_map[t] for t in vocab), np.int64, len(vocab))
+    vocab, df_arr = _df_arrays(df_map)
     nsalt_arr = np.maximum(
         np.ceil(df_arr / num_doc_shards / hot_term_df_threshold)
         .astype(np.int64), 1)
     tshard_arr = fnv1a32_array(vocab, num_term_shards) if len(vocab) \
         else np.empty(0, np.int32)
-    id_map = {t: i for i, t in enumerate(vocab)}
-    stamp_ref = ray.put((id_map, tshard_arr, nsalt_arr))
+    stamp_ref = ray.put((vocab, tshard_arr, nsalt_arr))
     group_ref = ray.put((vocab, df_arr))
 
     _stamp_cache: dict = {}
@@ -250,7 +289,7 @@ def build_postings(doc_terms: ray.data.Dataset,
                 st = ray.get(ref)
                 _stamp_cache.clear()
                 _stamp_cache[key] = st
-            id_map_w, tshard_w, nsalt_w = st
+            vocab_w, tshard_w, nsalt_w = st
             terms = batch["terms"]
             if isinstance(terms, pa.ChunkedArray):
                 terms = terms.combine_chunks()
@@ -262,10 +301,10 @@ def build_postings(doc_terms: ray.data.Dataset,
             doc_ids = np.repeat(
                 batch["doc_id"].to_numpy(zero_copy_only=False), lens)
             denc = terms.flatten().dictionary_encode()
-            uniq = denc.dictionary.to_pylist()
-            uids = np.fromiter((id_map_w[u] for u in uniq), np.int64,
-                               len(uniq))
-            tid = uids[denc.indices.to_numpy(zero_copy_only=False)]
+            uniq = denc.dictionary.to_numpy(zero_copy_only=False)
+            uids, _ = _vocab_lookup(vocab_w, uniq)
+            tid = uids[denc.indices.to_numpy(zero_copy_only=False)] \
+                if len(uniq) else np.empty(0, np.int64)
             nsalts = nsalt_w[tid]
             salt = np.where(nsalts > 1,
                             (doc_ids // num_doc_shards)

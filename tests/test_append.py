@@ -182,9 +182,10 @@ class TestAppendDedupAndGuards:
             ["doc_id"].to_pylist())
         # the old duplicate's doc is still indexed; the appended twin
         # was dropped (its id is in the append range, above ceiling)
-        bases = json.load(open(os.path.join(d, "conv_bases",
-                                            "bases.json")))
-        first_new_id = min(b for c, b in bases["bases"].items()
+        from searchenginesimple_ray.pipelines.index_build import \
+            _load_bases
+        conv, base, _ = _load_bases(os.path.join(d, "conv_bases"))
+        first_new_id = min(b for c, b in zip(conv, base)
                            if c.startswith("convb"))
         new_drops = drops - old_drops
         assert new_drops and all(i >= first_new_id for i in new_drops)
