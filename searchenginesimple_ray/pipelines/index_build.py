@@ -624,7 +624,17 @@ def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
     df_deps = all_raw_deps + ["dedup/global"]
 
     def mk_df(tmp):
-        df_pdf = term_df_from_prepped(prepped_ds())
+        # slim read: term_df needs only the drop-filter columns + terms
+        # (doc_len/tfs ride along in prepped_ds for the other consumers)
+        def slim_prepped():
+            ds = _read_parquet(
+                _pq_files(os.path.join(out_dir, "docs_raw")),
+                columns=["doc_id", "simhash", "terms"])
+            return ds.map_batches(apply_drop,
+                                  fn_kwargs={"drop_ref": drop_ref},
+                                  batch_format="pyarrow")
+
+        df_pdf = term_df_from_prepped(slim_prepped())
         pq.write_table(pa.Table.from_pandas(df_pdf, preserve_index=False),
                        os.path.join(tmp, "term_df.parquet"))
         return len(df_pdf), {}
@@ -957,7 +967,13 @@ def append_index(new_files: list[str], index_dir: str,
             merged_df = old_df          # crash-window replay: no-op
         else:
             import pandas as pd
-            new_df = term_df_from_prepped(new_prepped_ds())
+            def slim_new_prepped():
+                ds = _read_parquet(app_files,
+                                   columns=["doc_id", "simhash", "terms"])
+                return ds.map_batches(apply_drop,
+                                      fn_kwargs={"drop_ref": drop_ref},
+                                      batch_format="pyarrow")
+            new_df = term_df_from_prepped(slim_new_prepped())
             # arrow-native merge (C++ hash agg + sort): the pandas
             # groupby here was vocab-proportional driver serial time
             agg = pa.concat_tables([
