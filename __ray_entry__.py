@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (stages/sampling.py)
         "hash_split": d.q_hash_split,
         "source_quota": d.q_source_quota,
+        # substring-level dup spans (windowed suffix-dedup; stages/spans.py)
+        "dup_spans": d.q_dup_spans,
+        # concat-and-chunk sequence packing map (stages/packing.py)
+        "pack_sequences": d.q_pack_sequences,
     }
 
 
@@ -1062,5 +1066,42 @@ SELECT doc_id, source FROM (
                       doc_id) AS rn
   FROM documents)
 WHERE rn <= 10
+""",
+        # 40-char windows at stride 10 (0-based pos; substr is 1-based),
+        # dup = exact window text in >= 2 distinct docs
+        "dup_spans": r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(generate_series(0, length(text) - 40, 10)) AS pos,
+         text
+  FROM documents WHERE length(text) >= 40
+), ws AS (
+  SELECT doc_id, pos, substr(text, pos + 1, 40) AS win FROM w
+), dup AS (
+  SELECT win FROM ws GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT ws.doc_id, CAST(ws.pos AS BIGINT) AS pos
+FROM ws JOIN dup USING (win)
+ORDER BY doc_id, pos
+""",
+        # concat-and-chunk packing: docs in doc_id order, 256-token
+        # sequences; start_offset = exclusive running sum of n_tokens
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_offset
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 256 AS start_seq,
+       (start_offset + n_tokens - 1) // 256 AS end_seq
+FROM c ORDER BY doc_id
 """,
     }

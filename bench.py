@@ -153,6 +153,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("source_quota", d.q_source_quota),
                      ("distinct_tokens", d.q_distinct_tokens),
                      ("source_top_docs", d.q_source_top_docs),
+                     ("dup_spans", d.q_dup_spans),
+                     ("pack_sequences", d.q_pack_sequences),
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),

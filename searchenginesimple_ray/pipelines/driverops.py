@@ -843,6 +843,36 @@ def q_source_quota(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+DUP_SPAN_WINDOW = 40
+DUP_SPAN_STRIDE = 10
+
+
+def q_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, pos): substring-level duplicate spans — every 40-char
+    window (stride 10, 0-based char offsets) whose exact text occurs in
+    >= 2 distinct documents (windowed form of suffix-array substring
+    dedup; hash-grouped candidates, exact text verify)."""
+    from ..stages.spans import dup_spans
+    pdf = dup_spans(_read_documents(sf_dir).select_columns(
+        ["doc_id", "text"]), window=DUP_SPAN_WINDOW,
+        stride=DUP_SPAN_STRIDE).to_pandas()
+    return pdf.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+PACK_SEQ_LEN = 256
+
+
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens, start_offset, start_seq, end_seq):
+    concat-and-chunk sequence packing map — docs in doc_id order packed
+    into 256-token training windows (two-level prefix sums, the A5
+    docid-assignment shape)."""
+    from ..stages.packing import pack_sequences
+    pdf = pack_sequences(_read_documents(sf_dir),
+                         seq_len=PACK_SEQ_LEN).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)
