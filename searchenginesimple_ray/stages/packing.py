@@ -49,12 +49,16 @@ def pack_sequences(ds: ray.data.Dataset, seq_len: int = 256,
     slim = ds.select_columns([id_col, text_col]) \
         .map_batches(count_tokens, batch_format="pyarrow").materialize()
 
+    try:
+        id_type = ds.schema().base_schema.field(id_col).type
+    except AttributeError:
+        id_type = pa.int64()
     from ray.data.aggregate import Max, Min
     mm = slim.aggregate(Min(id_col), Max(id_col)) or {}
     lo, hi = mm.get(f"min({id_col})"), mm.get(f"max({id_col})")
     if lo is None:        # empty input
         return ray.data.from_arrow(pa.table(
-            {id_col: pa.array([], pa.int64()),
+            {id_col: pa.array([], id_type),
              "n_tokens": pa.array([], pa.int64()),
              "start_offset": pa.array([], pa.int64()),
              "start_seq": pa.array([], pa.int64()),
@@ -68,13 +72,22 @@ def pack_sequences(ds: ray.data.Dataset, seq_len: int = 256,
     bucketed = slim.map_batches(add_bucket, batch_format="pyarrow") \
         .materialize()
 
-    # driver prefix over n_buckets totals (constant-size, like
-    # conv_bases' per-conversation prefix sums)
-    sums = bucketed.groupby("bucket").sum("n_tokens").to_pandas()
-    col = [c for c in sums.columns if c != "bucket"][0]
+    # driver prefix over n_buckets totals: per-batch PARTIAL sums
+    # (<= n_buckets rows per block, no exchange at all — the
+    # stages/docids.py conv_bases shape), merged with np.add.at
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        s = np.zeros(n_buckets, np.int64)
+        np.add.at(s, b, t["n_tokens"].to_numpy(zero_copy_only=False))
+        nz = np.flatnonzero(s)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "partial": pa.array(s[nz], pa.int64())})
+
+    parts = bucketed.map_batches(bucket_partials,
+                                 batch_format="pyarrow").to_pandas()
     totals = np.zeros(n_buckets + 1, np.int64)
-    totals[sums["bucket"].to_numpy(dtype=np.int64)] = \
-        sums[col].to_numpy(dtype=np.int64)
+    np.add.at(totals, parts["bucket"].to_numpy(dtype=np.int64),
+              parts["partial"].to_numpy(dtype=np.int64))
     bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
 
     def pack_group(g: pd.DataFrame) -> pd.DataFrame:

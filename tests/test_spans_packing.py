@@ -91,6 +91,32 @@ class TestDupSpans:
             "text": pa.array([None, "tiny"], pa.string())}))
         assert len(dup_spans(ds, window=20, stride=5).to_pandas()) == 0
 
+    def test_string_ids(self, ray_session):
+        # non-integer id column: batches whose candidate filter leaves
+        # zero rows must still emit a string-typed id column (schema
+        # stability across blocks)
+        from searchenginesimple_ray.stages.spans import dup_spans
+        shared = "0123456789abcdefghij"        # 20 chars
+        rows = [("u1", "xx " + shared), ("u2", shared + " yy"),
+                ("u3", "no overlap in this one at all truly")]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string())}))
+        got = dup_spans(ds, window=20, stride=1, id_col="doc_id") \
+            .to_pandas().sort_values(["doc_id", "pos"])
+        assert list(map(tuple, got[["doc_id", "pos"]].values)) == \
+            [("u1", 3), ("u2", 0)]
+
+    def test_unicode_positions(self, ray_session):
+        # pos is a CHARACTER offset (utf-32 kernel), matching SQL substr
+        from searchenginesimple_ray.stages.spans import dup_spans
+        shared = "搜索引擎测试" * 4              # 24 CJK chars
+        rows = [(1, "前缀" + shared), (2, shared + "后缀")]
+        got = dup_spans(_docs_ds(rows), window=20, stride=1) \
+            .to_pandas().sort_values(["doc_id", "pos"])
+        want = _brute_dup_spans(rows, window=20, stride=1)
+        assert list(map(tuple, got[["doc_id", "pos"]].values)) == want
+
 
 def _brute_pack(rows, seq_len):
     import re
