@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": d.q_dup_spans,
         # concat-and-chunk sequence packing map (stages/packing.py)
         "pack_sequences": d.q_pack_sequences,
+        # Gopher-rule quality filter (stages/textstages.gopher_quality)
+        "gopher_quality_keep": d.q_gopher_quality_keep,
+        # deterministic seeded global training order (stages/sampling)
+        "global_shuffle": d.q_global_shuffle,
     }
 
 
@@ -1103,5 +1107,82 @@ SELECT doc_id, n_tokens, start_offset,
        start_offset // 256 AS start_seq,
        (start_offset + n_tokens - 1) // 256 AS end_seq
 FROM c ORDER BY doc_id
+""",
+        # Gopher table-A1 rules, word-level integer-exact form over
+        # lowercased whitespace tokens; bit i of rule_bits = rule i
+        # failed (see stages/textstages.GOPHER_RULES)
+        "gopher_quality_keep": f"""
+WITH doc AS (
+  SELECT doc_id, lower(text) AS text FROM documents
+), tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+  FROM doc
+),
+big AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM tok WHERE len(toks) >= 2)
+),
+bigc AS (
+  SELECT doc_id, max(c) AS mx
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+  FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' '
+                       || toks[i + 2] AS g
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM tok WHERE len(toks) >= 3))
+  GROUP BY doc_id
+),
+stopd AS (
+  SELECT doc_id, count(DISTINCT t) AS ns
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) u
+  WHERE u.t IN ({_stoplist_sql()}) GROUP BY doc_id
+),
+base AS (
+  SELECT t.doc_id,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(d.text, '\\s', '', 'g'))
+              AS BIGINT) AS word_chars,
+         CAST(coalesce(s.ns, 0) AS BIGINT) AS n_stop_distinct,
+         CAST(coalesce(bigc.mx, 0) AS BIGINT) AS top_bigram_count,
+         CAST(coalesce(tri.total - tri.dist, 0) AS BIGINT)
+             AS n_dup_trigrams
+  FROM tok t
+  JOIN doc d ON d.doc_id = t.doc_id
+  LEFT JOIN bigc ON bigc.doc_id = t.doc_id
+  LEFT JOIN tri ON tri.doc_id = t.doc_id
+  LEFT JOIN stopd s ON s.doc_id = t.doc_id
+), bits AS (
+  SELECT *,
+         CAST(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END
+            + CASE WHEN n_tokens > 100000 THEN 2 ELSE 0 END
+            + CASE WHEN word_chars < 3 * n_tokens THEN 4 ELSE 0 END
+            + CASE WHEN word_chars > 10 * n_tokens THEN 8 ELSE 0 END
+            + CASE WHEN n_stop_distinct < 2 THEN 16 ELSE 0 END
+            + CASE WHEN 100 * top_bigram_count >
+                   20 * greatest(n_tokens - 1, 0) THEN 32 ELSE 0 END
+            + CASE WHEN 100 * n_dup_trigrams >
+                   30 * greatest(n_tokens - 2, 0) THEN 64 ELSE 0 END
+           AS BIGINT) AS rule_bits
+  FROM base
+)
+SELECT doc_id, n_tokens, word_chars, n_stop_distinct,
+       top_bigram_count, n_dup_trigrams, rule_bits,
+       CAST(CASE WHEN rule_bits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM bits ORDER BY doc_id
+""",
+        # rank under (knuth-multiplicative hash(doc_id + seed), doc_id)
+        # — identical int64 arithmetic to stages/sampling.hash_u32
+        "global_shuffle": """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY ((doc_id + 17) % 2147483648) * 2654435761
+                    % 4294967296,
+                    doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents ORDER BY doc_id
 """,
     }

@@ -155,6 +155,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("source_top_docs", d.q_source_top_docs),
                      ("dup_spans", d.q_dup_spans),
                      ("pack_sequences", d.q_pack_sequences),
+                     ("gopher_quality_keep", d.q_gopher_quality_keep),
+                     ("global_shuffle", d.q_global_shuffle),
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),

@@ -873,6 +873,36 @@ def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+GOPHER_MIN_TOKENS = 30
+
+
+def q_gopher_quality_keep(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens, word_chars, n_stop_distinct,
+    top_bigram_count, n_dup_trigrams, rule_bits, keep): Gopher-rule
+    quality verdicts (Rae et al. 2021 table A1, word-level
+    integer-exact form) — the end-to-end quality FILTER a pretraining
+    pipeline runs before tokenization."""
+    from ..stages.textstages import gopher_quality
+    pdf = gopher_quality(
+        _read_documents(sf_dir), stop_words=DEFAULT_STOP_WORDS,
+        min_tokens=GOPHER_MIN_TOKENS).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+SHUFFLE_SEED = 17
+
+
+def q_global_shuffle(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, shuffle_pos): deterministic seeded global training
+    order — rank under (hash_u32(doc_id, seed), doc_id), computed with
+    bucketed two-level prefix sums (no global sort)."""
+    from ..stages.sampling import global_shuffle_order
+    pdf = global_shuffle_order(
+        _read_documents(sf_dir).select_columns(["doc_id"]),
+        seed=SHUFFLE_SEED).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)
