@@ -1113,7 +1113,7 @@ FROM c ORDER BY doc_id
         # failed (see stages/textstages.GOPHER_RULES)
         "gopher_quality_keep": f"""
 WITH doc AS (
-  SELECT doc_id, lower(text) AS text FROM documents
+  SELECT doc_id, lower(coalesce(text, '')) AS text FROM documents
 ), tok AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
                              x -> x <> '') AS toks

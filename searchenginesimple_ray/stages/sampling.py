@@ -165,32 +165,41 @@ def topk_by_group(ds: ray.data.Dataset, group_col: str, order_col: str,
             .map_groups(final_topk, batch_format="pandas"))
 
 
+# target rows per rank bucket: a group is one in-task lexsort, so cap
+# its size well under worker heap (16 B/row -> ~32 MB per group)
+_SHUFFLE_BUCKET_ROWS = 2_000_000
+
+
 def global_shuffle_order(ds: ray.data.Dataset, key: str = "doc_id",
                          seed: int = 0,
-                         n_buckets: int = 64) -> ray.data.Dataset:
+                         n_buckets: int | None = None) -> ray.data.Dataset:
     """Deterministic global training-order shuffle: (key, shuffle_pos)
     where ``shuffle_pos`` is the row's rank under ``(hash_u32(key,
     seed), key)`` — the seeded full-corpus shuffle an epoch loader
     consumes, reproducible bit-for-bit by any engine (same hash as
     ``hash_split``, so it is exact in BIGINT SQL too).
 
-    100-TB shape: the exchange carries 16 B ``(key, h)`` rows only.
-    Global ranks use the two-level prefix pattern (A5 docid shape):
-    ``bucket = h * n_buckets // 2^32`` is monotone in ``h``, per-batch
-    partial bucket counts merge on the driver into exclusive bases,
-    and each bucket group sorts locally and offsets by its base — no
-    global sort, no driver-side rank loop.  Keys must be unique
-    (duplicate keys would get ambiguous ranks; raises if not)."""
+    100-TB shape: the exchange carries 16 B ``(key, bucket)`` rows
+    only (the hash is recomputed inside the rank task — it's a pure
+    function of the key).  Global ranks use the two-level prefix
+    pattern (A5 docid shape): ``bucket = h * n_buckets // 2^32`` is
+    monotone in ``h``; ``n_buckets`` scales with the row count
+    (~2M rows per bucket, floor 64) so each bucket group is one
+    bounded in-task lexsort; per-batch partial bucket counts merge on
+    the driver (O(n_buckets) ints) into exclusive bases — no global
+    sort, no driver-side rank loop.  Keys must be unique (duplicate
+    keys would get ambiguous ranks; raises if not)."""
+    slim = ds.select_columns([key]).materialize()
+    if n_buckets is None:
+        n_buckets = max(64, -(-slim.count() // _SHUFFLE_BUCKET_ROWS))
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        k = t[key].to_numpy(zero_copy_only=False)
-        h = hash_u32(k, seed)
-        b = h * n_buckets // _M32
-        return pa.table({key: t[key], "h": pa.array(h, pa.int64()),
-                         "bucket": pa.array(b, pa.int64())})
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hash_u32(t[key].to_numpy(zero_copy_only=False), seed)
+        return pa.table({key: t[key],
+                         "bucket": pa.array(h * n_buckets // _M32,
+                                            pa.int64())})
 
-    hashed = ds.select_columns([key]).map_batches(
-        add_hash, batch_format="pyarrow").materialize()
+    bucketed = slim.map_batches(add_bucket, batch_format="pyarrow")
 
     def bucket_partials(t: pa.Table) -> pa.Table:
         s = np.zeros(n_buckets, np.int64)
@@ -200,13 +209,15 @@ def global_shuffle_order(ds: ray.data.Dataset, key: str = "doc_id",
         return pa.table({"bucket": pa.array(nz, pa.int64()),
                          "partial": pa.array(s[nz], pa.int64())})
 
-    parts = hashed.map_batches(bucket_partials,
-                               batch_format="pyarrow").to_pandas()
+    parts = bucketed.map_batches(bucket_partials,
+                                 batch_format="pyarrow").to_pandas()
     totals = np.zeros(n_buckets + 1, np.int64)
     if "bucket" in parts.columns and len(parts):
         np.add.at(totals, parts["bucket"].to_numpy(dtype=np.int64),
                   parts["partial"].to_numpy(dtype=np.int64))
     bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    bases_ref = ray.put(bases)   # n_buckets scales with rows — ship
+    #   via the object store, not closure capture per task
 
     import pandas as pd
 
@@ -215,10 +226,10 @@ def global_shuffle_order(ds: ray.data.Dataset, key: str = "doc_id",
         if len(np.unique(k)) != len(k):
             raise ValueError(
                 f"global_shuffle_order requires unique '{key}' values")
-        o = np.lexsort((k, g["h"].to_numpy()))
-        pos = bases[int(g["bucket"].iloc[0])] + np.arange(len(k),
-                                                          dtype=np.int64)
+        o = np.lexsort((k, hash_u32(k, seed)))
+        pos = ray.get(bases_ref)[int(g["bucket"].iloc[0])] \
+            + np.arange(len(k), dtype=np.int64)
         return pd.DataFrame({key: k[o], "shuffle_pos": pos})
 
-    return hashed.groupby("bucket").map_groups(
+    return bucketed.groupby("bucket").map_groups(
         rank_group, batch_format="pandas")

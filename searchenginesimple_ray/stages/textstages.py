@@ -11,6 +11,8 @@ cheap.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -109,14 +111,24 @@ def lang_histogram(ds: ray.data.Dataset, text_col: str = "text"):
 
 # --------------------------------------------- repetition / contamination
 
-def _flat_token_hashes(texts: list[str]):
+# RE2's ASCII \S — used where the SQL oracle's whitespace definition
+# must match exactly (Python str.split / \s are Unicode-aware)
+_ASCII_NONWS = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def _flat_token_hashes(texts: list[str], token_re=None):
     """Whitespace-split every text; returns (flat uint64 token hashes,
     per-row counts).  Token identity = fnv1a64, one dict probe per
     token occurrence; all downstream n-gram work is numpy over the
-    flat array (no per-row Python in the gram/count kernels)."""
+    flat array (no per-row Python in the gram/count kernels).
+    ``token_re`` overrides the default Unicode ``str.split`` (e.g.
+    ``_ASCII_NONWS`` for RE2-parity tokenization)."""
     from ..functions.hashing import fnv1a64
 
-    tok_lists = [tx.split() for tx in texts]
+    if token_re is None:
+        tok_lists = [tx.split() for tx in texts]
+    else:
+        tok_lists = [token_re.findall(tx) for tx in texts]
     token_hash: dict = {}
     for tl in tok_lists:
         for t in tl:
@@ -328,9 +340,12 @@ def gopher_quality(ds: ray.data.Dataset, id_col: str = "doc_id",
                    batch_size: int = 4096) -> ray.data.Dataset:
     """Per-doc Gopher-rule quality verdicts: (doc_id, n_tokens,
     word_chars, n_stop_distinct, top_bigram_count, n_dup_trigrams,
-    rule_bits, keep).  Tokens are lowercased whitespace words (stop
-    matching and gram identity case-folded); ``word_chars`` counts
-    non-whitespace characters (RE2 ``\\s`` on both sides).  Pure
+    rule_bits, keep).  Tokens are lowercased whitespace words under
+    RE2's ASCII whitespace definition (``_ASCII_NONWS``, NOT Python's
+    Unicode ``str.split``), so the SQL oracle's
+    ``string_split_regex(text, '\\s+')`` agrees token-for-token;
+    ``word_chars`` counts non-whitespace characters under the same
+    RE2 ``\\s``.  NULL text = empty string on both sides.  Pure
     streaming map — no shuffle, one lexsort per batch."""
     import pyarrow.compute as pc
 
@@ -344,7 +359,7 @@ def gopher_quality(ds: ray.data.Dataset, id_col: str = "doc_id",
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = [(t or "").lower() for t in batch[text_col].to_pylist()]
         n = len(texts)
-        flat, counts = _flat_token_hashes(texts)
+        flat, counts = _flat_token_hashes(texts, token_re=_ASCII_NONWS)
         rows = np.repeat(np.arange(n, dtype=np.int64), counts)
         n_tok, _, _ = _per_row_distinct(flat, rows, n)
         sm = _sorted_member_mask(stop_sorted, flat)
@@ -355,7 +370,7 @@ def gopher_quality(ds: ray.data.Dataset, id_col: str = "doc_id",
         t3, d3, _ = _per_row_distinct(k3, r3, n)
         dup3 = t3 - d3
         wc = pc.cast(pc.utf8_length(pc.replace_substring_regex(
-            batch[text_col], r"\s", "")), pa.int64()) \
+            pc.fill_null(batch[text_col], ""), r"\s", "")), pa.int64()) \
             .to_numpy(zero_copy_only=False)
         bits = (
             (n_tok < min_tokens).astype(np.int64)

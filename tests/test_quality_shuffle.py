@@ -24,9 +24,10 @@ def _brute_gopher(rows, stop, min_tokens=30, max_tokens=100_000,
     from collections import Counter
     out = []
     for did, tx in rows:
-        toks = (tx or "").lower().split()
+        # RE2 ASCII whitespace semantics, matching the SQL oracle
+        toks = re.findall(r"[^ \t\n\r\f\v]+", (tx or "").lower())
         n = len(toks)
-        wc = len(re.sub(r"\s", "", tx or ""))
+        wc = len(re.sub(r"[ \t\n\r\f\v]", "", tx or ""))
         nstop = len(set(toks) & stop)
         bigs = Counter(zip(toks, toks[1:]))
         top2 = max(bigs.values()) if bigs else 0
@@ -56,6 +57,9 @@ class TestGopherQuality:
             # clean: >=30 tokens, 2 stop words, no n-gram repetition
             (7, "the analysis of " + " ".join(
                 f"token{i} value{i}" for i in range(20))),
+            (8, None),                    # NULL text = empty string
+            (9, "foo\u00a0bar baz"),      # NBSP is NOT whitespace
+            #   under RE2 \s (ASCII) — 2 tokens, 10 word chars
         ]
         got = gopher_quality(_docs_ds(rows), stop_words=DEFAULT_STOP_WORDS,
                              min_tokens=30).to_pandas() \
