@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_keep": d.q_gopher_quality_keep,
         # deterministic seeded global training order (stages/sampling)
         "global_shuffle": d.q_global_shuffle,
+        # per-source token-budget carve (LM data-mixing primitive)
+        "token_budget_sample": d.q_token_budget_sample,
     }
 
 
@@ -1174,6 +1176,27 @@ SELECT doc_id, n_tokens, word_chars, n_stop_distinct,
        top_bigram_count, n_dup_trigrams, rule_bits,
        CAST(CASE WHEN rule_bits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM bits ORDER BY doc_id
+""",
+        # per-source token-budget carve: docs in hash-priority order,
+        # kept while the running per-source token total BEFORE the doc
+        # is < budget (crossing doc included)
+        "token_budget_sample": """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             AS n_tokens,
+         ((doc_id + 5) % 2147483648) * 2654435761 % 4294967296 AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c
+WHERE before < 600 ORDER BY doc_id
 """,
         # rank under (knuth-multiplicative hash(doc_id + seed), doc_id)
         # — identical int64 arithmetic to stages/sampling.hash_u32

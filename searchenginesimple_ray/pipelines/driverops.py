@@ -903,6 +903,23 @@ def q_global_shuffle(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+TOKEN_BUDGET = 600
+TOKEN_BUDGET_SEED = 5
+
+
+def q_token_budget_sample(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, source, n_tokens): per-source token-budget carve —
+    docs taken in deterministic hash-priority order until each
+    source's running token total reaches the budget (kept iff the
+    total BEFORE the doc is < budget).  Sketch + exact-boundary
+    resolution; rows never shuffle."""
+    from ..stages.sampling import token_budget_sample
+    pdf = token_budget_sample(
+        _read_documents(sf_dir), budget=TOKEN_BUDGET,
+        seed=TOKEN_BUDGET_SEED).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)

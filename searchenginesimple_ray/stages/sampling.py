@@ -233,3 +233,119 @@ def global_shuffle_order(ds: ray.data.Dataset, key: str = "doc_id",
 
     return bucketed.groupby("bucket").map_groups(
         rank_group, batch_format="pandas")
+
+
+def token_budget_sample(ds: ray.data.Dataset, budget: int,
+                        group_col: str = "source", key: str = "doc_id",
+                        text_col: str = "text", seed: int = 0,
+                        n_buckets: int = 1024) -> ray.data.Dataset:
+    """Per-group token-budget carve (the LM data-mixing primitive):
+    within each ``group_col`` value, documents are taken in
+    deterministic hash-priority order ``(hash_u32(key, seed), key)``
+    until the group's running token total reaches ``budget`` — a doc
+    is kept iff the total BEFORE it is < budget (the crossing doc is
+    included).  Tokens = RE2 ``\\S+`` runs, so the verdict is exact in
+    SQL (window cumsum) too.
+
+    100-TB shape (sketch + exact boundary, the KLL-recount pattern):
+
+    1. one streaming pass stamps ``(group, key, n_tokens, h, bucket)``
+       with ``bucket = h * n_buckets // 2^32`` (monotone in priority);
+    2. per-batch PARTIAL (group, bucket) token sums merge on the
+       driver — O(groups × n_buckets) ints, never row-proportional;
+    3. cumulative bucket sums locate each group's BOUNDARY bucket
+       (where the running total crosses the budget); whole buckets
+       before it are kept outright, after it dropped outright;
+    4. one exact pass over ONLY the boundary buckets (≈ group_rows /
+       n_buckets rows per group) resolves the crossing doc set, and
+       the kept boundary keys are broadcast as a sorted array;
+    5. the final streaming filter keeps ``bucket < boundary`` or
+       ``key ∈ boundary_keep`` — rows never shuffle.
+
+    Driver state is O(groups × n_buckets) + boundary rows; assumes a
+    moderate group count (data sources), the same assumption the
+    quota/top-k samplers document.  Output: (key, group, n_tokens)."""
+    from ..functions.textstats import WS_TOKEN
+
+    def stamp(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        n = pa.array(np.fromiter(
+            (len(WS_TOKEN.findall(tx)) if tx is not None else 0
+             for tx in texts), np.int64, len(texts)))
+        h = hash_u32(t[key].to_numpy(zero_copy_only=False), seed)
+        return pa.table({
+            key: t[key], group_col: t[group_col], "n_tokens": n,
+            "bucket": pa.array(h * n_buckets // _M32, pa.int64())})
+
+    slim = ds.select_columns([key, group_col, text_col]) \
+        .map_batches(stamp, batch_format="pyarrow").materialize()
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"g": t[group_col].to_pylist(),
+                           "b": t["bucket"].to_numpy(zero_copy_only=False),
+                           "n": t["n_tokens"].to_numpy(
+                               zero_copy_only=False)})
+        agg = df.groupby(["g", "b"], sort=False)["n"].sum().reset_index()
+        return pa.table({group_col: pa.array(agg["g"], pa.string()),
+                         "bucket": pa.array(agg["b"].to_numpy(np.int64)),
+                         "partial": pa.array(agg["n"].to_numpy(np.int64))})
+
+    import pandas as pd
+    parts = slim.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return ray.data.from_arrow(pa.table(
+            {key: pa.array([], pa.int64()),
+             group_col: pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64())}))
+    sums = parts.groupby([group_col, "bucket"])["partial"].sum()
+    # per group: first bucket where the cumulative total crosses the
+    # budget; buckets strictly before it are kept outright
+    boundary: dict[str, int] = {}       # group -> boundary bucket
+    before: dict[str, int] = {}         # tokens in buckets before it
+    for g, bsums in sums.groupby(level=0):
+        cum = 0
+        boundary[g], before[g] = n_buckets, 0   # budget never crossed
+        for (_, b), v in bsums.items():
+            if cum + v >= budget:
+                boundary[g], before[g] = int(b), int(cum)
+                break
+            cum += int(v)
+
+    def _group_boundaries(t: pa.Table) -> np.ndarray:
+        """Vectorized per-row boundary-bucket lookup (factorize the
+        group column once per batch, dict probe per UNIQUE group)."""
+        codes, uniques = pd.factorize(
+            np.asarray(t[group_col].to_pylist(), object))
+        lut = np.fromiter((boundary.get(u, n_buckets) for u in uniques),
+                          np.int64, len(uniques))
+        return lut[codes] if len(uniques) else np.empty(0, np.int64)
+
+    def is_boundary(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_group_boundaries(t) == b))
+
+    bdf = slim.map_batches(is_boundary, batch_format="pyarrow") \
+        .to_pandas()
+    keep_keys: list[np.ndarray] = []
+    if len(bdf):
+        bdf["h"] = hash_u32(bdf[key].to_numpy(), seed)
+        for g, gdf in bdf.groupby(group_col, sort=False):
+            gdf = gdf.sort_values(["h", key], kind="mergesort")
+            n = gdf["n_tokens"].to_numpy(np.int64)
+            run_before = before[g] + np.cumsum(n) - n
+            keep_keys.append(gdf[key].to_numpy()[run_before < budget])
+    keep_sorted = np.sort(np.concatenate(keep_keys)) if keep_keys \
+        else np.empty(0, np.int64)
+    keep_ref = ray.put(keep_sorted)
+
+    def final_filter(t: pa.Table, ref=None) -> pa.Table:
+        from ..stages.dedup import _sorted_member_mask
+        ks = ray.get(ref)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        m = (b < _group_boundaries(t)) | _sorted_member_mask(
+            ks, t[key].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(m)).select([key, group_col, "n_tokens"])
+
+    return slim.map_batches(final_filter, fn_kwargs={"ref": keep_ref},
+                            batch_format="pyarrow")

@@ -124,3 +124,67 @@ class TestGlobalShuffle:
             {"doc_id": pa.array([1, 1, 2], pa.int64())}))
         with pytest.raises(Exception, match="unique"):
             global_shuffle_order(ds).to_pandas()
+
+
+def _brute_token_budget(rows, budget, seed):
+    """rows = (doc_id, source, text); keep iff per-source cumsum of
+    n_tokens BEFORE the doc (in (hash, id) order) is < budget."""
+    from searchenginesimple_ray.stages.sampling import hash_u32
+    by_src: dict = {}
+    for did, src, tx in rows:
+        n = len((tx or "").split())
+        h = int(hash_u32(np.array([did], np.int64), seed)[0])
+        by_src.setdefault(src, []).append((h, did, n))
+    keep = []
+    for src, lst in by_src.items():
+        cum = 0
+        for h, did, n in sorted(lst):
+            if cum < budget:
+                keep.append((did, src, n))
+            cum += n
+    return sorted(keep)
+
+
+class TestTokenBudgetSample:
+    def _ds(self, rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string())}))
+
+    def test_matches_brute_force_small_buckets(self, ray_session):
+        # n_buckets=4 forces all three verdict paths (whole-bucket
+        # keep, exact boundary resolution, whole-bucket drop)
+        from searchenginesimple_ray.stages.sampling import \
+            token_budget_sample
+        rng = np.random.default_rng(3)
+        rows = [(int(i), f"s{i % 3}",
+                 " ".join(f"w{j}" for j in range(rng.integers(1, 40))))
+                for i in range(120)]
+        rows.append((900, "tiny", "only four tokens here"))  # under budget
+        got = token_budget_sample(self._ds(rows), budget=150, seed=9,
+                                  n_buckets=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = _brute_token_budget(rows, 150, 9)
+        assert [tuple(r) for r in got[
+            ["doc_id", "source", "n_tokens"]].values] == want
+        # every source kept SOMETHING and the big sources were cut
+        assert set(got["source"]) == {"s0", "s1", "s2", "tiny"}
+        assert len(got) < len(rows)
+
+    def test_budget_never_crossed_keeps_all(self, ray_session):
+        from searchenginesimple_ray.stages.sampling import \
+            token_budget_sample
+        rows = [(i, "a", "x y z") for i in range(5)]
+        got = token_budget_sample(self._ds(rows), budget=10_000,
+                                  seed=1).to_pandas()
+        assert len(got) == 5
+
+    def test_empty_input(self, ray_session):
+        from searchenginesimple_ray.stages.sampling import \
+            token_budget_sample
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "text": pa.array([], pa.string())}))
+        assert len(token_budget_sample(ds, budget=5).to_pandas()) == 0
