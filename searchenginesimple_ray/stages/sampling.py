@@ -264,13 +264,20 @@ def token_budget_sample(ds: ray.data.Dataset, budget: int,
 
     Driver state is O(groups × n_buckets) + boundary rows; assumes a
     moderate group count (data sources), the same assumption the
-    quota/top-k samplers document.  Output: (key, group, n_tokens)."""
-    from ..functions.textstats import WS_TOKEN
+    quota/top-k samplers document.  ``group_col`` must be non-null and
+    ``key`` unique (same contract as ``global_shuffle_order``; a
+    duplicate key inside a boundary bucket raises — elsewhere the
+    verdict is per-row-consistent anyway).  Output: (key, group,
+    n_tokens)."""
+    from ..functions.textstats import whitespace_token_count
 
     def stamp(t: pa.Table) -> pa.Table:
+        if t[group_col].null_count:
+            raise ValueError(
+                f"token_budget_sample requires non-null '{group_col}'")
         texts = t[text_col].to_pylist()
         n = pa.array(np.fromiter(
-            (len(WS_TOKEN.findall(tx)) if tx is not None else 0
+            (whitespace_token_count(tx) if tx is not None else 0
              for tx in texts), np.int64, len(texts)))
         h = hash_u32(t[key].to_numpy(zero_copy_only=False), seed)
         return pa.table({
@@ -327,24 +334,40 @@ def token_budget_sample(ds: ray.data.Dataset, budget: int,
 
     bdf = slim.map_batches(is_boundary, batch_format="pyarrow") \
         .to_pandas()
-    keep_keys: list[np.ndarray] = []
+    # per-GROUP sorted keep sets: membership is applied only to rows
+    # sitting in their own group's boundary bucket, so a key duplicated
+    # across groups can never borrow another group's keep verdict
+    keep_map: dict[str, np.ndarray] = {}
     if len(bdf):
         bdf["h"] = hash_u32(bdf[key].to_numpy(), seed)
         for g, gdf in bdf.groupby(group_col, sort=False):
+            k = gdf[key].to_numpy()
+            if len(np.unique(k)) != len(k):
+                raise ValueError(
+                    f"duplicate '{key}' values in group {g!r} boundary "
+                    "bucket — token_budget_sample requires unique keys")
             gdf = gdf.sort_values(["h", key], kind="mergesort")
             n = gdf["n_tokens"].to_numpy(np.int64)
             run_before = before[g] + np.cumsum(n) - n
-            keep_keys.append(gdf[key].to_numpy()[run_before < budget])
-    keep_sorted = np.sort(np.concatenate(keep_keys)) if keep_keys \
-        else np.empty(0, np.int64)
-    keep_ref = ray.put(keep_sorted)
+            keep_map[g] = np.sort(gdf[key].to_numpy()[run_before < budget])
+    keep_ref = ray.put(keep_map)
 
     def final_filter(t: pa.Table, ref=None) -> pa.Table:
         from ..stages.dedup import _sorted_member_mask
-        ks = ray.get(ref)
+        km = ray.get(ref)
         b = t["bucket"].to_numpy(zero_copy_only=False)
-        m = (b < _group_boundaries(t)) | _sorted_member_mask(
-            ks, t[key].to_numpy(zero_copy_only=False))
+        keys = t[key].to_numpy(zero_copy_only=False)
+        bnd = _group_boundaries(t)
+        m = b < bnd
+        at_bnd = np.flatnonzero(b == bnd)
+        if len(at_bnd):
+            gs = np.asarray(t[group_col].to_pylist(), object)[at_bnd]
+            codes, uniques = pd.factorize(gs)
+            for ci, g in enumerate(uniques):
+                rows = at_bnd[codes == ci]
+                ks = km.get(g)
+                if ks is not None and len(ks):
+                    m[rows] |= _sorted_member_mask(ks, keys[rows])
         return t.filter(pa.array(m)).select([key, group_col, "n_tokens"])
 
     return slim.map_batches(final_filter, fn_kwargs={"ref": keep_ref},

@@ -188,3 +188,30 @@ class TestTokenBudgetSample:
             "source": pa.array([], pa.string()),
             "text": pa.array([], pa.string())}))
         assert len(token_budget_sample(ds, budget=5).to_pandas()) == 0
+
+    def test_null_group_raises(self, ray_session):
+        from searchenginesimple_ray.stages.sampling import \
+            token_budget_sample
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["a", None], pa.string()),
+            "text": pa.array(["x y", "z"], pa.string())}))
+        with pytest.raises(Exception, match="non-null"):
+            token_budget_sample(ds, budget=5).to_pandas()
+
+    def test_duplicate_key_across_groups_is_exact(self, ray_session):
+        # the same doc_id in two sources must get each source's own
+        # verdict (key membership is applied per group, only at that
+        # group's boundary bucket)
+        from searchenginesimple_ray.stages.sampling import \
+            token_budget_sample
+        # different token sizes per source => different boundaries,
+        # so the same id can be kept in one source and dropped in the
+        # other
+        rows = ([(i, "a", "w " * 10) for i in range(40)]
+                + [(i, "b", "w " * 3) for i in range(40)])
+        got = token_budget_sample(self._ds(rows), budget=100, seed=2,
+                                  n_buckets=4).to_pandas()
+        want = _brute_token_budget(rows, 100, 2)
+        assert sorted(map(tuple, got[
+            ["doc_id", "source", "n_tokens"]].values)) == want
