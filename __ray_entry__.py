@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle": d.q_global_shuffle,
         # per-source token-budget carve (LM data-mixing primitive)
         "token_budget_sample": d.q_token_budget_sample,
+        # first-touch funnel completion (stages/events.funnel_events)
+        "funnel": d.q_funnel,
     }
 
 
@@ -1176,6 +1178,28 @@ SELECT doc_id, n_tokens, word_chars, n_stop_distinct,
        top_bigram_count, n_dup_trigrams, rule_bits,
        CAST(CASE WHEN rule_bits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM bits ORDER BY doc_id
+""",
+        # first-touch funnel: t1 = user's first view, t2 = first click
+        # AFTER t1, t3 = first purchase AFTER t2; complete iff
+        # t3 - t1 <= 7 days (epoch-us int64, bit-stable)
+        "funnel": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+), s1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ts_us) AS t2
+  FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ts_us) AS t3
+  FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id
+)
+SELECT s1.user_id, t1 AS step1_us, t2 AS step2_us, t3 AS step3_us
+FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+WHERE t3 - t1 <= 604800000000 ORDER BY user_id
 """,
         # per-source token-budget carve: docs in hash-priority order,
         # kept while the running per-source token total BEFORE the doc

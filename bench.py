@@ -158,6 +158,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("gopher_quality_keep", d.q_gopher_quality_keep),
                      ("global_shuffle", d.q_global_shuffle),
                      ("token_budget_sample", d.q_token_budget_sample),
+                     ("funnel", d.q_funnel),
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),

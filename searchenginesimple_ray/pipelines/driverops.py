@@ -903,6 +903,24 @@ def q_global_shuffle(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+FUNNEL_WINDOW_SEC = 604_800   # 7 days
+
+
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """(user_id, step1_us, step2_us, step3_us): first-touch
+    view -> click -> purchase funnel completions within 7 days
+    (greedy chain anchored at the user's first view)."""
+    from ..stages.events import funnel_events
+    pdf = funnel_events(_read_events(sf_dir),
+                        steps=("view", "click", "purchase"),
+                        window_sec=FUNNEL_WINDOW_SEC).to_pandas()
+    cols = ["user_id", "step1_us", "step2_us", "step3_us"]
+    if pdf.empty:        # to_pandas drops schema on empty datasets
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    return pdf.sort_values("user_id").reset_index(drop=True)
+
+
 TOKEN_BUDGET = 600
 TOKEN_BUDGET_SEED = 5
 

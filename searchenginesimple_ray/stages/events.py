@@ -261,3 +261,67 @@ def json_props_agg(events: ray.data.Dataset, field: str = "k"):
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_k"] = out["sum_k"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------------------ funnel matching
+
+def funnel_events(events: ray.data.Dataset, steps: tuple = (
+        "view", "click", "purchase"), window_sec: int = 1800,
+        n_buckets: int = 64) -> ray.data.Dataset:
+    """First-touch funnel completion per user: the earliest greedy
+    chain t1 < t2 < ... < tK where step i's event strictly follows
+    step i-1's, anchored at the user's FIRST step-1 event (the
+    deterministic "first-touch" semantics — t1 = min ts of step 1,
+    t2 = min ts of step 2 after t1, and so on), kept iff
+    ``tK - t1 <= window_sec``.  Output: (user_id, step1_us ...
+    stepK_us) for completing users, timestamps as int64 epoch-us
+    (bit-stable for the SQL oracle).
+
+    100-TB shape: only rows whose type is one of the K steps enter the
+    exchange, as (user_id, ts_us, step int8) — value/props/other types
+    never move.  Users are co-located on a coarse ``user_id %
+    n_buckets`` key (the sessionize/asof pattern) and the kernel is
+    fully vectorized: per-user mins via sorted-unique searchsorted +
+    ``np.minimum.at``, one pass per STEP (K passes), no per-user loop.
+    """
+    window_us = np.int64(window_sec) * 1_000_000
+    step_idx = {s: i for i, s in enumerate(steps)}
+    _missing = np.iinfo(np.int64).max
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        st = np.full(len(types), -1, np.int8)
+        for s, i in step_idx.items():      # K vectorized comparisons
+            st[types == s] = i
+        keep = st >= 0
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "user_id": pa.array(uid),
+            "ts_us": pa.array(_ts_us(batch)[keep]),
+            "step": pa.array(st[keep]),
+            "bucket": pa.array((uid % n_buckets).astype(np.int32))})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        st = g["step"].to_numpy()
+        users = np.unique(uid)
+        ui = np.searchsorted(users, uid)
+        t_chain = np.full((len(steps), len(users)), _missing, np.int64)
+        for k in range(len(steps)):
+            m = st == k
+            if k:
+                # strictly after the user's step-(k-1) time (missing
+                # sentinel = INT64_MAX, so incomplete users never match)
+                m &= ts > t_chain[k - 1][ui]
+            np.minimum.at(t_chain[k], ui[m], ts[m])
+        done = (t_chain[-1] != _missing) & \
+            (t_chain[-1] - t_chain[0] <= window_us)
+        out = {"user_id": users[done]}
+        for k in range(len(steps)):
+            out[f"step{k + 1}_us"] = t_chain[k][done]
+        return pd.DataFrame(out)
+
+    return events.select_columns(["user_id", "ts", "event_type"]) \
+        .map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kernel, batch_format="pandas")

@@ -113,7 +113,8 @@ class TestOracleParity:
     runs the same comparison at sf0.01 via __ray_entry__)."""
 
     @pytest.mark.parametrize("name", ["event_window_agg", "sessionize",
-                                      "asof_join", "json_props_agg"])
+                                      "asof_join", "json_props_agg",
+                                      "funnel"])
     def test_matches_duckdb(self, ray_session, name):
         import duckdb
         import importlib.util
@@ -205,3 +206,73 @@ class TestReviewHardening:
             assert set(out.columns) == {"doc_id", "source", "text",
                                         "score"}
             assert out["text"].str.startswith("payload").all()
+
+
+class TestFunnel:
+    """First-touch funnel (stages/events.funnel_events)."""
+
+    def _run(self, rows, window_sec=1800, steps=("view", "click",
+                                                 "purchase")):
+        from searchenginesimple_ray.stages.events import funnel_events
+        pdf = funnel_events(_events_ds(rows), steps=steps,
+                            window_sec=window_sec).to_pandas()
+        if pdf.empty:    # to_pandas drops schema on empty datasets
+            return pdf
+        return pdf.sort_values("user_id").reset_index(drop=True)
+
+    def test_greedy_chain_semantics(self, ray_session):
+        rows = [
+            # user 1 completes: view@0, click@60s, purchase@120s
+            (0, T0, 1, "view", 1.0),
+            (1, T0 + 60 * US, 1, "click", 1.0),
+            (2, T0 + 120 * US, 1, "purchase", 1.0),
+            # user 2: click BEFORE first view never counts; next click
+            # after the view completes the chain
+            (3, T0 + 10 * US, 2, "click", 1.0),
+            (4, T0 + 20 * US, 2, "view", 1.0),
+            (5, T0 + 30 * US, 2, "click", 1.0),
+            (6, T0 + 40 * US, 2, "purchase", 1.0),
+            # user 3: no purchase -> incomplete
+            (7, T0, 3, "view", 1.0),
+            (8, T0 + 5 * US, 3, "click", 1.0),
+            # user 4: completes but outside the window
+            (9, T0, 4, "view", 1.0),
+            (10, T0 + 60 * US, 4, "click", 1.0),
+            (11, T0 + 4000 * US, 4, "purchase", 1.0),
+            # user 5: purchase before click never counts
+            (12, T0, 5, "view", 1.0),
+            (13, T0 + 10 * US, 5, "purchase", 1.0),
+            (14, T0 + 20 * US, 5, "click", 1.0),
+        ]
+        got = self._run(rows, window_sec=1800)
+        assert got["user_id"].tolist() == [1, 2]
+        assert got.loc[0, ["step1_us", "step2_us", "step3_us"]] \
+            .tolist() == [T0, T0 + 60 * US, T0 + 120 * US]
+        assert got.loc[1, ["step1_us", "step2_us", "step3_us"]] \
+            .tolist() == [T0 + 20 * US, T0 + 30 * US, T0 + 40 * US]
+
+    def test_first_touch_is_greedy_not_optimal(self, ray_session):
+        # anchored at the FIRST view: a later view would complete
+        # in-window, but first-touch semantics report no completion
+        rows = [
+            (0, T0, 1, "view", 1.0),
+            (1, T0 + 5000 * US, 1, "view", 1.0),
+            (2, T0 + 5010 * US, 1, "click", 1.0),
+            (3, T0 + 5020 * US, 1, "purchase", 1.0),
+        ]
+        assert len(self._run(rows, window_sec=1800)) == 0
+        # widening the window admits the chain from the first view
+        got = self._run(rows, window_sec=6000)
+        assert got["step1_us"].tolist() == [T0]
+
+    def test_two_step_funnel_and_ties(self, ray_session):
+        # strict inequality: a click at EXACTLY the view ts is not
+        # "after" it
+        rows = [(0, T0, 1, "view", 1.0), (1, T0, 1, "click", 1.0),
+                (2, T0 + US, 1, "click", 1.0)]
+        got = self._run(rows, steps=("view", "click"))
+        assert got["step2_us"].tolist() == [T0 + US]
+
+    def test_empty_and_no_matching_events(self, ray_session):
+        rows = [(0, T0, 1, "error", 1.0), (1, T0 + US, 1, "signup", 1.0)]
+        assert len(self._run(rows)) == 0
