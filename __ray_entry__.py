@@ -112,6 +112,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": d.q_token_budget_sample,
         # first-touch funnel completion (stages/events.funnel_events)
         "funnel": d.q_funnel,
+        # corpus-statistic filters (stages/filtering.py): source-level
+        # blocklist by mean quality + global length-outlier clip
+        "bad_source_filter": d.q_bad_source_filter,
+        "outlier_clip": d.q_outlier_clip,
+        # per-user LAG() gap aggregate (stages/events.lag_deltas_events)
+        "lag_deltas": d.q_lag_deltas,
+        # TPC-H-Q1-shape pricing summary (stages/joins.pricing_summary)
+        "pricing_summary": d.q_pricing_summary,
+        # frequency-ranked vocabulary build (stages/sketches.vocab_build)
+        "vocab_build": d.q_vocab_build,
     }
 
 
@@ -1231,5 +1241,95 @@ SELECT doc_id,
                     % 4294967296,
                     doc_id) - 1 AS BIGINT) AS shuffle_pos
 FROM documents ORDER BY doc_id
+""",
+        # drop all docs of the 3 sources with the lowest scaled-integer
+        # mean n_chars (sum*10000 // n: same int64 arithmetic as
+        # stages/filtering.source_mean_table; source tiebreak)
+        "bad_source_filter": """
+WITH s AS (
+  SELECT source,
+         CAST(sum(n_chars) * 10000 AS BIGINT) // count(*) AS m
+  FROM documents GROUP BY source
+), b AS (
+  SELECT source FROM s ORDER BY m, source LIMIT 3
+)
+SELECT doc_id, source FROM documents
+WHERE source NOT IN (SELECT source FROM b)
+ORDER BY doc_id
+""",
+        # keep docs inside the exact [1/16, 15/16] quantile_disc band
+        # of whitespace-token counts (1/16-multiples are binary-exact,
+        # so ceil(q*n) has no float boundary vs the engine)
+        "outlier_clip": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+), q AS (
+  SELECT quantile_disc(n_tokens, 0.0625) AS lo,
+         quantile_disc(n_tokens, 0.9375) AS hi
+  FROM t
+)
+SELECT doc_id, n_tokens FROM t, q
+WHERE n_tokens >= lo AND n_tokens <= hi
+ORDER BY doc_id
+""",
+        # per-user inter-event gaps under LAG(ts) ordered by
+        # (ts, event_id); single-event users: max=-1, sum=0
+        "lag_deltas": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), g AS (
+  SELECT user_id,
+         ts_us - LAG(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(max(gap), -1) AS BIGINT) AS max_gap_us,
+       CAST(COALESCE(sum(gap), 0) AS BIGINT) AS sum_gap_us
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+        # TPC-H-Q1 shape; all sums in fixed-point BIGINT (cents /
+        # 1e-4 / 1e-6 dollars) with the engine's floor(x*100+0.5) rule
+        "pricing_summary": """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+       CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_c4,
+       CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+           AS sum_charge_c6,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM c GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        # frequency-ranked vocabulary: token_id = ROW_NUMBER under
+        # (df DESC, term), df = distinct docs containing the term
+        "vocab_build": """
+WITH p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '\\S+')) AS term
+    FROM documents)
+), dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term
+)
+SELECT term,
+       CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) - 1 AS BIGINT)
+           AS token_id,
+       df
+FROM dfs ORDER BY term
 """,
     }

@@ -159,6 +159,11 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("global_shuffle", d.q_global_shuffle),
                      ("token_budget_sample", d.q_token_budget_sample),
                      ("funnel", d.q_funnel),
+                     ("bad_source_filter", d.q_bad_source_filter),
+                     ("outlier_clip", d.q_outlier_clip),
+                     ("lag_deltas", d.q_lag_deltas),
+                     ("pricing_summary", d.q_pricing_summary),
+                     ("vocab_build", d.q_vocab_build),
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),

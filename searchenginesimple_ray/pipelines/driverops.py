@@ -938,6 +938,61 @@ def q_token_budget_sample(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+BAD_SOURCE_N_DROP = 3
+
+
+def q_bad_source_filter(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, source): docs remaining after dropping every doc of
+    the 3 sources with the lowest scaled-integer mean n_chars
+    (CCNet/C4-style source-level blocklist: tiny aggregate pass ->
+    driver decision -> broadcast streaming anti-filter)."""
+    from ..stages.filtering import bad_source_filter
+    pdf = bad_source_filter(
+        _read_documents(sf_dir), group_col="source",
+        metric_col="n_chars", n_drop=BAD_SOURCE_N_DROP).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_outlier_clip(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens): docs inside the global exact
+    [1/16, 15/16] quantile_disc band of whitespace-token counts
+    (length-outlier removal; bounded-domain histogram pass + broadcast
+    cut filter)."""
+    from ..stages.filtering import outlier_clip
+    pdf = outlier_clip(_read_documents(sf_dir)).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lag_deltas(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_events, n_gaps, max_gap_us, sum_gap_us): per-user
+    inter-event gap aggregate — the LAG() window primitive over the
+    events stream (coarse user-bucket shuffle + one vectorized
+    lexsort/diff kernel per bucket)."""
+    from ..stages.events import lag_deltas_events
+    pdf = lag_deltas_events(_read_events(sf_dir)).to_pandas()
+    return pdf.sort_values("user_id").reset_index(drop=True)
+
+
+PRICING_CUTOFF_US = 904_694_400_000_000  # 1998-09-02 00:00:00 UTC
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shape pricing summary: per (returnflag, linestatus)
+    integer-exact sums over lineitems shipped <= the cutoff
+    (per-batch combiner -> tiny reduce; no shuffle)."""
+    from ..stages.joins import pricing_summary
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return pricing_summary(li, cutoff_us=PRICING_CUTOFF_US)
+
+
+def q_vocab_build(sf_dir: str) -> pd.DataFrame:
+    """(term, token_id, df): frequency-ranked whitespace-token
+    vocabulary with ROW_NUMBER-(df DESC, term) id assignment —
+    tokenizer/vocab-training primitive."""
+    from ..stages.sketches import vocab_build
+    return vocab_build(_read_documents(sf_dir))
+
+
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)

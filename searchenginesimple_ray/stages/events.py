@@ -325,3 +325,71 @@ def funnel_events(events: ray.data.Dataset, steps: tuple = (
     return events.select_columns(["user_id", "ts", "event_type"]) \
         .map_batches(with_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(kernel, batch_format="pandas")
+
+
+# --------------------------------------------------------- lag deltas
+
+def lag_deltas_events(events: ray.data.Dataset,
+                      n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user inter-event gap aggregate — the LAG()/LEAD() window
+    primitive: for each user, gaps between consecutive events in
+    (ts, event_id) order, reduced to (user_id, n_events, n_gaps,
+    max_gap_us, sum_gap_us); single-event users get -1/-0 sentinels
+    matching COALESCE(max(gap), -1) / COALESCE(sum(gap), 0).
+
+    Scale shape: only (user_id, ts_us, event_id) enters the exchange
+    (24 B/row), coarse user-bucket shuffle co-locates each user, and
+    the kernel is ONE lexsort + vectorized diff per bucket — the same
+    partitioning contract as sessionize_events (a user must fit a
+    bucket; buckets scale with user count, not event count).
+    """
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pa.array(_ts_us(batch)),
+            "bucket": pa.array((uid % n_buckets).astype(np.int32)),
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                "max_gap_us": pd.Series([], dtype=np.int64),
+                "sum_gap_us": pd.Series([], dtype=np.int64),
+            })
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        same = np.empty(len(uid), dtype=bool)
+        same[:1] = False
+        same[1:] = uid[1:] == uid[:-1]
+        gaps = np.zeros(len(uid), np.int64)
+        gaps[1:] = ts[1:] - ts[:-1]          # valid only where same[i]
+        starts = np.flatnonzero(~same)
+        ends = np.append(starts[1:], len(uid))
+        n_ev = (ends - starts).astype(np.int64)
+        # boundary rows (first of each user) masked to -1: real gaps
+        # are >= 0, so the per-segment max is -1 exactly for
+        # single-event users and the true max otherwise
+        masked = np.where(same, gaps, np.int64(-1))
+        csum = np.concatenate(([0], np.cumsum(np.where(same, gaps, 0))))
+        sum_gap = csum[ends] - csum[starts]
+        max_gap = np.maximum.reduceat(masked, starts)
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "n_events": n_ev,
+            "n_gaps": n_ev - 1,
+            "max_gap_us": max_gap,
+            "sum_gap_us": sum_gap,
+        })
+
+    return events.select_columns(["event_id", "ts", "user_id"]) \
+        .map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kernel, batch_format="pandas")

@@ -79,3 +79,84 @@ def shuffle_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
 
 __all__ = ["broadcast_join", "shuffle_join", "BROADCAST_MAX_ROWS"]
+
+
+def pricing_summary(lineitem: ray.data.Dataset,
+                    cutoff_us: int) -> "pd.DataFrame":
+    """TPC-H-Q1-shape pricing summary: per (returnflag, linestatus)
+    exact integer aggregates over lineitems shipped at or before
+    ``cutoff_us`` (epoch microseconds).
+
+    Output columns (all int64, fixed-point so the value-hash is
+    bit-stable regardless of partitioning — same floor(x*100 + 0.5)
+    cent rule as nation_revenue and the SQL oracle):
+      sum_qty_c       quantity cents
+      sum_base_c      extendedprice cents
+      sum_disc_c4     extendedprice*(1-discount), units 1e-4 dollars
+      sum_charge_c6   ...*(1+tax), units 1e-6 dollars
+      n_rows          count(*)
+
+    Scale shape: the date filter and ALL arithmetic happen inside each
+    batch, every batch pre-aggregates to <= |flags x statuses| partial
+    rows (single Arrow group_by), and only those partials reach the
+    driver — the classic combiner-then-tiny-reduce; rows never shuffle.
+    Magnitude: charge_c6 <= ~1e11/row, so int64 holds > 9e7 rows per
+    GROUP per BLOCK before partial sums could wrap; partials re-sum in
+    int64 pandas where the same bound applies per group across blocks
+    (~9e7 blocks) — far beyond any real layout.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+        sel = ship <= cutoff_us
+        if not sel.any():
+            return pa.table({
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty_c": pa.array([], pa.int64()),
+                "sum_base_c": pa.array([], pa.int64()),
+                "sum_disc_c4": pa.array([], pa.int64()),
+                "sum_charge_c6": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+            })
+        batch = batch.filter(pa.array(sel))
+        qty_c = np.floor(batch["l_quantity"].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        price_c = np.floor(batch["l_extendedprice"].to_numpy() * 100
+                           + 0.5).astype(np.int64)
+        disc_c = np.floor(batch["l_discount"].to_numpy() * 100
+                          + 0.5).astype(np.int64)
+        tax_c = np.floor(batch["l_tax"].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        disc_c4 = price_c * (100 - disc_c)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty_c": pa.array(qty_c),
+            "sum_base_c": pa.array(price_c),
+            "sum_disc_c4": pa.array(disc_c4),
+            "sum_charge_c6": pa.array(disc_c4 * (100 + tax_c)),
+            "n_rows": pa.array(np.ones(len(qty_c), np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty_c", "sum"), ("sum_base_c", "sum"),
+             ("sum_disc_c4", "sum"), ("sum_charge_c6", "sum"),
+             ("n_rows", "sum")]).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c",
+             "sum_disc_c4", "sum_charge_c6", "n_rows"])
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate"]
+    pdf = lineitem.select_columns(cols) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pdf.groupby(["l_returnflag", "l_linestatus"],
+                      as_index=False).sum()
+    for c in out.columns[2:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+__all__.append("pricing_summary")

@@ -411,3 +411,53 @@ def exact_quantiles_unbounded(ds: ray.data.Dataset, value_col: str,
 
 __all__.append("KLLSketch")
 __all__.append("exact_quantiles_unbounded")
+
+
+# ---------------------------------------------------------- vocab build
+
+def vocab_build(ds: "ray.data.Dataset", text_col: str = "text") \
+        -> pd.DataFrame:
+    """(term, token_id, df): frequency-ranked vocabulary over the
+    whitespace-token stream — the id-assignment step of tokenizer /
+    vocab training.  token_id is the 0-based rank under
+    (df DESC, term ASC), i.e. ROW_NUMBER() OVER (ORDER BY df DESC,
+    term) - 1: deterministic, no float anywhere.
+
+    Scale shape: polars ``extract_all`` tokenizes each batch in one
+    vectorized call, an Arrow group_by dedups (doc, term) WITHIN the
+    batch (each doc lives in exactly one batch, so per-batch distinct
+    doc counts sum to the true df), and the exchange carries one
+    (term, partial_df) row per block — bounded by block vocabulary.
+    The final rank runs on the df table; for a vocabulary beyond
+    driver memory the documented path is the same term-hash-
+    partitioned sum + a distributed sort on (df, term) (the
+    global_shuffle_order two-level-rank shape).
+    """
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[text_col]).fill_null("")
+        toks = s.str.extract_all(r"\S+")
+        n_row = len(s)
+        doc_idx = pl.DataFrame(
+            {"d": pl.arange(0, n_row, eager=True), "t": toks}) \
+            .explode("t").drop_nulls("t")
+        t = doc_idx.to_arrow()
+        dedup = t.group_by(["d", "t"]).aggregate([])
+        return dedup.group_by("t").aggregate([("d", "count")]) \
+            .rename_columns(["term", "partial_df"])
+
+    pdf = ds.select_columns([text_col]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    df_tab = pdf.groupby("term", as_index=False)["partial_df"].sum() \
+        .rename(columns={"partial_df": "df"})
+    df_tab = df_tab.sort_values(["df", "term"],
+                                ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+    df_tab["token_id"] = np.arange(len(df_tab), dtype=np.int64)
+    df_tab["df"] = df_tab["df"].astype(np.int64)
+    return df_tab[["term", "token_id", "df"]] \
+        .sort_values("term").reset_index(drop=True)
+
+
+__all__.append("vocab_build")

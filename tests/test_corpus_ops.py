@@ -1,0 +1,300 @@
+"""Corpus-statistic filters (stages/filtering.py), LAG-delta aggregate
+(stages/events.lag_deltas_events), TPC-H-Q1 pricing summary
+(stages/joins.pricing_summary) and vocabulary build
+(stages/sketches.vocab_build) — edge semantics + DuckDB oracles on
+randomized multi-block inputs."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+US = 1_000_000
+T0 = 1_700_000_000 * US
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_oracle(got: pd.DataFrame, con, sql: str):
+    exp = con.execute(sql).df()
+    a, b = _canon(got), _canon(exp)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ------------------------------------------------------------ filtering
+
+def _docs_table(rng, n=240, n_sources=8):
+    words = ["alpha", "beta", "gamma", "delta", "x", "longword"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 30)))
+             for _ in range(n)]
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array([f"s{int(i)}" for i in
+                            rng.integers(0, n_sources, n)], pa.string()),
+        "n_chars": pa.array(np.array([len(t) for t in texts], np.int64)),
+    })
+
+
+class TestBadSourceFilter:
+    def test_matches_duckdb_on_random_corpus(self, ray_session):
+        from searchenginesimple_ray.stages.filtering import bad_source_filter
+        t = _docs_table(np.random.default_rng(7))
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = bad_source_filter(ds, n_drop=3).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        _assert_oracle(got, con, """
+WITH s AS (
+  SELECT source, CAST(sum(n_chars) * 10000 AS BIGINT) // count(*) AS m
+  FROM documents GROUP BY source
+), b AS (SELECT source FROM s ORDER BY m, source LIMIT 3)
+SELECT doc_id, source FROM documents
+WHERE source NOT IN (SELECT source FROM b)""")
+
+    def test_mean_tie_breaks_by_source_name(self, ray_session):
+        from searchenginesimple_ray.stages.filtering import bad_source_filter
+        # two sources with IDENTICAL means; the lexicographically
+        # smaller one must be the blocked one
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "source": pa.array(["zz", "aa", "good", "good"]),
+            "n_chars": pa.array([10, 10, 100, 100], pa.int64()),
+        })
+        got = bad_source_filter(ray.data.from_arrow(t), n_drop=1) \
+            .to_pandas()
+        assert set(got["source"]) == {"zz", "good"}
+
+
+class TestOutlierClip:
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        from searchenginesimple_ray.stages.filtering import outlier_clip
+        t = _docs_table(np.random.default_rng(11), n=300)
+        ds = ray.data.from_arrow(t).repartition(6)
+        got = outlier_clip(ds).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        _assert_oracle(got, con, r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), q AS (
+  SELECT quantile_disc(n_tokens, 0.0625) AS lo,
+         quantile_disc(n_tokens, 0.9375) AS hi FROM t
+)
+SELECT doc_id, n_tokens FROM t, q
+WHERE n_tokens >= lo AND n_tokens <= hi""")
+
+    def test_small_n_rank_rule(self, ray_session):
+        # n=7: ceil(7/16)=1, ceil(105/16)=7 -> band = [min, max], all kept
+        from searchenginesimple_ray.stages.filtering import outlier_clip
+        texts = ["w " * k for k in range(1, 8)]
+        t = pa.table({"doc_id": pa.array(range(7), pa.int64()),
+                      "text": pa.array(texts)})
+        got = outlier_clip(ray.data.from_arrow(t)).to_pandas()
+        assert len(got) == 7
+
+    def test_band_boundaries_inclusive(self, ray_session):
+        from searchenginesimple_ray.stages.filtering import outlier_clip
+        # 32 docs of increasing length: lo rank ceil(2)=2, hi ceil(30)=30
+        texts = ["w " * k for k in range(1, 33)]
+        t = pa.table({"doc_id": pa.array(range(32), pa.int64()),
+                      "text": pa.array(texts)})
+        got = outlier_clip(ray.data.from_arrow(t).repartition(3)) \
+            .to_pandas().sort_values("doc_id")
+        assert got["n_tokens"].min() == 2 and got["n_tokens"].max() == 30
+        assert len(got) == 29
+
+
+# ------------------------------------------------------------ lag deltas
+
+def _events_table(rng, n=400, n_users=25):
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(
+            (T0 + rng.integers(0, 3600 * US, n)).astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, n_users, n).astype(np.int64)),
+        "event_type": pa.array(rng.choice(["a", "b"], n)),
+        "value": pa.array(rng.random(n)),
+    })
+
+
+class TestLagDeltas:
+    def test_matches_duckdb_lag(self, ray_session):
+        from searchenginesimple_ray.stages.events import lag_deltas_events
+        t = _events_table(np.random.default_rng(3))
+        got = lag_deltas_events(ray.data.from_arrow(t).repartition(7)) \
+            .to_pandas()
+        con = duckdb.connect()
+        con.register("events", t.to_pandas())
+        _assert_oracle(got, con, """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+g AS (
+  SELECT user_id, ts_us - LAG(ts_us) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+  FROM e)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(max(gap), -1) AS BIGINT) AS max_gap_us,
+       CAST(COALESCE(sum(gap), 0) AS BIGINT) AS sum_gap_us
+FROM g GROUP BY user_id""")
+
+    def test_single_event_user_sentinels(self, ray_session):
+        from searchenginesimple_ray.stages.events import lag_deltas_events
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(np.array([T0, T0, T0 + 5], "datetime64[us]")),
+            "user_id": pa.array([1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a"] * 3),
+            "value": pa.array([0.0] * 3),
+        })
+        got = lag_deltas_events(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        assert got.to_dict("records") == [
+            {"user_id": 1, "n_events": 1, "n_gaps": 0,
+             "max_gap_us": -1, "sum_gap_us": 0},
+            {"user_id": 2, "n_events": 2, "n_gaps": 1,
+             "max_gap_us": 5, "sum_gap_us": 5},
+        ]
+
+    def test_same_bucket_users_do_not_mix(self, ray_session):
+        from searchenginesimple_ray.stages.events import lag_deltas_events
+        # users 5 and 69 share bucket 5 (mod 64): the boundary row
+        # between them must not produce a cross-user gap
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(np.array(
+                [T0, T0 + 10, T0 + 100, T0 + 130], "datetime64[us]")),
+            "user_id": pa.array([5, 5, 69, 69], pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([0.0] * 4),
+        })
+        got = lag_deltas_events(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        assert list(got["max_gap_us"]) == [10, 30]
+        assert list(got["sum_gap_us"]) == [10, 30]
+
+
+# ------------------------------------------------------- pricing summary
+
+class TestPricingSummary:
+    CUTOFF_US = 904_694_400_000_000  # 1998-09-02 00:00:00
+
+    def _lineitem(self, rng, n=500):
+        base = np.datetime64("1996-01-01", "us").astype(np.int64)
+        span = np.datetime64("2000-01-01", "us").astype(np.int64) - base
+        return pa.table({
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+            "l_linestatus": pa.array(rng.choice(["F", "O"], n)),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, n).astype(np.float64)),
+            "l_extendedprice": pa.array(
+                np.round(rng.random(n) * 90000 + 900, 2)),
+            "l_discount": pa.array(np.round(rng.random(n) * 0.1, 2)),
+            "l_tax": pa.array(np.round(rng.random(n) * 0.08, 2)),
+            "l_shipdate": pa.array(
+                (base + (rng.random(n) * span).astype(np.int64))
+                .astype("datetime64[us]")),
+        })
+
+    def test_matches_duckdb(self, ray_session):
+        from searchenginesimple_ray.stages.joins import pricing_summary
+        t = self._lineitem(np.random.default_rng(5))
+        got = pricing_summary(ray.data.from_arrow(t).repartition(6),
+                              cutoff_us=self.CUTOFF_US)
+        con = duckdb.connect()
+        con.register("lineitem", t.to_pandas())
+        _assert_oracle(got, con, """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_c
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+       CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_c4,
+       CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+           AS sum_charge_c6,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM c GROUP BY l_returnflag, l_linestatus""")
+
+    def test_cutoff_is_inclusive(self, ray_session):
+        from searchenginesimple_ray.stages.joins import pricing_summary
+        at = np.datetime64("1998-09-02T00:00:00", "us")
+        t = pa.table({
+            "l_returnflag": pa.array(["A", "A"]),
+            "l_linestatus": pa.array(["F", "F"]),
+            "l_quantity": pa.array([1.0, 1.0]),
+            "l_extendedprice": pa.array([10.0, 10.0]),
+            "l_discount": pa.array([0.0, 0.0]),
+            "l_tax": pa.array([0.0, 0.0]),
+            "l_shipdate": pa.array([at, at + 1]),  # at cutoff / 1us past
+        })
+        got = pricing_summary(ray.data.from_arrow(t),
+                              cutoff_us=self.CUTOFF_US)
+        assert got["n_rows"].tolist() == [1]
+
+
+# ----------------------------------------------------------- vocab build
+
+class TestVocabBuild:
+    def test_matches_duckdb(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import vocab_build
+        t = _docs_table(np.random.default_rng(13), n=200)
+        got = vocab_build(ray.data.from_arrow(t).repartition(5))
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        _assert_oracle(got, con, r"""
+WITH p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents)
+), dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p
+           GROUP BY term)
+SELECT term,
+       CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) - 1 AS BIGINT)
+           AS token_id,
+       df
+FROM dfs""")
+
+    def test_df_counts_each_doc_once(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import vocab_build
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["dup dup dup solo", "dup"]),
+        })
+        got = vocab_build(ray.data.from_arrow(t)) \
+            .set_index("term")
+        assert got.loc["dup", "df"] == 2          # not 4
+        assert got.loc["dup", "token_id"] == 0    # df desc
+        assert got.loc["solo", "token_id"] == 1
+
+    def test_rank_ties_break_by_term(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import vocab_build
+        t = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["zeta alpha"]),
+        })
+        got = vocab_build(ray.data.from_arrow(t)).set_index("term")
+        assert got.loc["alpha", "token_id"] == 0
+        assert got.loc["zeta", "token_id"] == 1
+
+    def test_null_text_ignored(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import vocab_build
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b", None]),
+        })
+        got = vocab_build(ray.data.from_arrow(t))
+        assert set(got["term"]) == {"a", "b"}
