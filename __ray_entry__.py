@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": d.q_pricing_summary,
         # frequency-ranked vocabulary build (stages/sketches.vocab_build)
         "vocab_build": d.q_vocab_build,
+        # top-k document-co-occurrence pairs (stages/sketches.cooc_pairs_topk)
+        "cooc_pairs": d.q_cooc_pairs,
     }
 
 
@@ -1331,5 +1333,22 @@ SELECT term,
            AS token_id,
        df
 FROM dfs ORDER BY term
+""",
+        # top-20 document-co-occurrence pairs under the total order
+        # (n_docs DESC, term_a, term_b) — same cut rule as the engine
+        "cooc_pairs": """
+WITH p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '\\S+')) AS term
+    FROM documents)
+), c AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_docs FROM c
+ORDER BY n_docs DESC, term_a, term_b LIMIT 20
 """,
     }

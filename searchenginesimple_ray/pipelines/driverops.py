@@ -993,6 +993,14 @@ def q_vocab_build(sf_dir: str) -> pd.DataFrame:
     return vocab_build(_read_documents(sf_dir))
 
 
+def q_cooc_pairs(sf_dir: str) -> pd.DataFrame:
+    """(term_a, term_b, n_docs): top-20 document-co-occurrent token
+    pairs (PMI/collocation counting core) — vectorized pair expansion
+    + per-batch combiner."""
+    from ..stages.sketches import cooc_pairs_topk
+    return cooc_pairs_topk(_read_documents(sf_dir), k=20)
+
+
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)

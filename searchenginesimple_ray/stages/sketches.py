@@ -461,3 +461,86 @@ def vocab_build(ds: "ray.data.Dataset", text_col: str = "text") \
 
 
 __all__.append("vocab_build")
+
+
+# ----------------------------------------------------- co-occurrence
+
+def cooc_pairs_topk(ds: "ray.data.Dataset", text_col: str = "text",
+                    k: int = 20, max_doc_terms: int = 4096) \
+        -> pd.DataFrame:
+    """(term_a, term_b, n_docs): the k most document-co-occurrent
+    unordered token pairs (term_a < term_b; ties broken by the pair) —
+    the counting core of PMI / collocation mining.
+
+    Scale shape: per batch, docs tokenize vectorized (polars
+    extract_all), dedup to distinct (doc, term) (so a pair counts once
+    per doc), and the pair expansion is PURE INDEX ARITHMETIC (repeat
+    + cumsum-offset arange — no Python loop over docs); each batch
+    then pre-aggregates to one (pair, partial) row per distinct pair.
+    The exchange is bounded by block-vocabulary^2 / 2, NOT token
+    count; the documented path for vocabularies whose pair table
+    exceeds the driver is pair-hash partitioning the partials (the
+    term_df shuffle shape) and combining per-partition top-k with
+    count cut-off certificates.  ``max_doc_terms`` bounds the O(k^2)
+    per-doc blowup: a doc with more distinct terms than that raises
+    loudly rather than silently exploding the exchange (at default
+    4096 a single doc contributes <= 8.4M pair rows).
+    """
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[text_col]).fill_null("")
+        doc_term = pl.DataFrame(
+            {"d": pl.arange(0, len(s), eager=True),
+             "t": s.str.extract_all(r"\S+")}) \
+            .explode("t").drop_nulls("t").unique()
+        if not len(doc_term):
+            return pa.table({"term_a": pa.array([], pa.string()),
+                             "term_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # sort by (doc, term) so within-doc pairs come out a < b
+        doc_term = doc_term.sort(["d", "t"])
+        d = doc_term["d"].to_numpy()
+        terms = doc_term["t"].to_numpy()
+        # doc segment bounds
+        new_doc = np.empty(len(d), dtype=bool)
+        new_doc[:1] = True
+        new_doc[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new_doc)
+        counts = np.diff(np.append(starts, len(d)))
+        if counts.max() > max_doc_terms:
+            raise ValueError(
+                f"doc with {int(counts.max())} distinct terms exceeds "
+                f"max_doc_terms={max_doc_terms}; raise the bound "
+                "explicitly if the pair blowup is intended")
+        # pair index arithmetic: for a segment [s, s+c), element at
+        # local i pairs with every later local j.  a-index repeats
+        # (c-1-i) times; b-indices are one arange per a, offset so it
+        # starts at a+1.
+        local = np.arange(len(d), dtype=np.int64) - np.repeat(
+            starts, counts)
+        reps = np.repeat(counts, counts) - 1 - local      # per-row b count
+        a_idx = np.repeat(np.arange(len(d), dtype=np.int64), reps)
+        # concatenated aranges: global position minus the cumulative
+        # start of its own run, plus (a_idx + 1)
+        run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        pos = np.arange(int(reps.sum()), dtype=np.int64)
+        b_idx = a_idx + 1 + (pos - np.repeat(run_starts, reps))
+        t = pa.table({"term_a": pa.array(terms[a_idx], pa.string()),
+                      "term_b": pa.array(terms[b_idx], pa.string())})
+        return t.group_by(["term_a", "term_b"]).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["term_a", "term_b", "n"])
+
+    pdf = ds.select_columns([text_col]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = pdf.groupby(["term_a", "term_b"], as_index=False)["n"].sum()
+    agg["n"] = agg["n"].astype(np.int64)
+    agg = agg.sort_values(["n", "term_a", "term_b"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+    return agg.rename(columns={"n": "n_docs"}) \
+        .sort_values(["term_a", "term_b"]).reset_index(drop=True)
+
+
+__all__.append("cooc_pairs_topk")

@@ -298,3 +298,52 @@ FROM dfs""")
         })
         got = vocab_build(ray.data.from_arrow(t))
         assert set(got["term"]) == {"a", "b"}
+
+
+# ------------------------------------------------------- cooc pairs
+
+class TestCoocPairs:
+    def test_matches_duckdb(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import cooc_pairs_topk
+        t = _docs_table(np.random.default_rng(17), n=150)
+        got = cooc_pairs_topk(ray.data.from_arrow(t).repartition(4),
+                              k=10)
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        _assert_oracle(got, con, r"""
+WITH p AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents)
+), c AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2)
+SELECT term_a, term_b, n_docs FROM c
+ORDER BY n_docs DESC, term_a, term_b LIMIT 10""")
+
+    def test_pair_counted_once_per_doc(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import cooc_pairs_topk
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["a b a b a", "b a"])})
+        got = cooc_pairs_topk(ray.data.from_arrow(t), k=5)
+        assert got.to_dict("records") == [
+            {"term_a": "a", "term_b": "b", "n_docs": 2}]
+
+    def test_doc_term_bound_raises(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import cooc_pairs_topk
+        text = " ".join(f"w{i}" for i in range(50))
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([text])})
+        with pytest.raises(Exception, match="max_doc_terms"):
+            cooc_pairs_topk(ray.data.from_arrow(t), k=5,
+                            max_doc_terms=10)
+
+    def test_null_and_single_term_docs(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import cooc_pairs_topk
+        t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array([None, "solo", "x y"])})
+        got = cooc_pairs_topk(ray.data.from_arrow(t), k=5)
+        assert got.to_dict("records") == [
+            {"term_a": "x", "term_b": "y", "n_docs": 1}]
