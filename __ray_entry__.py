@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_build": d.q_vocab_build,
         # top-k document-co-occurrence pairs (stages/sketches.cooc_pairs_topk)
         "cooc_pairs": d.q_cooc_pairs,
+        # per-label embedding centroids, exact fixed-point sums
+        # (pipelines/similarity.label_centroids)
+        "label_centroids": d.q_label_centroids,
     }
 
 
@@ -1350,5 +1353,18 @@ WITH p AS (
 )
 SELECT term_a, term_b, n_docs FROM c
 ORDER BY n_docs DESC, term_a, term_b LIMIT 20
+""",
+        # per-label embedding centroid component sums, quantized ONCE
+        # per value with the engine's floor(x*1e6+0.5) rule (float32
+        # -> double is exact) so int64 sums are order-independent
+        "label_centroids": """
+SELECT CAST(label AS BIGINT) AS label, dim - 1 AS dim,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_fp,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim ORDER BY label, dim
 """,
     }

@@ -993,6 +993,16 @@ def q_vocab_build(sf_dir: str) -> pd.DataFrame:
     return vocab_build(_read_documents(sf_dir))
 
 
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """(label, dim, sum_fp, n): per-label embedding centroid as exact
+    fixed-point component sums (floor(x*1e6+0.5) quantization, int64
+    sums — bit-stable under any partitioning)."""
+    from .similarity import label_centroids
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
 def q_cooc_pairs(sf_dir: str) -> pd.DataFrame:
     """(term_a, term_b, n_docs): top-20 document-co-occurrent token
     pairs (PMI/collocation counting core) — vectorized pair expansion

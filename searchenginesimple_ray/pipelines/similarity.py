@@ -374,3 +374,52 @@ def semdedup(ds: ray.data.Dataset, id_col: str, vec_col: str,
 
     return assigned.groupby("ivf_partition").map_groups(
         dedup_group, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- label centroids
+
+CENTROID_FP_SCALE = 1_000_000
+
+
+def label_centroids(ds: ray.data.Dataset, label_col: str = "label",
+                    vec_col: str = "embedding") -> pd.DataFrame:
+    """(label, dim, sum_fp, n): per-label embedding centroid as EXACT
+    fixed-point component sums — the class-prototype / cluster-stats
+    aggregate (centroid = sum_fp / (n * CENTROID_FP_SCALE), computed
+    by the caller so nothing here is float-order-dependent).
+
+    Each component is quantized ONCE per value with the engine's
+    floor(x * 1e6 + 0.5) rule (float32 -> float64 is exact, so any
+    engine — including the BIGINT SQL oracle — reproduces the int64
+    sums bit-for-bit regardless of partitioning or summation order).
+
+    Scale shape: per batch, the list column flattens zero-copy to a
+    (rows x dim) matrix, quantizes vectorized, and reduces via
+    np.add.at per label — the exchange carries one (label, dim)
+    partial row per label seen in the block, bounded by
+    |labels| x dim, not row count.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        V = _vec_matrix(batch, vec_col)
+        fp = np.floor(V * CENTROID_FP_SCALE + 0.5).astype(np.int64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), fp.shape[1]), np.int64)
+        np.add.at(sums, inv, fp)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_lab, dim = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    n_lab)),
+            "sum_fp": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, dim)),
+        })
+
+    pdf = ds.select_columns([label_col, vec_col]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pdf.groupby(["label", "dim"], as_index=False).sum()
+    for c in ("sum_fp", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)

@@ -347,3 +347,49 @@ ORDER BY n_docs DESC, term_a, term_b LIMIT 10""")
         got = cooc_pairs_topk(ray.data.from_arrow(t), k=5)
         assert got.to_dict("records") == [
             {"term_a": "x", "term_b": "y", "n_docs": 1}]
+
+
+# -------------------------------------------------------- label centroids
+
+class TestLabelCentroids:
+    def test_matches_duckdb_fixed_point(self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import \
+            label_centroids
+        rng = np.random.default_rng(23)
+        n, dim = 200, 8
+        vecs = (rng.standard_normal((n, dim)) * 3).astype(np.float32)
+        t = pa.table({
+            "label": pa.array(rng.integers(0, 5, n).astype(np.int32)),
+            "embedding": pa.array(list(vecs),
+                                  pa.list_(pa.float32())),
+        })
+        got = label_centroids(ray.data.from_arrow(t).repartition(6))
+        con = duckdb.connect()
+        con.register("embeddings", t.to_pandas())
+        _assert_oracle(got, con, """
+SELECT CAST(label AS BIGINT) AS label, dim - 1 AS dim,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_fp,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim FROM embeddings)
+GROUP BY label, dim""")
+
+    def test_exact_known_sums(self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import \
+            label_centroids
+        t = pa.table({
+            "label": pa.array([1, 1, 2], pa.int32()),
+            "embedding": pa.array(
+                [[0.5, -0.5], [0.25, 0.5], [1.0, 2.0]],
+                pa.list_(pa.float32())),
+        })
+        got = label_centroids(ray.data.from_arrow(t))
+        # floor(x*1e6 + 0.5): 0.5 -> 500000, -0.5 -> floor(-499999.5)
+        # = -500000 (round half UP, so the pair cancels exactly)
+        assert got.to_dict("records") == [
+            {"label": 1, "dim": 0, "sum_fp": 750000, "n": 2},
+            {"label": 1, "dim": 1, "sum_fp": 0, "n": 2},
+            {"label": 2, "dim": 0, "sum_fp": 1000000, "n": 1},
+            {"label": 2, "dim": 1, "sum_fp": 2000000, "n": 1},
+        ]
