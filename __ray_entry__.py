@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label embedding centroids, exact fixed-point sums
         # (pipelines/similarity.label_centroids)
         "label_centroids": d.q_label_centroids,
+        # one-scan GROUPING SETS rollup (stages/events.rollup_events)
+        "rollup": d.q_rollup,
     }
 
 
@@ -1366,5 +1368,22 @@ FROM (SELECT label, unnest(embedding) AS v,
              generate_subscripts(embedding, 1) AS dim
       FROM embeddings)
 GROUP BY label, dim ORDER BY label, dim
+""",
+        # four grains in one statement; sentinels match the engine
+        # ('ALL' never collides: no real event_type equals it, and
+        # day_us is always a positive epoch multiple)
+        "rollup": """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COALESCE(day_us, -1) AS BIGINT) AS day_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM (SELECT event_type,
+             CAST((epoch_us(ts) // 86400000000) * 86400000000
+                  AS BIGINT) AS day_us,
+             CAST(floor(100 * value + 0.5) AS BIGINT) AS cents
+      FROM events)
+GROUP BY GROUPING SETS ((event_type, day_us), (event_type),
+                        (day_us), ())
+ORDER BY 1, 2
 """,
     }

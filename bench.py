@@ -166,6 +166,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("vocab_build", d.q_vocab_build),
                      ("cooc_pairs", d.q_cooc_pairs),
                      ("label_centroids", d.q_label_centroids),
+                     ("rollup", d.q_rollup),
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),

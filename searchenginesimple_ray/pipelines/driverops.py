@@ -993,6 +993,14 @@ def q_vocab_build(sf_dir: str) -> pd.DataFrame:
     return vocab_build(_read_documents(sf_dir))
 
 
+def q_rollup(sf_dir: str) -> pd.DataFrame:
+    """(event_type, day_us, n_events, sum_value_cents) at FOUR grains
+    (GROUPING SETS): finest exchanged once, coarser grains derived —
+    sentinel keys 'ALL' / -1."""
+    from ..stages.events import rollup_events
+    return rollup_events(_read_events(sf_dir))
+
+
 def q_label_centroids(sf_dir: str) -> pd.DataFrame:
     """(label, dim, sum_fp, n): per-label embedding centroid as exact
     fixed-point component sums (floor(x*1e6+0.5) quantization, int64

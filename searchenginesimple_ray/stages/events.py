@@ -393,3 +393,59 @@ def lag_deltas_events(events: ray.data.Dataset,
     return events.select_columns(["event_id", "ts", "user_id"]) \
         .map_batches(with_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(kernel, batch_format="pandas")
+
+
+# ------------------------------------------------- grouping-sets rollup
+
+ROLLUP_ALL = "ALL"          # grain marker; no real event_type equals it
+DAY_US = 86_400_000_000
+
+
+def rollup_events(events: ray.data.Dataset) -> pd.DataFrame:
+    """Multi-grain aggregate in ONE scan — SQL GROUPING SETS
+    ((event_type, day), (event_type), (day), ()) over event count and
+    exact cent sums.  Coarser grains use sentinel keys: event_type =
+    'ALL', day_us = -1.
+
+    Scale shape: sums are distributive, so only the FINEST grain
+    (event_type x day) is ever exchanged — one partial row per
+    (type, day) per block — and every coarser grain is derived from
+    the combined finest table driver-side without touching the corpus
+    again.  This is the canonical cube/rollup plan at 100 TB: N grains
+    for the exchange cost of one.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day_us": pa.array((ts // DAY_US) * DAY_US),
+            "cents": pa.array(_cents(batch)),
+        })
+        return t.group_by(["event_type", "day_us"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]).rename_columns(
+            ["event_type", "day_us", "cents", "n"])
+
+    part = events.select_columns(["event_type", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    finest = part.groupby(["event_type", "day_us"], as_index=False) \
+        .agg(n_events=("n", "sum"), sum_value_cents=("cents", "sum"))
+
+    by_type = finest.groupby("event_type", as_index=False) \
+        [["n_events", "sum_value_cents"]].sum()
+    by_type["day_us"] = np.int64(-1)
+    by_day = finest.groupby("day_us", as_index=False) \
+        [["n_events", "sum_value_cents"]].sum()
+    by_day["event_type"] = ROLLUP_ALL
+    total = pd.DataFrame({
+        "event_type": [ROLLUP_ALL], "day_us": [np.int64(-1)],
+        "n_events": [finest["n_events"].sum()],
+        "sum_value_cents": [finest["sum_value_cents"].sum()],
+    })
+    out = pd.concat([finest, by_type, by_day, total], ignore_index=True)
+    cols = ["event_type", "day_us", "n_events", "sum_value_cents"]
+    out = out[cols]
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["event_type", "day_us"]) \
+        .reset_index(drop=True)

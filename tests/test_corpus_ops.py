@@ -393,3 +393,44 @@ GROUP BY label, dim""")
             {"label": 2, "dim": 0, "sum_fp": 1000000, "n": 1},
             {"label": 2, "dim": 1, "sum_fp": 2000000, "n": 1},
         ]
+
+
+# ---------------------------------------------------------- rollup
+
+class TestRollup:
+    def test_matches_duckdb_grouping_sets(self, ray_session):
+        from searchenginesimple_ray.stages.events import rollup_events
+        t = _events_table(np.random.default_rng(29), n=300)
+        got = rollup_events(ray.data.from_arrow(t).repartition(5))
+        con = duckdb.connect()
+        con.register("events", t.to_pandas())
+        _assert_oracle(got, con, """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       CAST(COALESCE(day_us, -1) AS BIGINT) AS day_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM (SELECT event_type,
+             CAST((epoch_us(ts) // 86400000000) * 86400000000
+                  AS BIGINT) AS day_us,
+             CAST(floor(100 * value + 0.5) AS BIGINT) AS cents
+      FROM events)
+GROUP BY GROUPING SETS ((event_type, day_us), (event_type),
+                        (day_us), ())""")
+
+    def test_grain_consistency(self, ray_session):
+        # the four grains must agree: total == sum(by_type) ==
+        # sum(by_day) == sum(finest)
+        from searchenginesimple_ray.stages.events import rollup_events
+        t = _events_table(np.random.default_rng(31), n=120)
+        got = rollup_events(ray.data.from_arrow(t).repartition(3))
+        finest = got[(got["event_type"] != "ALL") & (got["day_us"] != -1)]
+        by_type = got[(got["event_type"] != "ALL") & (got["day_us"] == -1)]
+        by_day = got[(got["event_type"] == "ALL") & (got["day_us"] != -1)]
+        total = got[(got["event_type"] == "ALL") & (got["day_us"] == -1)]
+        assert len(total) == 1
+        for col in ("n_events", "sum_value_cents"):
+            tot = total[col].iloc[0]
+            assert finest[col].sum() == tot
+            assert by_type[col].sum() == tot
+            assert by_day[col].sum() == tot
+        assert total["n_events"].iloc[0] == 120
