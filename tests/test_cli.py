@@ -1,0 +1,75 @@
+"""CLI (`python -m searchenginesimple_ray`): build -> query ->
+suggest -> append -> compact against a tiny corpus, exercised through
+``main(argv)`` in-process (the session Ray fixture doubles as the CLI
+session — `_init_ray` is a no-op when Ray is already up)."""
+
+import json
+import os
+
+import pytest
+
+from searchenginesimple_ray.__main__ import main
+
+TEST_ROOT = "/tmp/sesr_pytest/cli"
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(ray_session):
+    from searchenginesimple_ray.sources.transcripts import \
+        generate_transcripts
+    return generate_transcripts(f"{TEST_ROOT}/corpus", n_convs=40,
+                                seed=12)
+
+
+def test_build_query_suggest_append_compact(cli_corpus, capsys):
+    idx = f"{TEST_ROOT}/idx"
+
+    assert main(["build", "--input", cli_corpus, "--out", idx]) == 0
+    built = json.loads(capsys.readouterr().out.strip())
+    assert built["n_docs"] > 0
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+
+    # a real corpus term (from the doc store) must return hits
+    import pyarrow.parquet as pq
+    text = pq.read_table(os.path.join(idx, "docs"),
+                         columns=["text"])["text"][0].as_py()
+    term = text.split()[0]
+    # 4-CPU test session: cap the scorer pool (prod defaults would
+    # request one full CPU per doc shard and starve the scheduler)
+    qargs = ["--actors", "2", "--actor-cpus", "0.5"]
+    assert main(["query", "--index", idx, "-k", "3", *qargs, term]) == 0
+    hits = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert hits and hits[0]["rank"] == 0 and "score" in hits[0]
+
+    assert main(["suggest", "--index", idx, "-k", "2", term]) == 0
+    sug = [json.loads(l) for l in
+           capsys.readouterr().out.strip().splitlines()]
+    assert sug and sug[0]["distance"] == 0     # exact term is in dict
+    # suggest artifacts are cached inside the index
+    assert os.path.exists(os.path.join(idx, "suggest", "dict.parquet"))
+
+    from searchenginesimple_ray.sources.transcripts import \
+        generate_transcripts
+    delta = generate_transcripts(f"{TEST_ROOT}/delta", n_convs=6,
+                                 seed=13, conv_prefix="convz-")
+    assert main(["append", "--input", delta, "--index", idx]) == 0
+    appended = json.loads(capsys.readouterr().out.strip())
+    assert appended["n_new_docs"] >= built["n_docs"]
+
+    assert main(["compact", "--index", idx]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["compacted"]
+
+    # the queried term still resolves identically after append+compact
+    assert main(["query", "--index", idx, "-k", "3", *qargs, term]) == 0
+    hits2 = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert hits2[0]["doc_id"] == hits[0]["doc_id"]
+
+
+def test_input_files_skips_sidecars(cli_corpus):
+    from searchenginesimple_ray.__main__ import _input_files
+    files = _input_files(cli_corpus)
+    assert files and all("part-" in os.path.basename(f) for f in files)
+    with pytest.raises(SystemExit):
+        _input_files(f"{TEST_ROOT}/does-not-exist")
