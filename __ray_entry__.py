@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": d.q_label_centroids,
         # one-scan GROUPING SETS rollup (stages/events.rollup_events)
         "rollup": d.q_rollup,
+        # end-to-end curation chain: Gopher keep -> exact dedup ->
+        # split, one streaming scan (pipelines/curation.py)
+        "curation_keep": d.q_curation_keep,
     }
 
 
@@ -300,6 +303,74 @@ npairs AS (
   JOIN sz sb ON sb.doc_id = dst
   WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
 )"""
+
+
+def _gopher_sql() -> str:
+    """Gopher table-A1 verdict SELECT (no ORDER BY) — shared by the
+    gopher_quality_keep entry and the curation_keep composition."""
+    return f"""
+WITH doc AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS text FROM documents
+), tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+  FROM doc
+),
+big AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM tok WHERE len(toks) >= 2)
+),
+bigc AS (
+  SELECT doc_id, max(c) AS mx
+  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+  FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' '
+                       || toks[i + 2] AS g
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM tok WHERE len(toks) >= 3))
+  GROUP BY doc_id
+),
+stopd AS (
+  SELECT doc_id, count(DISTINCT t) AS ns
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) u
+  WHERE u.t IN ({_stoplist_sql()}) GROUP BY doc_id
+),
+base AS (
+  SELECT t.doc_id,
+         CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(d.text, '\\s', '', 'g'))
+              AS BIGINT) AS word_chars,
+         CAST(coalesce(s.ns, 0) AS BIGINT) AS n_stop_distinct,
+         CAST(coalesce(bigc.mx, 0) AS BIGINT) AS top_bigram_count,
+         CAST(coalesce(tri.total - tri.dist, 0) AS BIGINT)
+             AS n_dup_trigrams
+  FROM tok t
+  JOIN doc d ON d.doc_id = t.doc_id
+  LEFT JOIN bigc ON bigc.doc_id = t.doc_id
+  LEFT JOIN tri ON tri.doc_id = t.doc_id
+  LEFT JOIN stopd s ON s.doc_id = t.doc_id
+), bits AS (
+  SELECT *,
+         CAST(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END
+            + CASE WHEN n_tokens > 100000 THEN 2 ELSE 0 END
+            + CASE WHEN word_chars < 3 * n_tokens THEN 4 ELSE 0 END
+            + CASE WHEN word_chars > 10 * n_tokens THEN 8 ELSE 0 END
+            + CASE WHEN n_stop_distinct < 2 THEN 16 ELSE 0 END
+            + CASE WHEN 100 * top_bigram_count >
+                   20 * greatest(n_tokens - 1, 0) THEN 32 ELSE 0 END
+            + CASE WHEN 100 * n_dup_trigrams >
+                   30 * greatest(n_tokens - 2, 0) THEN 64 ELSE 0 END
+           AS BIGINT) AS rule_bits
+  FROM base
+)
+SELECT doc_id, n_tokens, word_chars, n_stop_distinct,
+       top_bigram_count, n_dup_trigrams, rule_bits,
+       CAST(CASE WHEN rule_bits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM bits"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1132,70 +1203,8 @@ FROM c ORDER BY doc_id
         # Gopher table-A1 rules, word-level integer-exact form over
         # lowercased whitespace tokens; bit i of rule_bits = rule i
         # failed (see stages/textstages.GOPHER_RULES)
-        "gopher_quality_keep": f"""
-WITH doc AS (
-  SELECT doc_id, lower(coalesce(text, '')) AS text FROM documents
-), tok AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-                             x -> x <> '') AS toks
-  FROM doc
-),
-big AS (
-  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
-  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-        FROM tok WHERE len(toks) >= 2)
-),
-bigc AS (
-  SELECT doc_id, max(c) AS mx
-  FROM (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2)
-  GROUP BY doc_id
-),
-tri AS (
-  SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
-  FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' '
-                       || toks[i + 2] AS g
-        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
-              FROM tok WHERE len(toks) >= 3))
-  GROUP BY doc_id
-),
-stopd AS (
-  SELECT doc_id, count(DISTINCT t) AS ns
-  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) u
-  WHERE u.t IN ({_stoplist_sql()}) GROUP BY doc_id
-),
-base AS (
-  SELECT t.doc_id,
-         CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         CAST(length(regexp_replace(d.text, '\\s', '', 'g'))
-              AS BIGINT) AS word_chars,
-         CAST(coalesce(s.ns, 0) AS BIGINT) AS n_stop_distinct,
-         CAST(coalesce(bigc.mx, 0) AS BIGINT) AS top_bigram_count,
-         CAST(coalesce(tri.total - tri.dist, 0) AS BIGINT)
-             AS n_dup_trigrams
-  FROM tok t
-  JOIN doc d ON d.doc_id = t.doc_id
-  LEFT JOIN bigc ON bigc.doc_id = t.doc_id
-  LEFT JOIN tri ON tri.doc_id = t.doc_id
-  LEFT JOIN stopd s ON s.doc_id = t.doc_id
-), bits AS (
-  SELECT *,
-         CAST(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END
-            + CASE WHEN n_tokens > 100000 THEN 2 ELSE 0 END
-            + CASE WHEN word_chars < 3 * n_tokens THEN 4 ELSE 0 END
-            + CASE WHEN word_chars > 10 * n_tokens THEN 8 ELSE 0 END
-            + CASE WHEN n_stop_distinct < 2 THEN 16 ELSE 0 END
-            + CASE WHEN 100 * top_bigram_count >
-                   20 * greatest(n_tokens - 1, 0) THEN 32 ELSE 0 END
-            + CASE WHEN 100 * n_dup_trigrams >
-                   30 * greatest(n_tokens - 2, 0) THEN 64 ELSE 0 END
-           AS BIGINT) AS rule_bits
-  FROM base
-)
-SELECT doc_id, n_tokens, word_chars, n_stop_distinct,
-       top_bigram_count, n_dup_trigrams, rule_bits,
-       CAST(CASE WHEN rule_bits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-FROM bits ORDER BY doc_id
-""",
+        # Gopher verdict SELECT shared with curation_keep
+        "gopher_quality_keep": _gopher_sql() + " ORDER BY doc_id",
         # first-touch funnel: t1 = user's first view, t2 = first click
         # AFTER t1, t3 = first purchase AFTER t2; complete iff
         # t3 - t1 <= 7 days (epoch-us int64, bit-stable)
@@ -1385,5 +1394,26 @@ FROM (SELECT event_type,
 GROUP BY GROUPING SETS ((event_type, day_us), (event_type),
                         (day_us), ())
 ORDER BY 1, 2
+""",
+        # curation composition: Gopher keep (shared verdict SELECT) ->
+        # first-wins exact text dedup -> the hash_split assignment
+        # (identical BIGINT arithmetic, seed 0, 80/10/10)
+        "curation_keep": f"""
+WITH g AS ({_gopher_sql()}),
+k AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN g ON g.doc_id = d.doc_id WHERE g.keep = 1
+), f AS (
+  SELECT min(doc_id) AS doc_id FROM k GROUP BY text
+), h AS (
+  SELECT doc_id,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+  FROM f
+)
+SELECT doc_id,
+       CASE WHEN hv < 3435973836 THEN 'train'
+            WHEN hv < 3865470566 THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
 """,
     }

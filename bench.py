@@ -167,6 +167,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("cooc_pairs", d.q_cooc_pairs),
                      ("label_centroids", d.q_label_centroids),
                      ("rollup", d.q_rollup),
+                     ("curation_keep", d.q_curation_keep),
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),

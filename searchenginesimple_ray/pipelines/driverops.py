@@ -993,6 +993,16 @@ def q_vocab_build(sf_dir: str) -> pd.DataFrame:
     return vocab_build(_read_documents(sf_dir))
 
 
+def q_curation_keep(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, split): the end-to-end curation composition — Gopher
+    quality filter -> exact first-wins text dedup -> deterministic
+    80/10/10 split — as ONE streaming chain (pipelines/curation.py)."""
+    from .curation import curate_df
+    return curate_df(_read_documents(sf_dir),
+                     stop_words=DEFAULT_STOP_WORDS,
+                     min_tokens=GOPHER_MIN_TOKENS, seed=0)
+
+
 def q_rollup(sf_dir: str) -> pd.DataFrame:
     """(event_type, day_us, n_events, sum_value_cents) at FOUR grains
     (GROUPING SETS): finest exchanged once, coarser grains derived —

@@ -337,7 +337,8 @@ def gopher_quality(ds: ray.data.Dataset, id_col: str = "doc_id",
                    min_mean_len: int = 3, max_mean_len: int = 10,
                    min_stop_distinct: int = 2, top_bigram_pct: int = 20,
                    dup_trigram_pct: int = 30,
-                   batch_size: int = 4096) -> ray.data.Dataset:
+                   batch_size: int = 4096,
+                   keep_filter: bool = False) -> ray.data.Dataset:
     """Per-doc Gopher-rule quality verdicts: (doc_id, n_tokens,
     word_chars, n_stop_distinct, top_bigram_count, n_dup_trigrams,
     rule_bits, keep).  Tokens are lowercased whitespace words under
@@ -346,7 +347,12 @@ def gopher_quality(ds: ray.data.Dataset, id_col: str = "doc_id",
     ``string_split_regex(text, '\\s+')`` agrees token-for-token;
     ``word_chars`` counts non-whitespace characters under the same
     RE2 ``\\s``.  NULL text = empty string on both sides.  Pure
-    streaming map — no shuffle, one lexsort per batch."""
+    streaming map — no shuffle, one lexsort per batch.
+
+    ``keep_filter=True`` returns the SURVIVING (id, text) rows instead
+    of verdicts — the composable streaming-filter form (the keep
+    decision never leaves the batch, so downstream stages chain with
+    no join and no materialization)."""
     import pyarrow.compute as pc
 
     from ..functions.hashing import fnv1a64
@@ -382,6 +388,8 @@ def gopher_quality(ds: ray.data.Dataset, id_col: str = "doc_id",
                 * np.maximum(n_tok - 1, 0)).astype(np.int64) << 5)
             | ((100 * dup3 > dup_trigram_pct
                 * np.maximum(n_tok - 2, 0)).astype(np.int64) << 6))
+        if keep_filter:
+            return batch.filter(pa.array(bits == 0))
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "n_tokens": pa.array(n_tok),

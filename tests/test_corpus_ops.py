@@ -434,3 +434,57 @@ GROUP BY GROUPING SETS ((event_type, day_us), (event_type),
             assert by_type[col].sum() == tot
             assert by_day[col].sum() == tot
         assert total["n_events"].iloc[0] == 120
+
+
+# ------------------------------------------------------ curation chain
+
+class TestCurationKeep:
+    def _corpus(self, rng, n=260):
+        words = ["the", "and", "for", "with", "alpha", "beta", "gamma",
+                 "delta", "epsilon", "zeta", "eta", "theta"]
+        texts = [" ".join(rng.choice(words, size=int(rng.integers(2, 80))))
+                 for _ in range(n)]
+        # inject exact duplicates so the dedup stage has real work
+        for i in range(0, n - 10, 17):
+            texts[i + 3] = texts[i]
+        return pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    def test_matches_duckdb_composition(self, ray_session):
+        from searchenginesimple_ray.config import DEFAULT_STOP_WORDS
+        from searchenginesimple_ray.pipelines.curation import curate_df
+        t = self._corpus(np.random.default_rng(37))
+        got = curate_df(ray.data.from_arrow(t).repartition(6),
+                        stop_words=DEFAULT_STOP_WORDS, min_tokens=30,
+                        seed=0)
+        import __ray_entry__ as e
+        sql = e.oracle_sql()["curation_keep"]
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        _assert_oracle(got, con, sql)
+        # the chain did real work at every stage: some docs dropped by
+        # quality, some by dedup, survivors span several splits
+        assert 0 < len(got) < len(t)
+        assert got["doc_id"].is_unique
+        assert set(got["split"]) <= {"train", "val", "test"}
+        assert len(set(got["split"])) >= 2
+
+    def test_first_wins_within_quality_survivors(self, ray_session):
+        # a duplicate pair where the EARLIER doc fails quality: the
+        # later copy must survive (dedup runs on quality survivors,
+        # not the raw corpus)
+        from searchenginesimple_ray.config import DEFAULT_STOP_WORDS
+        from searchenginesimple_ray.pipelines.curation import curate_df
+        # passes every Gopher rule: 40 tokens, mean word length in
+        # [3, 10], two distinct stop words, all-distinct n-grams
+        good = "the and " + " ".join(f"word{i:03d}" for i in range(38))
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["too short", good, good]),
+        })
+        got = curate_df(ray.data.from_arrow(t),
+                        stop_words=DEFAULT_STOP_WORDS,
+                        min_tokens=30, seed=0)
+        assert list(got["doc_id"]) == [1]
