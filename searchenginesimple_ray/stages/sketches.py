@@ -203,18 +203,21 @@ def grouped_distinct_tokens(ds: ray.data.Dataset, text_col: str = "text",
     """
 
     def pairs(batch: pa.Table) -> pa.Table:
-        groups = batch[group_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        gs: list = []
-        ts: list[str] = []
-        for g, t in zip(groups, texts):
-            for tok in set(t.split()):
-                gs.append(g)
-                ts.append(tok)
-        # group dtype inferred, so non-string group columns work too
-        tb = pa.table({"g": pa.array(gs, batch[group_col].type),
-                       "t": pa.array(ts, pa.string())})
-        return tb.group_by(["g", "t"]).aggregate([])
+        # vectorized: one polars extract_all over the whole batch,
+        # explode, and a columnar distinct — no Python row loop
+        import polars as pl
+        df = pl.DataFrame({
+            "g": pl.from_arrow(batch[group_col].combine_chunks()
+                               if isinstance(batch[group_col],
+                                             pa.ChunkedArray)
+                               else batch[group_col]),
+            "t": pl.from_arrow(batch[text_col].combine_chunks()
+                               if isinstance(batch[text_col],
+                                             pa.ChunkedArray)
+                               else batch[text_col])
+                .fill_null("").str.extract_all(r"\S+"),
+        }).explode("t").drop_nulls("t").unique()
+        return df.to_arrow()
 
     part = ds.select_columns([group_col, text_col]) \
         .map_batches(pairs, batch_format="pyarrow").to_pandas()
