@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end curation chain: Gopher keep -> exact dedup ->
         # split, one streaming scan (pipelines/curation.py)
         "curation_keep": d.q_curation_keep,
+        # weekly retention triangle (stages/events.retention_cohorts)
+        "retention": d.q_retention,
     }
 
 
@@ -1415,5 +1417,21 @@ SELECT doc_id,
             WHEN hv < 3865470566 THEN 'val'
             ELSE 'test' END AS split
 FROM h ORDER BY doc_id
+""",
+        # weekly retention triangle: cohort = user's min epoch-week,
+        # n_users = distinct cohort users active k weeks later
+        "retention": """
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS w
+  FROM events
+), fw AS (
+  SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id
+)
+SELECT CAST(cw AS BIGINT) AS cohort_week,
+       CAST(w - cw AS BIGINT) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM wk JOIN fw USING (user_id)
+GROUP BY cw, w ORDER BY cohort_week, weeks_since
 """,
     }

@@ -168,6 +168,7 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("label_centroids", d.q_label_centroids),
                      ("rollup", d.q_rollup),
                      ("curation_keep", d.q_curation_keep),
+                     ("retention", d.q_retention),
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),

@@ -993,6 +993,14 @@ def q_vocab_build(sf_dir: str) -> pd.DataFrame:
     return vocab_build(_read_documents(sf_dir))
 
 
+def q_retention(sf_dir: str) -> pd.DataFrame:
+    """(cohort_week, weeks_since, n_users): weekly retention triangle
+    over the events stream — per-user first-week anchor + distinct
+    active weeks, derived in ONE bucket kernel (no self-join)."""
+    from ..stages.events import retention_cohorts
+    return retention_cohorts(_read_events(sf_dir))
+
+
 def q_curation_keep(sf_dir: str) -> pd.DataFrame:
     """(doc_id, split): the end-to-end curation composition — Gopher
     quality filter -> exact first-wins text dedup -> deterministic

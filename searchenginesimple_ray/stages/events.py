@@ -449,3 +449,72 @@ def rollup_events(events: ray.data.Dataset) -> pd.DataFrame:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["event_type", "day_us"]) \
         .reset_index(drop=True)
+
+
+# ------------------------------------------------------ retention cohorts
+
+WEEK_US = 7 * DAY_US
+
+
+def retention_cohorts(events: ray.data.Dataset,
+                      n_buckets: int = 64) -> pd.DataFrame:
+    """(cohort_week, weeks_since, n_users): weekly retention triangle —
+    users grouped by the epoch-week of their FIRST event (the cohort);
+    n_users = distinct users of that cohort active ``weeks_since``
+    weeks later (0 = the cohort week itself, so every cohort's
+    weeks_since=0 row equals its size).
+
+    Scale shape: only (user_id, week) enters the exchange (16 B/row,
+    pre-deduplicated per batch), the coarse user-bucket shuffle
+    co-locates each user, and ONE kernel per bucket derives the
+    per-user anchor (min week) AND the (cohort, delta) pairs — no
+    self-join: the anchor broadcast the SQL formulation needs is free
+    because the user's rows are already together.  The kernel emits
+    per-bucket partial counts; buckets partition users, so partials
+    sum to exact distinct-user counts.
+    """
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "week": pa.array(ts // WEEK_US),
+            "bucket": pa.array((uid % n_buckets).astype(np.int32)),
+        })
+        # per-batch (user, week) dedup before the exchange
+        return t.group_by(["user_id", "week", "bucket"]).aggregate([])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        wk = g["week"].to_numpy()
+        order = np.lexsort((wk, uid))
+        uid, wk = uid[order], wk[order]
+        new_u = np.empty(len(uid), dtype=bool)
+        new_u[:1] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        # cross-batch duplicates survive the per-batch dedup; drop them
+        dup = np.zeros(len(uid), dtype=bool)
+        dup[1:] = (~new_u[1:]) & (wk[1:] == wk[:-1])
+        uid, wk, new_u = uid[~dup], wk[~dup], new_u[~dup]
+        starts = np.flatnonzero(new_u)
+        counts = np.diff(np.append(starts, len(uid)))
+        cohort = np.repeat(wk[starts], counts)     # user's min week
+        delta = wk - cohort
+        key = pd.DataFrame({"cohort_week": cohort,
+                            "weeks_since": delta})
+        out = key.groupby(["cohort_week", "weeks_since"],
+                          as_index=False).size() \
+            .rename(columns={"size": "n_users"})
+        return out
+
+    part = events.select_columns(["user_id", "ts"]) \
+        .map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kernel, batch_format="pandas") \
+        .to_pandas()
+    out = part.groupby(["cohort_week", "weeks_since"], as_index=False) \
+        ["n_users"].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["cohort_week", "weeks_since"]) \
+        .reset_index(drop=True)

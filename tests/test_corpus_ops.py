@@ -488,3 +488,57 @@ class TestCurationKeep:
                         stop_words=DEFAULT_STOP_WORDS,
                         min_tokens=30, seed=0)
         assert list(got["doc_id"]) == [1]
+
+
+# -------------------------------------------------------- retention
+
+class TestRetention:
+    def test_matches_duckdb(self, ray_session):
+        from searchenginesimple_ray.stages.events import retention_cohorts
+        rng = np.random.default_rng(41)
+        n = 500
+        t = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array((T0 + rng.integers(0, 60, n)
+                            * 86_400_000_000).astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "event_type": pa.array(rng.choice(["a", "b"], n)),
+            "value": pa.array(rng.random(n)),
+        })
+        got = retention_cohorts(ray.data.from_arrow(t).repartition(7))
+        con = duckdb.connect()
+        con.register("events", t.to_pandas())
+        _assert_oracle(got, con, """
+WITH wk AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+  FROM events
+), fw AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY user_id)
+SELECT CAST(cw AS BIGINT) AS cohort_week,
+       CAST(w - cw AS BIGINT) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM wk JOIN fw USING (user_id) GROUP BY cw, w""")
+
+    def test_cohort_zero_row_equals_cohort_size(self, ray_session):
+        from searchenginesimple_ray.stages.events import retention_cohorts
+        W = 604_800_000_000
+        base = (T0 // W) * W
+        rows = [  # user 1: weeks 0,1 ; user 2: week 0 ; user 3: week 1
+            (0, base, 1), (1, base + W, 1), (2, base + 1, 2),
+            (3, base + W + 5, 3),
+            (4, base + W + 6, 3),   # same user+week dup must not count
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array([r[1] for r in rows],
+                                    "datetime64[us]")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["a"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+        })
+        got = retention_cohorts(ray.data.from_arrow(t).repartition(2))
+        w0 = base // W
+        assert got.to_dict("records") == [
+            {"cohort_week": w0, "weeks_since": 0, "n_users": 2},
+            {"cohort_week": w0, "weeks_since": 1, "n_users": 1},
+            {"cohort_week": w0 + 1, "weeks_since": 0, "n_users": 1},
+        ]
