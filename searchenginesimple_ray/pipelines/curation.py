@@ -48,6 +48,44 @@ def curate(ds: ray.data.Dataset, stop_words=(), min_tokens: int = 50,
         seed=seed)
 
 
+def curate_write(ds: ray.data.Dataset, out_dir: str, stop_words=(),
+                 min_tokens: int = 50, splits: dict | None = None,
+                 seed: int = 0, id_col: str = "doc_id",
+                 text_col: str = "text") -> dict:
+    """Run the curation chain and WRITE the surviving (id, text, split)
+    rows as hive-partitioned parquet (one directory per split) —
+    the resumable-output form: a failed run re-executes into a fresh
+    temp dir and publishes atomically, and consumers read only the
+    split they train on.  Returns {"out": dir, "n_rows": int}."""
+    import os
+
+    from ..stages.dedup import exact_dedup_first
+    from ..stages.sampling import hash_split
+    from ..stages.textstages import gopher_quality
+
+    kept = gopher_quality(
+        ds.select_columns([id_col, text_col]), id_col=id_col,
+        text_col=text_col, stop_words=stop_words,
+        min_tokens=min_tokens, keep_filter=True)
+    uniq = exact_dedup_first(kept, key=text_col, order_col=id_col)
+    stamped = hash_split(
+        uniq, key=id_col,
+        splits=splits or {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=seed)
+    tmp = out_dir + ".tmp"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    stamped.write_parquet(tmp, partition_cols=["split"])
+    import glob
+
+    import pyarrow.parquet as pq
+    n = sum(pq.read_metadata(f).num_rows for f in glob.glob(
+        os.path.join(tmp, "**", "*.parquet"), recursive=True))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return {"out": out_dir, "n_rows": n}
+
+
 def curate_df(ds: ray.data.Dataset, id_col: str = "doc_id",
               **kw) -> pd.DataFrame:
     pdf = curate(ds, id_col=id_col, **kw).to_pandas()

@@ -55,8 +55,15 @@ def source_mean_table(ds: ray.data.Dataset, group_col: str,
     part = ds.select_columns([group_col, metric_col]) \
         .map_batches(partial, batch_format="pyarrow").to_pandas()
     agg = part.groupby("g", as_index=False).sum()
-    agg["scaled_mean"] = (agg["s"].to_numpy().astype(np.int64)
-                          * MEAN_SCALE) // agg["n"].to_numpy()
+    s = agg["s"].to_numpy().astype(np.int64)
+    if len(s) and s.max() > (2**63 - 1) // MEAN_SCALE:
+        # a single source holding > ~900 TB of metric mass would wrap
+        # the fixed-point multiply; fail loudly (the SQL oracle's
+        # HUGEINT->BIGINT cast raises at the same point)
+        raise OverflowError(
+            "source metric sum too large for the x10000 fixed-point "
+            "mean; reduce MEAN_SCALE or pre-scale the metric")
+    agg["scaled_mean"] = (s * MEAN_SCALE) // agg["n"].to_numpy()
     return agg
 
 

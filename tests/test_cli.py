@@ -22,7 +22,11 @@ def cli_corpus(ray_session):
 
 
 def test_build_query_suggest_append_compact(cli_corpus, capsys):
+    import shutil
     idx = f"{TEST_ROOT}/idx"
+    # a previous session's run appended into this dir; build correctly
+    # refuses appended indexes, so start fresh
+    shutil.rmtree(idx, ignore_errors=True)
 
     assert main(["build", "--input", cli_corpus, "--out", idx]) == 0
     built = json.loads(capsys.readouterr().out.strip())

@@ -542,3 +542,36 @@ FROM wk JOIN fw USING (user_id) GROUP BY cw, w""")
             {"cohort_week": w0, "weeks_since": 1, "n_users": 1},
             {"cohort_week": w0 + 1, "weeks_since": 0, "n_users": 1},
         ]
+
+
+class TestCurateWrite:
+    def test_partitioned_output_roundtrip(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from searchenginesimple_ray.config import DEFAULT_STOP_WORDS
+        from searchenginesimple_ray.pipelines.curation import (curate_df,
+                                                               curate_write)
+        rng = np.random.default_rng(43)
+        words = ["the", "and", "for", "alpha", "beta", "gamma", "delta",
+                 "epsilon", "zeta", "theta"]
+        texts = [" ".join(rng.choice(words, size=int(rng.integers(30, 60))))
+                 for _ in range(120)]
+        t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                      "text": pa.array(texts)})
+        out = str(tmp_path / "curated")
+        r = curate_write(ray.data.from_arrow(t).repartition(4), out,
+                         stop_words=DEFAULT_STOP_WORDS, min_tokens=20,
+                         seed=0)
+        ref = curate_df(ray.data.from_arrow(t),
+                        stop_words=DEFAULT_STOP_WORDS, min_tokens=20,
+                        seed=0)
+        assert r["n_rows"] == len(ref) > 0
+        back = pq.read_table(out).to_pandas()
+        # hive layout: split is the partition key, text rides along
+        assert set(back.columns) >= {"doc_id", "text", "split"}
+        merged = back[["doc_id", "split"]].astype({"split": str}) \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            merged, ref[["doc_id", "split"]], check_dtype=False)
+        import os
+        assert any(d.startswith("split=") for d in os.listdir(out))
