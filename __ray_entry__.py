@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_keep": d.q_curation_keep,
         # weekly retention triangle (stages/events.retention_cohorts)
         "retention": d.q_retention,
+        # unigram-LM surprisal quality band (stages/lm.py): CCNet-style
+        # model-based scoring with whole-bit-quantized surprisal so the
+        # oracle is exact integer arithmetic on both sides
+        "lm_surprisal": d.q_lm_surprisal,
     }
 
 
@@ -1433,5 +1437,41 @@ SELECT CAST(cw AS BIGINT) AS cohort_week,
        CAST(count(*) AS BIGINT) AS n_users
 FROM wk JOIN fw USING (user_id)
 GROUP BY cw, w ORDER BY cohort_week, weeks_since
+""",
+        # whole-bit unigram surprisal: s(t) = floor(log2(D/(c+1))) with
+        # D = total_tokens + vocab (add-one mass), computed in EXACT
+        # integer arithmetic via bit lengths (length(bin(x)); the
+        # engine uses frexp exponents — both exact for ints <= 2^53);
+        # keep = sum_bits*100 <= 403*n_tok (no float boundary).
+        # Tokenization identical to the gopher/ngram oracles: RE2 \s+
+        # split of lower(coalesce(text,'')), empties dropped.
+        "lm_surprisal": """
+WITH doc AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS text FROM documents
+), tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS t
+  FROM doc
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), mass AS (
+  SELECT CAST(sum(c) + count(*) AS BIGINT) AS D FROM cnt
+), scored AS (
+  SELECT tok.doc_id,
+         (length(bin(D)) - length(bin(c + 1))
+          - CASE WHEN D < (c + 1) * power(2,
+                length(bin(D)) - length(bin(c + 1)))
+            THEN 1 ELSE 0 END) AS s
+  FROM tok JOIN cnt USING (t) CROSS JOIN mass
+), agg AS (
+  SELECT doc_id, count(*) AS n_tok, sum(s) AS bits
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(coalesce(a.bits, 0) AS BIGINT) AS sum_bits,
+       CAST(CASE WHEN a.n_tok > 0 AND a.bits * 100 <= 403 * a.n_tok
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM doc d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
 """,
     }

@@ -1040,3 +1040,16 @@ def q_cooc_pairs(sf_dir: str) -> pd.DataFrame:
 def flagship_entry(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
     """Flagship: transcripts -> index build -> BM25 top-k query set."""
     return q_bm25_topk(sf_dir)
+
+
+def q_lm_surprisal(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tok, sum_bits, keep): whole-bit unigram-LM surprisal
+    verdicts (CCNet-style model-based quality band, stages/lm.py) —
+    self-trained add-one unigram model, per-token floor(log2) surprisal
+    in exact integer bit-length arithmetic, keep = mean surprisal
+    <= 4.03 bits/token by integer cross-compare (the band that splits
+    the synthetic corpus; real pipelines tune this)."""
+    from ..stages.lm import lm_surprisal
+    pdf = lm_surprisal(_read_documents(sf_dir),
+                       max_mean_centibits=403).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
