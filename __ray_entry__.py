@@ -138,6 +138,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-based scoring with whole-bit-quantized surprisal so the
         # oracle is exact integer arithmetic on both sides
         "lm_surprisal": d.q_lm_surprisal,
+        # tokenizer training (stages/bpe.py): round-0 pair candidates
+        # are SQL-checkable; the iterative merge table is rows-only
+        # (pytest-gated vs an independent pure-Python reference)
+        "bpe_pair_counts": d.q_bpe_pair_counts,
+        "bpe_merges": d.q_bpe_merges,  # rows-only by design
+        # sliding-window RAG chunking (stages/chunking.py)
+        "chunk_text": d.q_chunk_text,
     }
 
 
@@ -1473,5 +1480,50 @@ SELECT d.doc_id,
        CAST(CASE WHEN a.n_tok > 0 AND a.bits * 100 <= 403 * a.n_tok
             THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM doc d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        # round-0 BPE merge candidates: adjacent char pairs inside
+        # whitespace words, weighted by word occurrence count; ties
+        # (n desc, left, right) — char order is codepoint order on
+        # both sides.  substr() is character-based in DuckDB, matching
+        # the engine's utf-32 codepoint buffer.
+        "bpe_pair_counts": """
+WITH doc AS (SELECT lower(coalesce(text, '')) AS text FROM documents),
+tok AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS w FROM doc),
+wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, c
+  FROM (SELECT w, c, unnest(range(1, length(w))) AS i
+        FROM wc WHERE length(w) >= 2)
+)
+SELECT l AS "left", r AS "right", CAST(sum(c) AS BIGINT) AS n
+FROM pairs GROUP BY l, r
+ORDER BY n DESC, l, r LIMIT 50
+""",
+        # sliding 20-token windows at stride 10; the final chunk always
+        # reaches the last token, no chunk starts past L; 1-based
+        # inclusive list slices; chunk_text = tokens joined by ' '
+        "chunk_text": """
+WITH doc AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS text FROM documents
+), tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS toks
+  FROM doc
+), m AS (
+  SELECT doc_id, toks, len(toks) AS L FROM tok WHERE len(toks) > 0
+), ch AS (
+  SELECT doc_id, toks, L,
+         unnest(range(0, CASE WHEN L <= 20 THEN 1
+                  ELSE (L - 20 + 9) // 10 + 1 END)) AS k
+  FROM m
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * 10 AS BIGINT) AS start_tok,
+       CAST(least(20, L - k * 10) AS BIGINT) AS n_tok,
+       array_to_string(
+         toks[k * 10 + 1 : k * 10 + least(20, L - k * 10)],
+         ' ') AS chunk_text
+FROM ch ORDER BY doc_id, chunk_idx
 """,
     }

@@ -1053,3 +1053,32 @@ def q_lm_surprisal(sf_dir: str) -> pd.DataFrame:
     pdf = lm_surprisal(_read_documents(sf_dir),
                        max_mean_centibits=403).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """(left, right, n): top-50 adjacent-character pair counts inside
+    whitespace words, weighted by word occurrences — the round-0 BPE
+    merge-candidate table (stages/bpe.pair_counts; distributed word
+    counts, vectorized vocab-side pair kernel)."""
+    from ..stages.bpe import pair_counts
+    return pair_counts(_read_documents(sf_dir), top_k=50)
+
+
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """(rank, left, right, merged, n): first 12 greedy BPE merges —
+    iterative (each merge changes the next round's symbolization), so
+    no SQL oracle exists; exactness is pytest-gated against an
+    independent per-word pure-Python reference (tests/test_bpe_chunk)."""
+    from ..stages.bpe import bpe_train
+    return bpe_train(_read_documents(sf_dir), n_merges=12)
+
+
+def q_chunk_text(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tok, chunk_text): overlapping
+    20-token windows at stride 10 (RAG retrieval-corpus prep,
+    stages/chunking.py — repeat/cumsum enumeration + one Arrow take +
+    binary_join per batch, no shuffle)."""
+    from ..stages.chunking import chunk_text
+    pdf = chunk_text(_read_documents(sf_dir), size=20, stride=10) \
+        .to_pandas()
+    return pdf.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)

@@ -1,0 +1,195 @@
+"""Byte-pair-encoding tokenizer training over a corpus.
+
+The missing-from-the-reference tokenizer-TRAINING stage of an LLM data
+pipeline (Sennrich et al. 2016): collapse the corpus to weighted word
+counts, then greedily merge the most frequent adjacent symbol pair.
+
+100-TB shape — the classic BPE trainer factorization:
+- PASS 1 (distributed, corpus-proportional): whitespace word counts
+  via per-batch Arrow ``value_counts`` partials (reuses
+  ``stages/lm.unigram_counts``); the exchange is bounded by
+  vocabulary x blocks, never corpus size.
+- MERGE LOOP (driver, vocabulary-proportional): every iteration
+  touches only the distinct-word table weighted by counts — flat
+  numpy codepoint/symbol buffers, one vectorized pair-count and one
+  vectorized merge per round, no Python per-word loops.  A 10M-word
+  vocabulary is a few hundred MB of int32 — driver-sized even when
+  the corpus is 100 TB.
+
+Determinism: the merge choice is (max total count, then lexicographic
+smallest (left, right) symbol strings) — a total order, so training is
+bit-reproducible under any partitioning.
+
+``pair_counts`` (round-0 candidate table) is SQL-checkable and drives
+the ★ ``bpe_pair_counts`` entry; the iterative ``bpe_train`` has no
+SQL analogue (each merge changes the next round's symbolization) and
+is pytest-gated against an independent per-word pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_BOUNDARY = np.int64(-1)     # symbol-id sentinel between words
+
+
+def _word_symbol_buffer(words: list[str], counts: np.ndarray):
+    """Flat int64 symbol buffer over all words, ``_BOUNDARY``-separated,
+    plus per-position word index.  Initial symbols are Unicode
+    codepoints; merges append new symbol ids >= 0x110000."""
+    bufs = [np.frombuffer(w.encode("utf-32-le"), np.uint32).astype(np.int64)
+            for w in words]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, len(bufs))
+    total = int(lens.sum()) + len(bufs)          # +1 sentinel per word
+    flat = np.full(total, _BOUNDARY, np.int64)
+    widx = np.zeros(total, np.int64)
+    pos = 0
+    for i, b in enumerate(bufs):                 # one pass at build time;
+        flat[pos:pos + len(b)] = b               # the merge loop itself
+        widx[pos:pos + len(b) + 1] = i           # never loops per word
+        pos += len(b) + 1
+    return flat, widx
+
+
+def _pair_count_table(flat: np.ndarray, widx: np.ndarray,
+                      counts: np.ndarray):
+    """(left, right, n) over adjacent non-boundary symbol pairs,
+    weighted by the word count — one lexsort, no Python loop."""
+    a, b = flat[:-1], flat[1:]
+    ok = (a != _BOUNDARY) & (b != _BOUNDARY)
+    if not ok.any():
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    a, b, w = a[ok], b[ok], counts[widx[:-1][ok]]
+    key = a * (1 << 32) + b if a.max() < (1 << 31) else None
+    if key is None:       # symbol ids can exceed 2^31 only pathologically
+        order = np.lexsort((b, a))
+        a, b, w = a[order], b[order], w[order]
+        new = np.empty(len(a), bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    else:
+        order = np.argsort(key, kind="stable")
+        key, w = key[order], w[order]
+        a, b = a[order], b[order]
+        new = np.empty(len(key), bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(w, starts)
+    return a[starts], b[starts], sums.astype(np.int64)
+
+
+def pair_counts(ds: ray.data.Dataset, text_col: str = "text",
+                top_k: int = 50) -> pd.DataFrame:
+    """Top-k adjacent-character pair counts inside whitespace words of
+    ``lower(coalesce(text, ''))``, weighted by word occurrences — the
+    round-0 BPE merge-candidate table.  Ties break (n desc, left,
+    right); char order = codepoint order = UTF-8 byte order, so the
+    DuckDB ORDER BY agrees."""
+    from .lm import unigram_counts
+    vocab, counts = unigram_counts(ds, text_col)
+    words = vocab.to_pylist()
+    if not words:
+        return pd.DataFrame({"left": pd.Series([], dtype=object),
+                             "right": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+    flat, widx = _word_symbol_buffer(words, counts)
+    a, b, n = _pair_count_table(flat, widx, counts)
+    df = pd.DataFrame({"left": [chr(x) for x in a],
+                       "right": [chr(x) for x in b], "n": n})
+    df = df.sort_values(["n", "left", "right"],
+                        ascending=[False, True, True], kind="mergesort")
+    return df.head(top_k).reset_index(drop=True)
+
+
+def bpe_train(ds: ray.data.Dataset, n_merges: int,
+              text_col: str = "text") -> pd.DataFrame:
+    """Greedy BPE merge table: (rank, left, right, merged, n) for the
+    first ``n_merges`` merges.  Symbol strings grow by concatenation;
+    ``n`` is the pair's weighted count at merge time."""
+    from .lm import unigram_counts
+    vocab, counts = unigram_counts(ds, text_col)
+    words = vocab.to_pylist()
+    out_rows = []
+    if words:
+        flat, widx = _word_symbol_buffer(words, counts)
+        sym_str: dict[int, str] = {}     # only merged ids need strings
+
+        def s(x: int) -> str:
+            return sym_str.get(int(x)) or chr(int(x))
+
+        next_id = 0x110000
+        for rank in range(n_merges):
+            a, b, n = _pair_count_table(flat, widx, counts)
+            if not len(a):
+                break
+            top = int(n.max())
+            cand = np.flatnonzero(n == top)
+            # lexicographic tie-break on the SYMBOL STRINGS
+            pick = min(cand, key=lambda i: (s(a[i]), s(b[i])))
+            la, rb = int(a[pick]), int(b[pick])
+            merged = s(la) + s(rb)
+            sym_str[next_id] = merged
+            out_rows.append((rank, s(la), s(rb), merged, top))
+            # vectorized merge: overlapping runs (e.g. 'aaa' with merge
+            # (a,a)) must merge LEFTMOST-first, so knock out every hit
+            # whose predecessor is itself a surviving hit
+            hit = np.flatnonzero((flat[:-1] == la) & (flat[1:] == rb))
+            if la == rb:
+                keepm = np.ones(len(hit), bool)
+                for j in range(1, len(hit)):   # runs are short; this
+                    if hit[j] == hit[j - 1] + 1 and keepm[j - 1]:
+                        keepm[j] = False       # loop is over HITS of one
+                hit = hit[keepm]               # pair, not the corpus
+            flat[hit] = next_id
+            keep = np.ones(len(flat), bool)
+            keep[hit + 1] = False
+            flat, widx = flat[keep], widx[keep]
+            next_id += 1
+    return pd.DataFrame(out_rows,
+                        columns=["rank", "left", "right", "merged", "n"]) \
+        .astype({"rank": np.int64, "n": np.int64})
+
+
+def bpe_train_reference(texts: list, n_merges: int) -> pd.DataFrame:
+    """Independent pure-Python reference (dict-of-tuples BPE over
+    per-word symbol lists) for the pytest gate — O(vocab x merges),
+    test-sized inputs only."""
+    from collections import Counter
+    wc = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            wc[w] += 1
+    words = {w: list(w) for w in wc}
+    rows = []
+    for rank in range(n_merges):
+        pc_: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += wc[w]
+        if not pc_:
+            break
+        top = max(pc_.values())
+        la, rb = min(p for p, c in pc_.items() if c == top)
+        rows.append((rank, la, rb, la + rb, top))
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == la
+                        and syms[i + 1] == rb):
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return pd.DataFrame(rows,
+                        columns=["rank", "left", "right", "merged", "n"]) \
+        .astype({"rank": np.int64, "n": np.int64})
+
+
+__all__ = ["pair_counts", "bpe_train", "bpe_train_reference"]
