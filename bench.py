@@ -172,7 +172,11 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("json_props_agg", d.q_json_props_agg),
                      ("event_window_agg", d.q_event_window_agg),
                      ("sessionize", d.q_sessionize),
-                     ("asof_join", d.q_asof_join)]:
+                     ("asof_join", d.q_asof_join),
+                     ("lm_surprisal", d.q_lm_surprisal),
+                     ("bpe_pair_counts", d.q_bpe_pair_counts),
+                     ("bpe_merges", d.q_bpe_merges),
+                     ("chunk_text", d.q_chunk_text)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)
