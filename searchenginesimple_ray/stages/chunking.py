@@ -70,8 +70,12 @@ def chunk_text(ds: ray.data.Dataset, size: int, stride: int,
         flat_arr = flat.combine_chunks() \
             if isinstance(flat, pa.ChunkedArray) else flat
         toks = pc.take(flat_arr, pa.array(gather, pa.int64()))
-        lists = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), toks)
+        if int(offsets[-1]) < 2**31:
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), toks)
+        else:   # giant-doc batch: 64-bit offsets
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), toks)
         joined = pc.binary_join(lists, " ")
         return pa.table({
             id_col: pc.take(batch[id_col], pa.array(doc_of, pa.int64())),
