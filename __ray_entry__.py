@@ -145,6 +145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": d.q_bpe_merges,  # rows-only by design
         # sliding-window RAG chunking (stages/chunking.py)
         "chunk_text": d.q_chunk_text,
+        # exact integer fixed-point PageRank over the embedding
+        # similarity graph (stages/graph.py) — iterative graph class,
+        # oracle = the same recurrence unrolled in BIGINT SQL
+        "pagerank": d.q_pagerank,
     }
 
 
@@ -1525,5 +1529,45 @@ SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
          toks[k * 10 + 1 : k * 10 + least(20, L - k * 10)],
          ' ') AS chunk_text
 FROM ch ORDER BY doc_id, chunk_idx
+""",
+        # 3 unrolled rounds of the exact fixed-point recurrence
+        #   r0 = S // n;  f(v) = sum r(u) // deg(u) over undirected
+        #   edges;  r' = (15*S) // (100*n) + (85*f) // 100
+        # over the cosine >= 0.4 embedding pair graph (same edge CTE as
+        # embedding_sim_pairs); S = 10^12.  All BIGINT floor division,
+        # so values match the engine bit-for-bit.
+        "pagerank": """
+WITH e AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+und AS (SELECT src AS u, dst AS v FROM e
+        UNION ALL SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT u AS v FROM und),
+nn AS (SELECT count(*) AS c FROM nodes),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+r0 AS (SELECT v, 1000000000000 // c AS r FROM nodes, nn),
+i1 AS (SELECT und.v, sum(r0.r // deg.d) AS f
+       FROM und JOIN r0 ON r0.v = und.u
+       JOIN deg ON deg.u = und.u GROUP BY und.v),
+r1 AS (SELECT nodes.v, (15 * 1000000000000) // (100 * c)
+              + (85 * coalesce(i1.f, 0)) // 100 AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.v = nodes.v),
+i2 AS (SELECT und.v, sum(r1.r // deg.d) AS f
+       FROM und JOIN r1 ON r1.v = und.u
+       JOIN deg ON deg.u = und.u GROUP BY und.v),
+r2 AS (SELECT nodes.v, (15 * 1000000000000) // (100 * c)
+              + (85 * coalesce(i2.f, 0)) // 100 AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.v = nodes.v),
+i3 AS (SELECT und.v, sum(r2.r // deg.d) AS f
+       FROM und JOIN r2 ON r2.v = und.u
+       JOIN deg ON deg.u = und.u GROUP BY und.v),
+r3 AS (SELECT nodes.v, (15 * 1000000000000) // (100 * c)
+              + (85 * coalesce(i3.f, 0)) // 100 AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN i3 ON i3.v = nodes.v)
+SELECT CAST(v AS BIGINT) AS node_id, CAST(r AS BIGINT) AS rank_fp
+FROM r3 ORDER BY v
 """,
     }

@@ -1082,3 +1082,14 @@ def q_chunk_text(sf_dir: str) -> pd.DataFrame:
     pdf = chunk_text(_read_documents(sf_dir), size=20, stride=10) \
         .to_pandas()
     return pdf.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """(node_id, rank_fp): 3-round exact integer fixed-point PageRank
+    over the undirected cosine>=0.4 embedding-similarity graph
+    (stages/graph.pagerank_int — per-round streaming edge scan with a
+    broadcast rank vector + one node-bounded groupby; the oracle is
+    the same recurrence unrolled in BIGINT SQL)."""
+    from ..stages.graph import pagerank_int
+    edges = _embedding_pairs(sf_dir, 0.4)
+    return pagerank_int(ray.data.from_pandas(edges), num_iters=3)

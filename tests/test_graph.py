@@ -1,0 +1,105 @@
+"""Exact integer fixed-point PageRank (stages/graph.py): pure-Python
+reference parity on random graphs, unrolled DuckDB-SQL oracle, and
+partitioning invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import duckdb
+import ray.data
+
+
+def _pagerank_ref(edges, num_iters, damping_pct=85, scale=10**12):
+    """Dict-based reference, directed pairs expanded to undirected."""
+    und = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    nodes = sorted({u for u, _ in und})
+    deg = {u: 0 for u in nodes}
+    for u, _ in und:
+        deg[u] += 1
+    n = len(nodes)
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    r = {u: scale // n for u in nodes}
+    for _ in range(num_iters):
+        f = {u: 0 for u in nodes}
+        for u, v in und:
+            f[v] += r[u] // deg[u]
+        r = {v: base + (damping_pct * f[v]) // 100 for v in nodes}
+    return pd.DataFrame({"node_id": nodes,
+                         "rank_fp": [r[u] for u in nodes]})
+
+
+def _pagerank_sql(iters: int, damping=85, scale=10**12) -> str:
+    """Unrolled k-iteration oracle over an ``e(src, dst)`` view."""
+    parts = [f"""
+WITH und AS (SELECT src AS u, dst AS v FROM e
+             UNION ALL SELECT dst, src FROM e),
+nodes AS (SELECT DISTINCT u AS v FROM und),
+nn AS (SELECT count(*) AS c FROM nodes),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+r0 AS (SELECT v, {scale} // c AS r FROM nodes, nn)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+i{k} AS (SELECT und.v, sum(r{k-1}.r // deg.d) AS f
+         FROM und JOIN r{k-1} ON r{k-1}.v = und.u
+         JOIN deg ON deg.u = und.u GROUP BY und.v),
+r{k} AS (SELECT nodes.v,
+        ({100-damping} * {scale}) // (100 * c)
+        + ({damping} * coalesce(i{k}.f, 0)) // 100 AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN i{k} ON i{k}.v = nodes.v)""")
+    parts.append(f"""
+SELECT v AS node_id, r AS rank_fp FROM r{iters} ORDER BY v""")
+    return "".join(parts)
+
+
+def _rand_edges(rng, n_nodes=60, n_edges=150):
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    ok = src != dst
+    return pa.table({"src": pa.array(src[ok]), "dst": pa.array(dst[ok])})
+
+
+class TestPagerankInt:
+    @pytest.mark.parametrize("iters", [1, 3, 6])
+    def test_matches_reference_and_sql(self, ray_session, iters):
+        from searchenginesimple_ray.stages.graph import pagerank_int
+        t = _rand_edges(np.random.default_rng(iters))
+        got = pagerank_int(ray.data.from_arrow(t).repartition(5),
+                           num_iters=iters)
+        ref = _pagerank_ref(list(zip(t["src"].to_pylist(),
+                                     t["dst"].to_pylist())), iters)
+        pd.testing.assert_frame_equal(got, ref)
+        con = duckdb.connect()
+        con.register("e", t.to_pandas())
+        exp = con.execute(_pagerank_sql(iters)).df()
+        pd.testing.assert_frame_equal(
+            got, exp.astype({"node_id": np.int64, "rank_fp": np.int64}))
+
+    def test_partitioning_invariance(self, ray_session):
+        from searchenginesimple_ray.stages.graph import pagerank_int
+        t = _rand_edges(np.random.default_rng(42), n_nodes=40)
+        a = pagerank_int(ray.data.from_arrow(t), num_iters=4)
+        b = pagerank_int(ray.data.from_arrow(t).repartition(11),
+                         num_iters=4)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_and_bad_params(self, ray_session):
+        from searchenginesimple_ray.stages.graph import pagerank_int
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        out = pagerank_int(ray.data.from_arrow(empty))
+        assert len(out) == 0
+        with pytest.raises(ValueError):
+            pagerank_int(ray.data.from_arrow(empty), damping_pct=101)
+
+    def test_mass_conservation_bound(self, ray_session):
+        """Total rank stays within the documented truncation decay:
+        scale - (n + |und|) * iters <= sum <= scale."""
+        from searchenginesimple_ray.stages.graph import pagerank_int
+        t = _rand_edges(np.random.default_rng(3), n_nodes=30, n_edges=80)
+        got = pagerank_int(ray.data.from_arrow(t), num_iters=5)
+        total = int(got["rank_fp"].sum())
+        n, m = got.shape[0], 2 * t.num_rows
+        assert total <= 10**12
+        assert total >= 10**12 - (n + m + 100) * 5
