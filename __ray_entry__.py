@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity graph (stages/graph.py) — iterative graph class,
         # oracle = the same recurrence unrolled in BIGINT SQL
         "pagerank": d.q_pagerank,
+        # CCNet+Gopher curation composition: rules -> LM surprisal
+        # band -> exact dedup -> split (pipelines/curation.curate_lm)
+        "curation_lm_keep": d.q_curation_lm_keep,
     }
 
 
@@ -1569,5 +1572,51 @@ r3 AS (SELECT nodes.v, (15 * 1000000000000) // (100 * c)
        FROM nodes CROSS JOIN nn LEFT JOIN i3 ON i3.v = nodes.v)
 SELECT CAST(v AS BIGINT) AS node_id, CAST(r AS BIGINT) AS rank_fp
 FROM r3 ORDER BY v
+""",
+        # CCNet+Gopher composition: the shared Gopher verdict SELECT,
+        # then the whole-bit LM surprisal band SELF-TRAINED on the
+        # kept subset (counts over kept docs only), then first-wins
+        # exact text dedup and the BIGINT hash split — each piece
+        # verbatim from its standalone oracle
+        "curation_lm_keep": f"""
+WITH g AS ({_gopher_sql()}),
+k AS (
+  SELECT d.doc_id, d.text AS rawtext,
+         lower(coalesce(d.text, '')) AS text
+  FROM documents d JOIN g ON g.doc_id = d.doc_id WHERE g.keep = 1
+), tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS t
+  FROM k
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), mass AS (
+  SELECT CAST(sum(c) + count(*) AS BIGINT) AS D FROM cnt
+), scored AS (
+  SELECT tok.doc_id,
+         (length(bin(D)) - length(bin(c + 1))
+          - CASE WHEN D < (c + 1) * power(2,
+                length(bin(D)) - length(bin(c + 1)))
+            THEN 1 ELSE 0 END) AS s
+  FROM tok JOIN cnt USING (t) CROSS JOIN mass
+), agg AS (
+  SELECT doc_id, count(*) AS n_tok, sum(s) AS bits
+  FROM scored GROUP BY doc_id
+), lmk AS (
+  SELECT k.doc_id, k.rawtext
+  FROM k JOIN agg a ON a.doc_id = k.doc_id
+  WHERE a.n_tok > 0 AND a.bits * 100 <= 403 * a.n_tok
+), f AS (
+  SELECT min(doc_id) AS doc_id FROM lmk GROUP BY rawtext
+), h AS (
+  SELECT doc_id,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+  FROM f
+)
+SELECT doc_id,
+       CASE WHEN hv < 3435973836 THEN 'train'
+            WHEN hv < 3865470566 THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
 """,
     }

@@ -177,7 +177,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("bpe_pair_counts", d.q_bpe_pair_counts),
                      ("bpe_merges", d.q_bpe_merges),
                      ("chunk_text", d.q_chunk_text),
-                     ("pagerank", d.q_pagerank)]:
+                     ("pagerank", d.q_pagerank),
+                     ("curation_lm_keep", d.q_curation_lm_keep)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

@@ -96,3 +96,35 @@ def curate_df(ds: ray.data.Dataset, id_col: str = "doc_id",
         return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
                              "split": pd.Series([], dtype=object)})
     return pdf.sort_values(id_col).reset_index(drop=True)
+
+
+def curate_lm(ds: ray.data.Dataset, stop_words=(), min_tokens: int = 50,
+              max_mean_centibits: int = 403, splits: dict | None = None,
+              seed: int = 0, id_col: str = "doc_id",
+              text_col: str = "text") -> ray.data.Dataset:
+    """The CCNet+Gopher composition: rule quality filter -> unigram-LM
+    surprisal band -> exact dedup -> split.
+
+    The LM stage self-trains on the Gopher-kept subset, which costs a
+    second streaming scan (model pass + score pass) but still never
+    materializes the corpus; production CCNet trains the model on a
+    separate trusted corpus instead — pass that via
+    ``stages/lm.lm_surprisal(counts_from=...)`` when composing by
+    hand."""
+    from ..stages.dedup import exact_dedup_first
+    from ..stages.lm import lm_surprisal
+    from ..stages.sampling import hash_split
+    from ..stages.textstages import gopher_quality
+
+    kept = gopher_quality(
+        ds.select_columns([id_col, text_col]), id_col=id_col,
+        text_col=text_col, stop_words=stop_words,
+        min_tokens=min_tokens, keep_filter=True)
+    lm_kept = lm_surprisal(kept, id_col=id_col, text_col=text_col,
+                           max_mean_centibits=max_mean_centibits,
+                           keep_filter=True)
+    uniq = exact_dedup_first(lm_kept, key=text_col, order_col=id_col)
+    return hash_split(
+        uniq.select_columns([id_col]), key=id_col,
+        splits=splits or {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=seed)

@@ -1093,3 +1093,19 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     from ..stages.graph import pagerank_int
     edges = _embedding_pairs(sf_dir, 0.4)
     return pagerank_int(ray.data.from_pandas(edges), num_iters=3)
+
+
+def q_curation_lm_keep(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, split): the CCNet+Gopher curation composition — Gopher
+    rules -> unigram-LM surprisal band (self-trained on the kept
+    subset) -> exact first-wins dedup -> deterministic split
+    (pipelines/curation.curate_lm)."""
+    from .curation import curate_lm
+    pdf = curate_lm(_read_documents(sf_dir),
+                    stop_words=DEFAULT_STOP_WORDS,
+                    min_tokens=GOPHER_MIN_TOKENS,
+                    max_mean_centibits=403, seed=0).to_pandas()
+    if not len(pdf):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "split": pd.Series([], dtype=object)})
+    return pdf.sort_values("doc_id").reset_index(drop=True)

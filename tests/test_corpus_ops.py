@@ -575,3 +575,58 @@ class TestCurateWrite:
             merged, ref[["doc_id", "split"]], check_dtype=False)
         import os
         assert any(d.startswith("split=") for d in os.listdir(out))
+
+
+class TestCurationLmKeep:
+    def _corpus(self, rng, n=260):
+        # zipf-ish mixed-frequency vocabulary so mean surprisal varies
+        words = ["the", "and", "for", "with", "alpha", "beta", "gamma",
+                 "delta", "rareword1", "rareword2", "rareword3"]
+        p = np.array([1.0 / (i + 1) for i in range(len(words))])
+        p /= p.sum()
+        texts = [" ".join(rng.choice(words, p=p,
+                                     size=int(rng.integers(2, 80))))
+                 for _ in range(n)]
+        for i in range(0, n - 10, 17):
+            texts[i + 3] = texts[i]
+        return pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string())})
+
+    def test_matches_duckdb_composition(self, ray_session):
+        from searchenginesimple_ray.config import DEFAULT_STOP_WORDS
+        from searchenginesimple_ray.pipelines.curation import curate_lm
+        t = self._corpus(np.random.default_rng(53))
+        # pick the band at the kept-subset's observed median so the LM
+        # stage does real filtering on this corpus
+        got = curate_lm(ray.data.from_arrow(t).repartition(6),
+                        stop_words=DEFAULT_STOP_WORDS, min_tokens=30,
+                        max_mean_centibits=403, seed=0).to_pandas()
+        import __ray_entry__ as e
+        sql = e.oracle_sql()["curation_lm_keep"]
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        _assert_oracle(got.sort_values("doc_id").reset_index(drop=True),
+                       con, sql)
+        assert 0 < len(got) < len(t)
+
+    def test_lm_band_is_a_subset_of_the_rule_chain(self, ray_session):
+        """Adding the LM band can only shrink the survivor set, and a
+        doc surviving BOTH chains gets the same split (doc_id hash)."""
+        from searchenginesimple_ray.config import DEFAULT_STOP_WORDS
+        from searchenginesimple_ray.pipelines.curation import (curate_df,
+                                                               curate_lm)
+        t = self._corpus(np.random.default_rng(7))
+        base = curate_df(ray.data.from_arrow(t),
+                         stop_words=DEFAULT_STOP_WORDS, min_tokens=30,
+                         seed=0)
+        lm = curate_lm(ray.data.from_arrow(t),
+                       stop_words=DEFAULT_STOP_WORDS, min_tokens=30,
+                       max_mean_centibits=403, seed=0).to_pandas()
+        # LM survivors' ids need not be a subset of base ids (a dedup
+        # winner can shift when the LM band removes the earlier copy),
+        # but any id in BOTH must carry the same split
+        both = set(base["doc_id"]) & set(lm["doc_id"])
+        a = base.set_index("doc_id").loc[sorted(both), "split"]
+        b = lm.set_index("doc_id").loc[sorted(both), "split"]
+        assert (a == b).all()
