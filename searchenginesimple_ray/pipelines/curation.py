@@ -26,6 +26,29 @@ import pandas as pd
 import ray.data
 
 
+
+def _survivors(ds: ray.data.Dataset, stop_words, min_tokens: int,
+               id_col: str, text_col: str,
+               lm_centibits: int | None = None) -> ray.data.Dataset:
+    """Shared chain core: Gopher keep filter -> (optional) unigram-LM
+    surprisal band -> exact first-wins text dedup.  All three public
+    curation entry points wire THIS, so chain semantics live in one
+    place."""
+    from ..stages.dedup import exact_dedup_first
+    from ..stages.textstages import gopher_quality
+
+    kept = gopher_quality(
+        ds.select_columns([id_col, text_col]), id_col=id_col,
+        text_col=text_col, stop_words=stop_words,
+        min_tokens=min_tokens, keep_filter=True)
+    if lm_centibits is not None:
+        from ..stages.lm import lm_surprisal
+        kept = lm_surprisal(kept, id_col=id_col, text_col=text_col,
+                            max_mean_centibits=lm_centibits,
+                            keep_filter=True)
+    return exact_dedup_first(kept, key=text_col, order_col=id_col)
+
+
 def curate(ds: ray.data.Dataset, stop_words=(), min_tokens: int = 50,
            splits: dict | None = None, seed: int = 0,
            id_col: str = "doc_id",
@@ -33,15 +56,8 @@ def curate(ds: ray.data.Dataset, stop_words=(), min_tokens: int = 50,
     """documents(id, text) -> (id, split) for the docs that survive
     Gopher quality + exact first-wins dedup, with their deterministic
     train/val/test assignment."""
-    from ..stages.dedup import exact_dedup_first
     from ..stages.sampling import hash_split
-    from ..stages.textstages import gopher_quality
-
-    kept = gopher_quality(
-        ds.select_columns([id_col, text_col]), id_col=id_col,
-        text_col=text_col, stop_words=stop_words,
-        min_tokens=min_tokens, keep_filter=True)
-    uniq = exact_dedup_first(kept, key=text_col, order_col=id_col)
+    uniq = _survivors(ds, stop_words, min_tokens, id_col, text_col)
     return hash_split(
         uniq.select_columns([id_col]), key=id_col,
         splits=splits or {"train": 0.8, "val": 0.1, "test": 0.1},
@@ -59,15 +75,9 @@ def curate_write(ds: ray.data.Dataset, out_dir: str, stop_words=(),
     split they train on.  Returns {"out": dir, "n_rows": int}."""
     import os
 
-    from ..stages.dedup import exact_dedup_first
     from ..stages.sampling import hash_split
-    from ..stages.textstages import gopher_quality
 
-    kept = gopher_quality(
-        ds.select_columns([id_col, text_col]), id_col=id_col,
-        text_col=text_col, stop_words=stop_words,
-        min_tokens=min_tokens, keep_filter=True)
-    uniq = exact_dedup_first(kept, key=text_col, order_col=id_col)
+    uniq = _survivors(ds, stop_words, min_tokens, id_col, text_col)
     stamped = hash_split(
         uniq, key=id_col,
         splits=splits or {"train": 0.8, "val": 0.1, "test": 0.1},
@@ -111,19 +121,10 @@ def curate_lm(ds: ray.data.Dataset, stop_words=(), min_tokens: int = 50,
     separate trusted corpus instead — pass that via
     ``stages/lm.lm_surprisal(counts_from=...)`` when composing by
     hand."""
-    from ..stages.dedup import exact_dedup_first
-    from ..stages.lm import lm_surprisal
     from ..stages.sampling import hash_split
-    from ..stages.textstages import gopher_quality
 
-    kept = gopher_quality(
-        ds.select_columns([id_col, text_col]), id_col=id_col,
-        text_col=text_col, stop_words=stop_words,
-        min_tokens=min_tokens, keep_filter=True)
-    lm_kept = lm_surprisal(kept, id_col=id_col, text_col=text_col,
-                           max_mean_centibits=max_mean_centibits,
-                           keep_filter=True)
-    uniq = exact_dedup_first(lm_kept, key=text_col, order_col=id_col)
+    uniq = _survivors(ds, stop_words, min_tokens, id_col, text_col,
+                      lm_centibits=max_mean_centibits)
     return hash_split(
         uniq.select_columns([id_col]), key=id_col,
         splits=splits or {"train": 0.8, "val": 0.1, "test": 0.1},

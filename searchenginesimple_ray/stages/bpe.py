@@ -36,7 +36,7 @@ import ray.data
 _BOUNDARY = np.int64(-1)     # symbol-id sentinel between words
 
 
-def _word_symbol_buffer(words: list[str], counts: np.ndarray):
+def _word_symbol_buffer(words: list[str]):
     """Flat int64 symbol buffer over all words, ``_BOUNDARY``-separated,
     plus per-position word index.  Initial symbols are Unicode
     codepoints; merges append new symbol ids >= 0x110000."""
@@ -97,7 +97,7 @@ def pair_counts(ds: ray.data.Dataset, text_col: str = "text",
         return pd.DataFrame({"left": pd.Series([], dtype=object),
                              "right": pd.Series([], dtype=object),
                              "n": pd.Series([], dtype=np.int64)})
-    flat, widx = _word_symbol_buffer(words, counts)
+    flat, widx = _word_symbol_buffer(words)
     a, b, n = _pair_count_table(flat, widx, counts)
     df = pd.DataFrame({"left": [chr(x) for x in a],
                        "right": [chr(x) for x in b], "n": n})
@@ -116,7 +116,7 @@ def bpe_train(ds: ray.data.Dataset, n_merges: int,
     words = vocab.to_pylist()
     out_rows = []
     if words:
-        flat, widx = _word_symbol_buffer(words, counts)
+        flat, widx = _word_symbol_buffer(words)
         sym_str: dict[int, str] = {}     # only merged ids need strings
 
         def s(x: int) -> str:

@@ -63,11 +63,12 @@ def pagerank_int(edges: ray.data.Dataset, num_iters: int = 3,
     base = ((100 - damping_pct) * scale) // (100 * n)
     r = np.full(n, scale // n, dtype=np.int64)
 
-    for _ in range(num_iters):
-        ref = ray.put((nodes, r // deg))
+    nodes_ref = ray.put(nodes)          # broadcast the id array ONCE;
+    for _ in range(num_iters):          # only r//deg changes per round
+        ref = ray.put(r // deg)
 
-        def partial(t: pa.Table, ref=ref) -> pa.Table:
-            nd, contrib = ray.get(ref)
+        def partial(t: pa.Table, ref=ref, nref=nodes_ref) -> pa.Table:
+            nd, contrib = ray.get(nref), ray.get(ref)
             u = t["u"].to_numpy(zero_copy_only=False)
             v = t["v"].to_numpy(zero_copy_only=False)
             c = contrib[np.searchsorted(nd, u)]
