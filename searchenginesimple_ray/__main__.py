@@ -167,6 +167,21 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .config import DEFAULT_STOP_WORDS
+    from .pipelines.curation import curate_write
+    ds = ray.data.read_parquet(_input_files(args.input))
+    r = curate_write(ds, args.out, stop_words=DEFAULT_STOP_WORDS,
+                     min_tokens=args.min_tokens, seed=args.seed,
+                     id_col=args.id_col, text_col=args.text_col,
+                     lm_centibits=args.lm_centibits)
+    print(json.dumps(r))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="searchenginesimple_ray")
     p.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
@@ -206,6 +221,23 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("query")
     s.set_defaults(fn=cmd_suggest)
+
+    u = sub.add_parser(
+        "curate", help="quality-filter + dedup + split a documents "
+        "table to hive-partitioned parquet (one dir per split)")
+    u.add_argument("--input", required=True,
+                   help="parquet file/dir/glob with (doc_id, text)")
+    u.add_argument("--out", required=True)
+    u.add_argument("--min-tokens", type=int, default=50,
+                   dest="min_tokens")
+    u.add_argument("--lm-centibits", type=int, default=None,
+                   dest="lm_centibits",
+                   help="also apply the unigram-LM surprisal band at "
+                   "this max mean centibits/token (CCNet-style)")
+    u.add_argument("--seed", type=int, default=0)
+    u.add_argument("--id-col", default="doc_id", dest="id_col")
+    u.add_argument("--text-col", default="text", dest="text_col")
+    u.set_defaults(fn=cmd_curate)
 
     v = sub.add_parser("serve", help="HTTP gateway (/s /sug /link)")
     v.add_argument("--index", required=True)

@@ -67,7 +67,8 @@ def curate(ds: ray.data.Dataset, stop_words=(), min_tokens: int = 50,
 def curate_write(ds: ray.data.Dataset, out_dir: str, stop_words=(),
                  min_tokens: int = 50, splits: dict | None = None,
                  seed: int = 0, id_col: str = "doc_id",
-                 text_col: str = "text") -> dict:
+                 text_col: str = "text",
+                 lm_centibits: int | None = None) -> dict:
     """Run the curation chain and WRITE the surviving (id, text, split)
     rows as hive-partitioned parquet (one directory per split) —
     the resumable-output form: a failed run re-executes into a fresh
@@ -77,7 +78,8 @@ def curate_write(ds: ray.data.Dataset, out_dir: str, stop_words=(),
 
     from ..stages.sampling import hash_split
 
-    uniq = _survivors(ds, stop_words, min_tokens, id_col, text_col)
+    uniq = _survivors(ds, stop_words, min_tokens, id_col, text_col,
+                      lm_centibits=lm_centibits)
     stamped = hash_split(
         uniq, key=id_col,
         splits=splits or {"train": 0.8, "val": 0.1, "test": 0.1},

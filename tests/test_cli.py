@@ -77,3 +77,41 @@ def test_input_files_skips_sidecars(cli_corpus):
     assert files and all("part-" in os.path.basename(f) for f in files)
     with pytest.raises(SystemExit):
         _input_files(f"{TEST_ROOT}/does-not-exist")
+
+
+def test_curate_writes_split_partitions(ray_session, capsys, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    words = ["the", "and", "for", "with", "alpha", "beta", "gamma",
+             "delta", "rare1", "rare2"]
+    p = np.array([1.0 / (i + 1) for i in range(len(words))])
+    p /= p.sum()
+    texts = [" ".join(rng.choice(words, p=p,
+                                 size=int(rng.integers(2, 80))))
+             for _ in range(300)]
+    for i in range(0, 290, 17):
+        texts[i + 3] = texts[i]
+    src = tmp_path / "docs"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(texts)}),
+        str(src / "docs.parquet"))
+
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--input", str(src), "--out", out,
+                 "--min-tokens", "30"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["n_rows"] > 0
+    parts = sorted(os.listdir(out))
+    assert parts and all(p.startswith("split=") for p in parts)
+
+    # the LM-banded variant writes a (possibly smaller) valid output
+    out2 = str(tmp_path / "curated_lm")
+    assert main(["curate", "--input", str(src), "--out", out2,
+                 "--min-tokens", "30", "--lm-centibits", "403"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < r2["n_rows"] <= r["n_rows"]
