@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet+Gopher curation composition: rules -> LM surprisal
         # band -> exact dedup -> split (pipelines/curation.curate_lm)
         "curation_lm_keep": d.q_curation_lm_keep,
+        # streaming watermark / late-data verdicts — a distributed
+        # prefix scan (stages/events.watermark_late_events)
+        "late_events": d.q_late_events,
     }
 
 
@@ -1618,5 +1621,21 @@ SELECT doc_id,
             WHEN hv < 3865470566 THEN 'val'
             ELSE 'test' END AS split
 FROM h ORDER BY doc_id
+""",
+        # streaming watermark: arrival order = event_id, watermark =
+        # running max(ts) - lateness (1h), late = ts < watermark; the
+        # engine computes the running max as a distributed prefix scan
+        "late_events": """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       max(epoch_us(ts)) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - 3600000000 AS watermark_us,
+       CAST(CASE WHEN epoch_us(ts) <
+            max(epoch_us(ts)) OVER (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - 3600000000
+            THEN 1 ELSE 0 END AS BIGINT) AS is_late
+FROM events ORDER BY event_id
 """,
     }

@@ -178,7 +178,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("bpe_merges", d.q_bpe_merges),
                      ("chunk_text", d.q_chunk_text),
                      ("pagerank", d.q_pagerank),
-                     ("curation_lm_keep", d.q_curation_lm_keep)]:
+                     ("curation_lm_keep", d.q_curation_lm_keep),
+                     ("late_events", d.q_late_events)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

@@ -1109,3 +1109,14 @@ def q_curation_lm_keep(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "split": pd.Series([], dtype=object)})
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_late_events(sf_dir: str) -> pd.DataFrame:
+    """(event_id, ts_us, watermark_us, is_late): streaming watermark /
+    late-data verdicts with arrival order = event_id — a distributed
+    prefix scan (per-bucket max + driver exclusive prefix + in-bucket
+    cummax; stages/events.watermark_late_events)."""
+    from ..stages.events import watermark_late_events
+    pdf = watermark_late_events(_read_events(sf_dir),
+                                lateness_sec=3600).to_pandas()
+    return pdf.sort_values("event_id").reset_index(drop=True)

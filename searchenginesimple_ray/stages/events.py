@@ -518,3 +518,78 @@ def retention_cohorts(events: ray.data.Dataset,
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["cohort_week", "weeks_since"]) \
         .reset_index(drop=True)
+
+
+def watermark_late_events(events: ray.data.Dataset,
+                          lateness_sec: int = 3600,
+                          n_buckets: int = 64) -> ray.data.Dataset:
+    """Streaming watermark / late-data detection as a DISTRIBUTED
+    PREFIX SCAN: (event_id, ts_us, watermark_us, is_late) where
+    arrival order := ``event_id`` (the stream offset),
+    ``watermark_us(i) = max(ts_us[j] for j <= i) - lateness`` (the
+    low-watermark rule every streaming engine applies before closing
+    a window) and ``is_late = ts_us < watermark_us``.
+
+    The running max over arrival order is the classic two-pass scan
+    (Blelloch): PASS 1 reduces each contiguous event_id-range bucket
+    to its max ts (one tiny groupby — B rows); the driver takes the
+    EXCLUSIVE prefix max over bucket order (O(B)); PASS 2 shuffles
+    rows once by bucket and runs a vectorized in-bucket cummax seeded
+    with the bucket's exclusive prefix.  Only the B-row aggregate and
+    one narrow (id, ts) exchange move; nothing is sequential over the
+    corpus, which is how a watermark operator shards on a real
+    cluster (per-partition scans + partition-offset merge)."""
+    import ray as _ray
+
+    sel = events.select_columns(["event_id", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts_us": pa.array(_ts_us(batch), pa.int64())})
+
+    narrow = sel.map_batches(project, batch_format="pyarrow") \
+        .materialize()                      # consumed twice (2 passes)
+    bounds = narrow.aggregate(
+        ray.data.aggregate.Min("event_id"),
+        ray.data.aggregate.Max("event_id"))
+    lo, hi = bounds["min(event_id)"], bounds["max(event_id)"]
+    if lo is None:
+        return narrow                       # empty input
+    span = max(int(hi) - int(lo) + 1, 1)
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        b = ((eid - lo) * n_buckets // span).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    keyed = narrow.map_batches(with_bucket, batch_format="pyarrow") \
+        .materialize()
+    # PASS 1: per-bucket max ts (B rows to the driver)
+    agg = keyed.groupby("bucket").max("ts_us").to_pandas()
+    mx = np.full(n_buckets, np.iinfo(np.int64).min, np.int64)
+    mx[agg["bucket"].to_numpy()] = agg["max(ts_us)"].to_numpy()
+    # exclusive prefix max over bucket order
+    prefix = np.empty(n_buckets, np.int64)
+    prefix[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(mx[:-1], out=prefix[1:])
+    prefix_ref = _ray.put(prefix)
+    late_us = int(lateness_sec) * 1_000_000
+
+    def kernel(g: pd.DataFrame, ref=prefix_ref) -> pd.DataFrame:
+        pre = _ray.get(ref)
+        b = int(g["bucket"].iloc[0])
+        order = np.argsort(g["event_id"].to_numpy(), kind="mergesort")
+        ts = g["ts_us"].to_numpy()[order]
+        run = np.maximum.accumulate(ts)
+        if pre[b] != np.iinfo(np.int64).min:
+            run = np.maximum(run, pre[b])
+        wm = run - late_us
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[order],
+            "ts_us": ts,
+            "watermark_us": wm,
+            "is_late": (ts < wm).astype(np.int64)})
+
+    return keyed.groupby("bucket").map_groups(kernel,
+                                              batch_format="pandas")

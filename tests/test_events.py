@@ -276,3 +276,54 @@ class TestFunnel:
     def test_empty_and_no_matching_events(self, ray_session):
         rows = [(0, T0, 1, "error", 1.0), (1, T0 + US, 1, "signup", 1.0)]
         assert len(self._run(rows)) == 0
+
+
+class TestWatermarkLateEvents:
+    def _brute(self, rows, lateness_us):
+        """Sequential reference: running max over event_id order."""
+        srt = sorted(rows, key=lambda r: r[0])
+        out, run = [], -1 << 62
+        for eid, ts, *_ in srt:
+            run = max(run, ts)
+            wm = run - lateness_us
+            out.append((eid, ts, wm, int(ts < wm)))
+        return pd.DataFrame(out, columns=["event_id", "ts_us",
+                                          "watermark_us", "is_late"])
+
+    def test_matches_sequential_reference(self, ray_session):
+        from searchenginesimple_ray.stages.events import \
+            watermark_late_events
+        rng = np.random.default_rng(8)
+        n = 2000
+        # out-of-order stream: timestamps jitter +-3h around a ramp,
+        # ids shuffled across blocks, sparse ids (range gaps)
+        ids = rng.permutation(np.arange(0, 3 * n, 3, dtype=np.int64))
+        ts = (T0 + np.arange(n) * 60 * US
+              + rng.integers(-3 * 3600 * US, 3 * 3600 * US, n))
+        rows = [(int(i), int(t), 1, "click", 1.0)
+                for i, t in zip(ids, ts)]
+        got = watermark_late_events(_events_ds(rows, n_blocks=7),
+                                    lateness_sec=3600,
+                                    n_buckets=16).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = self._brute([(r[0], r[1]) + r[2:] for r in rows],
+                          3600 * US)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # both classes present on this stream
+        assert 0 < got["is_late"].sum() < len(got)
+
+    def test_bucket_count_invariance_and_empty(self, ray_session):
+        from searchenginesimple_ray.stages.events import \
+            watermark_late_events
+        rng = np.random.default_rng(4)
+        rows = [(int(i), int(T0 + rng.integers(0, 10**9)), 1, "x", 0.0)
+                for i in rng.permutation(200)]
+        a = watermark_late_events(_events_ds(rows), lateness_sec=60,
+                                  n_buckets=4).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        b = watermark_late_events(_events_ds(rows), lateness_sec=60,
+                                  n_buckets=64).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        empty = watermark_late_events(_events_ds([]), lateness_sec=60)
+        assert empty.count() == 0
