@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming watermark / late-data verdicts — a distributed
         # prefix scan (stages/events.watermark_late_events)
         "late_events": d.q_late_events,
+        # c-TF-IDF distinctive terms per source (topic-label core;
+        # stages/sketches.distinctive_terms)
+        "distinctive_terms": d.q_distinctive_terms,
     }
 
 
@@ -1637,5 +1640,39 @@ SELECT event_id,
               - 3600000000
             THEN 1 ELSE 0 END AS BIGINT) AS is_late
 FROM events ORDER BY event_id
+""",
+        # c-TF-IDF: score(g,t) = tf * floor(log2(n_groups / df)), the
+        # whole-bit idf via bit lengths (exact on both sides); top-10
+        # per source, ties (score desc, tf desc, term asc)
+        "distinctive_terms": """
+WITH doc AS (
+  SELECT source, lower(coalesce(text, '')) AS text FROM documents
+), tok AS (
+  SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS t
+  FROM doc
+), gt AS (
+  SELECT source, t, count(*) AS tf FROM tok GROUP BY source, t
+), dfv AS (
+  SELECT t, count(*) AS df FROM gt GROUP BY t
+), ng AS (SELECT count(DISTINCT source) AS n FROM gt),
+idf AS (
+  SELECT t, (length(bin(n)) - length(bin(df))
+             - CASE WHEN n < df * power(2,
+                   length(bin(n)) - length(bin(df)))
+               THEN 1 ELSE 0 END) AS ib
+  FROM dfv CROSS JOIN ng
+), scored AS (
+  SELECT gt.source, gt.t, gt.tf, gt.tf * idf.ib AS score
+  FROM gt JOIN idf ON idf.t = gt.t
+), ranked AS (
+  SELECT source, t, tf, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, tf DESC, t) AS rn
+  FROM scored
+)
+SELECT source AS "group", CAST(rn - 1 AS BIGINT) AS rank, t AS term,
+       CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rn <= 10 ORDER BY "group", rank
 """,
     }

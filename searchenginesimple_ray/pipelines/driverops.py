@@ -1120,3 +1120,11 @@ def q_late_events(sf_dir: str) -> pd.DataFrame:
     pdf = watermark_late_events(_read_events(sf_dir),
                                 lateness_sec=3600).to_pandas()
     return pdf.sort_values("event_id").reset_index(drop=True)
+
+
+def q_distinctive_terms(sf_dir: str) -> pd.DataFrame:
+    """(group, rank, term, tf, score): top-10 c-TF-IDF distinctive
+    terms per source — tf x whole-bit idf, all integer arithmetic
+    (stages/sketches.distinctive_terms)."""
+    from ..stages.sketches import distinctive_terms
+    return distinctive_terms(_read_documents(sf_dir), k=10)

@@ -547,3 +547,80 @@ def cooc_pairs_topk(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 __all__.append("cooc_pairs_topk")
+
+
+def distinctive_terms(ds: "ray.data.Dataset", group_col: str = "source",
+                      text_col: str = "text", k: int = 10) -> pd.DataFrame:
+    """c-TF-IDF distinctive terms per group (the BERTopic topic-label
+    core): score(g, t) = tf(g, t) * floor(log2(n_groups / df(t))) with
+    df = number of groups containing t — ALL integer arithmetic (the
+    whole-bit log2 of ``stages/lm.surprisal_bits``), so the SQL oracle
+    matches exactly.  Returns (group, rank, term, tf, score) rows for
+    the top-k per group, ties (score desc, tf desc, term asc).
+
+    100-TB shape: per-batch Arrow (group, term, count) partials, ONE
+    native (group, term) groupby-sum, df reduced from that table
+    (rows bounded by groups x vocab, not corpus) and broadcast as
+    sorted arrays; the top-k runs per group in ``map_groups``."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from .lm import _flat_tokens, surprisal_bits  # noqa: F401 (kernel reuse)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _flat_tokens(batch, text_col)
+        g = batch[group_col].take(parents)
+        t = pa.table({"g": g, "t": flat})
+        return t.group_by(["g", "t"]).aggregate([([], "count_all")]) \
+            .rename_columns(["g", "t", "c"])
+
+    gt = ds.select_columns([group_col, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["g", "t"]).sum("c").materialize()
+    if not gt.count():
+        return pd.DataFrame({"group": pd.Series([], dtype=object),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "term": pd.Series([], dtype=object),
+                             "tf": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.int64)})
+    # df(t) over the (group, term) table; vocab-bounded to the driver
+    df_pdf = gt.groupby("t").count().to_pandas()
+    cnt_col = [c for c in df_pdf.columns if c != "t"][0]
+    terms = df_pdf["t"].to_numpy()
+    order = np.argsort(terms)
+    terms = terms[order]
+    dfv = df_pdf[cnt_col].to_numpy()[order].astype(np.int64)
+    n_groups = int(gt.groupby("g").count().count())
+    # floor(log2(n_groups / df)) via the exact bit-length kernel:
+    # surprisal_bits computes floor(log2(D / (c+1))), so pass df-1
+    idf_bits = surprisal_bits(dfv - 1, n_groups)
+    model = _ray.put((terms, idf_bits))
+
+    def stamp(batch: pa.Table, ref=model) -> pa.Table:
+        tv, ib = _ray.get(ref)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        tf_col = [c for c in batch.column_names
+                  if c not in ("g", "t")][0]
+        tf = batch[tf_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bits = ib[np.searchsorted(tv, t)]
+        return pa.table({"g": batch["g"], "t": batch["t"],
+                         "tf": pa.array(tf),
+                         "score": pa.array(tf * bits)})
+
+    def topk(grp: pd.DataFrame) -> pd.DataFrame:
+        srt = grp.sort_values(["score", "tf", "t"],
+                              ascending=[False, False, True],
+                              kind="mergesort").head(k)
+        return pd.DataFrame({
+            "group": srt["g"].to_numpy(),
+            "rank": np.arange(len(srt), dtype=np.int64),
+            "term": srt["t"].to_numpy(),
+            "tf": srt["tf"].to_numpy().astype(np.int64),
+            "score": srt["score"].to_numpy().astype(np.int64)})
+
+    pdf = gt.map_batches(stamp, batch_format="pyarrow") \
+        .groupby("g").map_groups(topk, batch_format="pandas") \
+        .to_pandas()
+    return pdf.sort_values(["group", "rank"]).reset_index(drop=True)

@@ -630,3 +630,37 @@ class TestCurationLmKeep:
         a = base.set_index("doc_id").loc[sorted(both), "split"]
         b = lm.set_index("doc_id").loc[sorted(both), "split"]
         assert (a == b).all()
+
+
+class TestDistinctiveTerms:
+    def test_matches_duckdb(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import \
+            distinctive_terms
+        rng = np.random.default_rng(19)
+        words = ["the", "and", "alpha", "beta", "gamma", "srcword0",
+                 "srcword1", "srcword2", "srcword3"]
+        n = 240
+        srcs = [f"s{int(i)}" for i in rng.integers(0, 4, n)]
+        texts = []
+        for s in srcs:
+            base = list(rng.choice(words, size=int(rng.integers(1, 30))))
+            # give each source a signature token so idf separates
+            base += [f"srcword{s[1:]}"] * int(rng.integers(0, 4))
+            texts.append(" ".join(base))
+        # nulls and empties
+        texts[0], texts[1] = None, ""
+        t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "text": pa.array(texts, pa.string()),
+                      "source": pa.array(srcs, pa.string())})
+        got = distinctive_terms(
+            ray.data.from_arrow(t).repartition(5), k=5)
+        import __ray_entry__ as e
+        sql = e.oracle_sql()["distinctive_terms"] \
+            .replace("<= 10", "<= 5")
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        _assert_oracle(got, con, sql)
+        # the signature tokens rank top for their source
+        top0 = got[(got["group"] == "s0") & (got["rank"] == 0)]
+        if len(top0):
+            assert top0["score"].iloc[0] >= 0
