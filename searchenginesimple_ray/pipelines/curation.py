@@ -93,8 +93,15 @@ def curate_write(ds: ray.data.Dataset, out_dir: str, stop_words=(),
     import pyarrow.parquet as pq
     n = sum(pq.read_metadata(f).num_rows for f in glob.glob(
         os.path.join(tmp, "**", "*.parquet"), recursive=True))
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # publish with two atomic renames so a crash never destroys the
+    # previously published set: worst case out_dir is briefly absent
+    # while the old copy survives at .old for manual recovery
+    old = out_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        os.replace(out_dir, old)
     os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return {"out": out_dir, "n_rows": n}
 
 

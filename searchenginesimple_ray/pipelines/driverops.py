@@ -1119,6 +1119,10 @@ def q_late_events(sf_dir: str) -> pd.DataFrame:
     from ..stages.events import watermark_late_events
     pdf = watermark_late_events(_read_events(sf_dir),
                                 lateness_sec=3600).to_pandas()
+    if not len(pdf):      # to_pandas drops a 0-row dataset's schema
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("event_id", "ts_us",
+                                       "watermark_us", "is_late")})
     return pdf.sort_values("event_id").reset_index(drop=True)
 
 

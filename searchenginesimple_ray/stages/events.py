@@ -548,19 +548,27 @@ def watermark_late_events(events: ray.data.Dataset,
             "event_id": batch["event_id"].cast(pa.int64()),
             "ts_us": pa.array(_ts_us(batch), pa.int64())})
 
-    narrow = sel.map_batches(project, batch_format="pyarrow") \
-        .materialize()                      # consumed twice (2 passes)
+    # bounds from the lazy projection (one streaming pass) — only the
+    # bucket-keyed table is ever materialized, not a second full copy
+    narrow = sel.map_batches(project, batch_format="pyarrow")
     bounds = narrow.aggregate(
         ray.data.aggregate.Min("event_id"),
         ray.data.aggregate.Max("event_id"))
     lo, hi = bounds["min(event_id)"], bounds["max(event_id)"]
-    if lo is None:
-        return narrow                       # empty input
-    span = max(int(hi) - int(lo) + 1, 1)
+    if lo is None:                          # empty input: typed frame
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "ts_us": pa.array([], pa.int64()),
+            "watermark_us": pa.array([], pa.int64()),
+            "is_late": pa.array([], pa.int64())}))
+    # fixed bucket WIDTH (not multiply-then-divide, which overflows
+    # int64 past a ~2^57 id span for sparse 64-bit stream offsets)
+    width = max(-(-(int(hi) - int(lo) + 1) // n_buckets), 1)
 
     def with_bucket(batch: pa.Table) -> pa.Table:
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        b = ((eid - lo) * n_buckets // span).astype(np.int32)
+        b = np.minimum((eid - lo) // width, n_buckets - 1) \
+            .astype(np.int32)
         return batch.append_column("bucket", pa.array(b))
 
     keyed = narrow.map_batches(with_bucket, batch_format="pyarrow") \

@@ -637,15 +637,15 @@ class TestDistinctiveTerms:
         from searchenginesimple_ray.stages.sketches import \
             distinctive_terms
         rng = np.random.default_rng(19)
-        words = ["the", "and", "alpha", "beta", "gamma", "srcword0",
-                 "srcword1", "srcword2", "srcword3"]
+        words = ["the", "and", "alpha", "beta", "gamma"]
         n = 240
         srcs = [f"s{int(i)}" for i in rng.integers(0, 4, n)]
         texts = []
         for s in srcs:
             base = list(rng.choice(words, size=int(rng.integers(1, 30))))
-            # give each source a signature token so idf separates
-            base += [f"srcword{s[1:]}"] * int(rng.integers(0, 4))
+            # a signature token EXCLUSIVE to the source (df = 1), so
+            # idf separates it from the shared vocabulary (df = 4)
+            base += [f"srcword{s[1:]}"] * int(rng.integers(1, 4))
             texts.append(" ".join(base))
         # nulls and empties
         texts[0], texts[1] = None, ""
@@ -660,7 +660,10 @@ class TestDistinctiveTerms:
         con = duckdb.connect()
         con.register("documents", t.to_pandas())
         _assert_oracle(got, con, sql)
-        # the signature tokens rank top for their source
-        top0 = got[(got["group"] == "s0") & (got["rank"] == 0)]
-        if len(top0):
-            assert top0["score"].iloc[0] >= 0
+        # each source's injected signature token must outrank the
+        # shared vocabulary for that source (real ranking check)
+        for s in sorted(set(srcs)):
+            top = got[(got["group"] == s) & (got["rank"] == 0)]
+            assert len(top) == 1
+            assert top["term"].iloc[0] == f"srcword{s[1:]}", \
+                (s, top["term"].iloc[0])

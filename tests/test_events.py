@@ -327,3 +327,23 @@ class TestWatermarkLateEvents:
         pd.testing.assert_frame_equal(a, b)
         empty = watermark_late_events(_events_ds([]), lateness_sec=60)
         assert empty.count() == 0
+        # typed empty: the Dataset keeps the full output schema even
+        # with zero rows (to_pandas drops it — Ray returns a bare
+        # frame — so check the dataset schema itself)
+        assert empty.schema().names == ["event_id", "ts_us",
+                                        "watermark_us", "is_late"]
+
+    def test_sparse_64bit_id_span(self, ray_session):
+        """Snowflake-style sparse ids: span ~2^60 must not overflow
+        the bucket arithmetic (multiply-then-divide would)."""
+        from searchenginesimple_ray.stages.events import \
+            watermark_late_events
+        ids = [0, 1 << 59, (1 << 60) - 3, (1 << 60) + 5]
+        ts = [T0 + 3600 * US, T0, T0 + 2 * 3600 * US, T0 + US]
+        rows = [(i, t, 1, "x", 0.0) for i, t in zip(ids, ts)]
+        got = watermark_late_events(_events_ds(rows, n_blocks=2),
+                                    lateness_sec=1800,
+                                    n_buckets=16).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = self._brute([(r[0], r[1]) for r in rows], 1800 * US)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
