@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # c-TF-IDF distinctive terms per source (topic-label core;
         # stages/sketches.distinctive_terms)
         "distinctive_terms": d.q_distinctive_terms,
+        # zlib-compressibility quality signal — rows-only (DuckDB has
+        # no zlib; kernel pytest-gated against direct zlib)
+        "compression_ratio": d.q_compression_ratio,
     }
 
 

@@ -35,7 +35,8 @@ def _input_files(path: str) -> list[str]:
         files = sorted(
             f for f in glob.glob(os.path.join(path, "*.parquet"))
             if not os.path.basename(f).startswith("_")) or \
-            sorted(glob.glob(os.path.join(path, "*.jsonl")))
+            sorted(glob.glob(os.path.join(path, "*.jsonl"))) or \
+            sorted(glob.glob(os.path.join(path, "*.csv")))
     elif os.path.exists(path):
         files = [path]
     else:
@@ -56,22 +57,27 @@ def _config(args) -> "EngineConfig":
 
 
 def _load_inputs(files: list[str], staging_root: str) -> list[str]:
-    """JSONL inputs stage once to canonical-schema parquet (the build
-    pipeline consumes parquet file lists); parquet passes through."""
-    if not files[0].endswith(".jsonl"):
+    """JSONL/CSV inputs stage once to canonical-schema parquet (the
+    build pipeline consumes parquet file lists); parquet passes
+    through."""
+    ext = os.path.splitext(files[0])[1]
+    if ext not in (".jsonl", ".csv"):
         return files
     import hashlib
 
-    from .sources.transcripts import read_transcripts_jsonl
+    from .sources.transcripts import (read_transcripts_csv,
+                                      read_transcripts_jsonl)
     from .state.lineage import input_fingerprint
     fp = hashlib.sha256(input_fingerprint(files).encode()) \
         .hexdigest()[:16]
     # content-addressed per input set: a build and a later append with
-    # different JSONL deltas never reuse each other's staging
-    stage = os.path.join(staging_root, f"jsonl_staging_{fp}")
+    # different staged deltas never reuse each other's staging
+    stage = os.path.join(staging_root, f"{ext[1:]}_staging_{fp}")
     if not os.path.isdir(stage) or not os.listdir(stage):
         os.makedirs(stage, exist_ok=True)
-        read_transcripts_jsonl(files).write_parquet(stage)
+        reader = read_transcripts_jsonl if ext == ".jsonl" \
+            else read_transcripts_csv
+        reader(files).write_parquet(stage)
     return sorted(glob.glob(os.path.join(stage, "*.parquet")))
 
 

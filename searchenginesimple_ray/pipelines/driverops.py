@@ -1132,3 +1132,12 @@ def q_distinctive_terms(sf_dir: str) -> pd.DataFrame:
     (stages/sketches.distinctive_terms)."""
     from ..stages.sketches import distinctive_terms
     return distinctive_terms(_read_documents(sf_dir), k=10)
+
+
+def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio_u): zlib-compressibility
+    quality signal (rows-only — no SQL zlib; kernel pytest-gated
+    against direct zlib; stages/textstages.compression_ratio)."""
+    from ..stages.textstages import compression_ratio
+    pdf = compression_ratio(_read_documents(sf_dir)).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)

@@ -337,3 +337,33 @@ def read_transcripts_jsonl(paths: list[str] | str):
 
     ds = ray.data.read_json(paths)
     return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+def read_transcripts_csv(paths: list[str] | str):
+    """CSV transcripts source -> Dataset with the canonical schema.
+
+    The third common landing format (after parquet and JSONL); the
+    same vectorized normalization as ``read_transcripts_jsonl`` runs
+    per batch, so ``ts`` accepts epoch micros or ISO strings and
+    missing optional columns null-fill.  Streams via
+    ``ray.data.read_csv`` (Arrow CSV reader, block-per-chunk
+    backpressure)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in ("conv_id", "role", "text", "tool"):
+            c = batch[name] if name in batch.column_names else \
+                pa.nulls(batch.num_rows, pa.string())
+            cols[name] = pc.cast(c, pa.string())
+        cols["turn_idx"] = pc.cast(batch["turn_idx"], pa.int32())
+        ts = batch["ts"] if "ts" in batch.column_names else \
+            pa.nulls(batch.num_rows, pa.int64())
+        cols["ts"] = pc.cast(ts, pa.timestamp("us"))
+        order = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        return pa.table({k: cols[k] for k in order})
+
+    ds = ray.data.read_csv(paths)
+    return ds.map_batches(normalize, batch_format="pyarrow")

@@ -405,6 +405,43 @@ def gopher_quality(ds: ray.data.Dataset, id_col: str = "doc_id",
 
 
 __all__ = ["TextStatsStage", "text_stats", "lang_histogram",
+           "compression_ratio",
            "repetition_stats", "decontaminate", "pii_scrub",
            "gopher_quality", "GOPHER_RULES",
            "PII_PATTERNS", "LANG_MARKERS"]
+
+
+def compression_ratio(ds: ray.data.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", level: int = 6,
+                      batch_size: int = 4096) -> ray.data.Dataset:
+    """zlib-compressibility quality signal: (id, n_bytes,
+    n_compressed, ratio_u) with ``ratio_u = n_compressed * 1e6 //
+    max(n_bytes, 1)`` (int fixed-point; LOW = highly
+    repetitive/templated text).  The MassiveText/RefinedWeb-family
+    pipelines threshold on exactly this to drop boilerplate that
+    n-gram repetition rules miss.
+
+    Streaming map, no shuffle; the per-row ``zlib.compress`` is a
+    C call per document (there is no vectorized zlib) — the bytes
+    never leave the batch, only the 4 int64 stats columns do.  No SQL
+    analogue exists (DuckDB has no zlib), so the driver entry is
+    rows-only and the kernel is pytest-gated against direct zlib."""
+    import zlib
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        raw = np.fromiter(
+            (len((t or "").encode("utf-8")) for t in texts),
+            np.int64, len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress((t or "").encode("utf-8"), level))
+             for t in texts), np.int64, len(texts))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bytes": pa.array(raw),
+            "n_compressed": pa.array(comp),
+            "ratio_u": pa.array(comp * 1_000_000
+                                // np.maximum(raw, 1))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", batch_size=batch_size)

@@ -274,3 +274,48 @@ class TestJsonlSource:
             assert t["turn_idx"].type == pa.int32()
             assert pa.types.is_timestamp(t["ts"].type)
             assert t["ts"].null_count == 0
+
+
+class TestCsvSource:
+    """sources/transcripts.read_transcripts_csv: third ingest format,
+    normalized to the canonical input_hint schema; also exercised
+    end-to-end through the CLI build staging path."""
+
+    def test_csv_normalizes(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from searchenginesimple_ray.sources.transcripts import \
+            read_transcripts_csv
+        p = tmp_path / "t.csv"
+        p.write_text(
+            "conv_id,turn_idx,role,text,tool,ts\n"
+            'c1,0,user,"hello there world",,2026-01-02T03:04:05\n'
+            'c1,1,assistant,"general reply text",bash,'
+            "2026-01-02T03:04:06.123456\n")
+        ds = read_transcripts_csv([str(p)])
+        t = pa.Table.from_pandas(ds.to_pandas())
+        assert [f.name for f in t.schema] == \
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        assert t["turn_idx"].type == pa.int32()
+        assert pa.types.is_timestamp(t["ts"].type)
+        assert t["ts"].null_count == 0
+        assert t["text"][0].as_py() == "hello there world"
+
+    def test_cli_builds_from_csv(self, ray_session, tmp_path, capsys):
+        import json as _json
+
+        from searchenginesimple_ray.__main__ import main
+        src = tmp_path / "csvcorpus"
+        src.mkdir()
+        lines = ["conv_id,turn_idx,role,text,tool,ts"]
+        for c in range(6):
+            for i in range(4):
+                lines.append(
+                    f"conv{c},{i},user,these are some tokens row "
+                    f"{c} {i} extra words here,,"
+                    f"2026-01-02T03:04:{10 + i:02d}")
+        (src / "a.csv").write_text("\n".join(lines) + "\n")
+        idx = str(tmp_path / "idx")
+        assert main(["build", "--input", str(src), "--out", idx]) == 0
+        built = _json.loads(capsys.readouterr().out.strip())
+        assert built["n_docs"] > 0

@@ -667,3 +667,29 @@ class TestDistinctiveTerms:
             assert len(top) == 1
             assert top["term"].iloc[0] == f"srcword{s[1:]}", \
                 (s, top["term"].iloc[0])
+
+
+class TestCompressionRatio:
+    def test_matches_direct_zlib_and_orders_repetitive_low(
+            self, ray_session):
+        import zlib
+
+        from searchenginesimple_ray.stages.textstages import \
+            compression_ratio
+        texts = ["abc " * 200,                    # templated: low ratio
+                 "".join(chr(33 + ((i * 7919) % 90))
+                         for i in range(800)),    # noisy: high ratio
+                 "", None, "short"]
+        t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                      "text": pa.array(texts, pa.string())})
+        got = compression_ratio(
+            ray.data.from_arrow(t).repartition(2)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for i, tx in enumerate(texts):
+            raw = (tx or "").encode()
+            assert got["n_bytes"][i] == len(raw)
+            assert got["n_compressed"][i] == len(zlib.compress(raw, 6))
+            assert got["ratio_u"][i] == (
+                len(zlib.compress(raw, 6)) * 1_000_000
+                // max(len(raw), 1))
+        assert got["ratio_u"][0] < got["ratio_u"][1]
