@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zlib-compressibility quality signal — rows-only (DuckDB has
         # no zlib; kernel pytest-gated against direct zlib)
         "compression_ratio": d.q_compression_ratio,
+        # int8 scalar quantization of embeddings (vector-index
+        # compression; pipelines/similarity.quantize_embeddings_stats)
+        "quantize_embeddings": d.q_quantize_embeddings,
     }
 
 
@@ -1677,5 +1680,30 @@ idf AS (
 SELECT source AS "group", CAST(rn - 1 AS BIGINT) AS rank, t AS term,
        CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score
 FROM ranked WHERE rn <= 10 ORDER BY "group", rank
+""",
+        # int8 scalar quantization: scale = max(abs(x)), q_i =
+        # floor(x/scale*127 + 0.5) (0 for all-zero vectors), scale_u =
+        # floor(scale*1e6 + 0.5).  All IEEE +,-,*,/,floor on doubles —
+        # bit-identical to the numpy engine, no fixed-point needed.
+        "quantize_embeddings": """
+WITH x AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, max(abs(v)) AS scale FROM x GROUP BY vec_id
+), q AS (
+  SELECT x.vec_id,
+         CASE WHEN s.scale = 0 THEN 0
+              ELSE floor(x.v / s.scale * 127 + 0.5) END AS qi
+  FROM x JOIN s USING (vec_id)
+)
+SELECT q.vec_id,
+       CAST(floor(s.scale * 1e6 + 0.5) AS BIGINT) AS scale_u,
+       CAST(sum(qi) AS BIGINT) AS q_sum,
+       CAST(min(qi) AS BIGINT) AS q_min,
+       CAST(max(qi) AS BIGINT) AS q_max
+FROM q JOIN s USING (vec_id)
+GROUP BY q.vec_id, s.scale ORDER BY q.vec_id
 """,
     }

@@ -181,7 +181,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("curation_lm_keep", d.q_curation_lm_keep),
                      ("late_events", d.q_late_events),
                      ("distinctive_terms", d.q_distinctive_terms),
-                     ("compression_ratio", d.q_compression_ratio)]:
+                     ("compression_ratio", d.q_compression_ratio),
+                     ("quantize_embeddings", d.q_quantize_embeddings)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

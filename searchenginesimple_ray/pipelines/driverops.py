@@ -1141,3 +1141,14 @@ def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
     from ..stages.textstages import compression_ratio
     pdf = compression_ratio(_read_documents(sf_dir)).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, scale_u, q_sum, q_min, q_max): int8 scalar-quantization
+    stats per embedding — all IEEE +,-,*,/,floor, bit-identical to the
+    SQL oracle (pipelines/similarity.quantize_embeddings_stats)."""
+    from .similarity import quantize_embeddings_stats
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    pdf = quantize_embeddings_stats(ds).to_pandas()
+    return pdf.sort_values("vec_id").reset_index(drop=True)

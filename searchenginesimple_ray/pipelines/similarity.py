@@ -423,3 +423,41 @@ def label_centroids(ds: ray.data.Dataset, label_col: str = "label",
     for c in ("sum_fp", "n"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def quantize_embeddings_stats(ds: "ray.data.Dataset",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding"
+                              ) -> "ray.data.Dataset":
+    """Int8 scalar quantization of an embedding column — the standard
+    vector-index compression step (4x smaller, used by every serving
+    ANN stack) — reported as exact per-vector stats:
+    (id, scale_u, q_sum, q_min, q_max) with
+
+        scale   = max(abs(x_i))              (an input value, exact)
+        q_i     = floor(x_i / scale * 127 + 0.5)   (0 when scale = 0)
+        scale_u = floor(scale * 1e6 + 0.5)
+
+    Every step is +,-,*,/ and floor on IEEE doubles — bit-identical
+    between numpy and the SQL oracle (only transcendentals diverge
+    across libms), so the entry is ★-checkable without a fixed-point
+    detour.  Streaming map, no shuffle."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        scale = np.abs(vecs).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(vecs / safe[:, None] * 127.0 + 0.5)
+        q[scale == 0.0] = 0.0
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "scale_u": pa.array(np.floor(scale * 1e6 + 0.5)
+                                .astype(np.int64)),
+            "q_sum": pa.array(q.sum(axis=1).astype(np.int64)),
+            "q_min": pa.array(q.min(axis=1).astype(np.int64)),
+            "q_max": pa.array(q.max(axis=1).astype(np.int64))})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        stats, batch_format="pyarrow")

@@ -693,3 +693,43 @@ class TestCompressionRatio:
                 len(zlib.compress(raw, 6)) * 1_000_000
                 // max(len(raw), 1))
         assert got["ratio_u"][0] < got["ratio_u"][1]
+
+
+class TestQuantizeEmbeddings:
+    def test_matches_duckdb_with_negatives_and_zero_vector(
+            self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import \
+            quantize_embeddings_stats
+        rng = np.random.default_rng(13)
+        vecs = (rng.standard_normal((120, 16)) * 3).astype(np.float32)
+        vecs[7] = 0.0                              # all-zero vector
+        t = pa.table({
+            "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        got = quantize_embeddings_stats(
+            ray.data.from_arrow(t).repartition(4)).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        import __ray_entry__ as e
+        con = duckdb.connect()
+        con.register("embeddings", t.to_pandas())
+        exp = con.execute(e.oracle_sql()["quantize_embeddings"]).df()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+        z = got[got["vec_id"] == 7].iloc[0]
+        assert (z["scale_u"], z["q_sum"], z["q_min"], z["q_max"]) \
+            == (0, 0, 0, 0)
+        # int8 range respected
+        assert got["q_min"].min() >= -127 and got["q_max"].max() <= 127
+
+    def test_reconstruction_error_bound(self, ray_session):
+        """|x - q*scale/127| <= scale/254 per component (half a
+        quantization step) — the property that makes int8 ANN work."""
+        from searchenginesimple_ray.pipelines.similarity import \
+            quantize_embeddings_stats  # noqa: F401 (API presence)
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(64)
+        scale = np.abs(x).max()
+        q = np.floor(x / scale * 127 + 0.5)
+        err = np.abs(x - q * scale / 127)
+        assert (err <= scale / 254 + 1e-12).all()
