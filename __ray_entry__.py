@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8 scalar quantization of embeddings (vector-index
         # compression; pipelines/similarity.quantize_embeddings_stats)
         "quantize_embeddings": d.q_quantize_embeddings,
+        # range/interval join: clicks inside each purchase's 1h
+        # lookback (stages/events.interval_join_events)
+        "interval_join": d.q_interval_join,
     }
 
 
@@ -1705,5 +1708,22 @@ SELECT q.vec_id,
        CAST(max(qi) AS BIGINT) AS q_max
 FROM q JOIN s USING (vec_id)
 GROUP BY q.vec_id, s.scale ORDER BY q.vec_id
+""",
+        # range join: same-user clicks with ts in [purchase_ts - 1h,
+        # purchase_ts], inclusive both ends
+        "interval_join": """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       CAST(count(c.event_id) AS BIGINT) AS n_probe
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+                        AND epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
 """,
     }

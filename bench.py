@@ -182,7 +182,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("late_events", d.q_late_events),
                      ("distinctive_terms", d.q_distinctive_terms),
                      ("compression_ratio", d.q_compression_ratio),
-                     ("quantize_embeddings", d.q_quantize_embeddings)]:
+                     ("quantize_embeddings", d.q_quantize_embeddings),
+                     ("interval_join", d.q_interval_join)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

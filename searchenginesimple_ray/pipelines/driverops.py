@@ -1152,3 +1152,13 @@ def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
                                columns=["vec_id", "embedding"])
     pdf = quantize_embeddings_stats(ds).to_pandas()
     return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_interval_join(sf_dir: str) -> pd.DataFrame:
+    """(event_id, user_id, ts_us, n_probe): per purchase event, the
+    same user's clicks inside the 1h lookback window — the RANGE-join
+    custom-operator class (stages/events.interval_join_events: one
+    coarse shuffle + a merge-count interval stab, no per-row loops)."""
+    from ..stages.events import interval_join_events
+    pdf = interval_join_events(_read_events(sf_dir)).to_pandas()
+    return pdf.sort_values("event_id").reset_index(drop=True)

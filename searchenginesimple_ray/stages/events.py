@@ -601,3 +601,83 @@ def watermark_late_events(events: ray.data.Dataset,
 
     return keyed.groupby("bucket").map_groups(kernel,
                                               batch_format="pandas")
+
+
+def interval_join_events(events: ray.data.Dataset,
+                         window_type: str = "purchase",
+                         probe_type: str = "click",
+                         lookback_sec: int = 3600,
+                         n_buckets: int = 64) -> ray.data.Dataset:
+    """Range (interval) join — the other custom-operator class named
+    beside as-of joins: for every ``window_type`` event, count the
+    same user's ``probe_type`` events with
+    ``ts in [window_ts - lookback, window_ts]`` (attribution windows,
+    feature lookbacks).  Returns (event_id, user_id, ts_us, n_probe).
+
+    Shape: ONE coarse ``user_id % n_buckets`` shuffle of the two
+    narrow event slices, then a vectorized interval-stab per bucket —
+    probes sorted once per (bucket) with user-boundary offsets, each
+    window answered by two ``np.searchsorted`` calls against its
+    user's slice (no per-row loop, no quadratic join).  The standard
+    distributed range-join plan: partition by equi-key, sort the probe
+    side, binary-search the intervals."""
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == window_type) | (et == probe_type)
+        sub = batch.filter(pa.array(keep))
+        uid = sub["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": sub["event_id"].cast(pa.int64()),
+            "user_id": sub["user_id"].cast(pa.int64()),
+            "ts_us": pa.array(_ts_us(sub), pa.int64()),
+            "is_window": pa.array(
+                (sub["event_type"].to_numpy(zero_copy_only=False)
+                 == window_type).astype(np.int8)),
+            "bucket": pa.array((uid % n_buckets).astype(np.int32))})
+
+    late_us = int(lookback_sec) * 1_000_000
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        isw = g["is_window"].to_numpy() == 1
+        probes = g[~isw]
+        wins = g[isw]
+        if not len(wins):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "ts_us": pd.Series([], dtype=np.int64),
+                "n_probe": pd.Series([], dtype=np.int64)})
+        pu = probes["user_id"].to_numpy()
+        pt = probes["ts_us"].to_numpy()
+        wu = wins["user_id"].to_numpy()
+        wt = wins["ts_us"].to_numpy()
+
+        def rank(qt: np.ndarray, queries_first: bool) -> np.ndarray:
+            """#probes with (user, ts) strictly below / at-or-below
+            each (wu, qt) query — ONE merge lexsort, no per-row loop
+            (composite int64 keys would overflow; a merge can't)."""
+            u_all = np.concatenate([pu, wu])
+            t_all = np.concatenate([pt, qt])
+            isq = np.concatenate([np.zeros(len(pu), np.int8),
+                                  np.ones(len(wu), np.int8)])
+            # queries_first=True: query sorts BEFORE an equal-(u,t)
+            # probe, so the prefix counts strictly-below probes;
+            # False: query sorts after, so the prefix counts <=
+            tie = ((1 - isq) if queries_first else isq)
+            order = np.lexsort((tie, t_all, u_all))
+            probes_before = np.cumsum(1 - isq[order]) - (1 - isq[order])
+            out = np.empty(len(u_all), np.int64)
+            out[order] = probes_before
+            return out[len(pu):]
+
+        # [wt - lookback, wt] inclusive: (# <= wt) - (# < wt - lookback)
+        hi = rank(wt, queries_first=False)
+        lo = rank(wt - late_us, queries_first=True)
+        return pd.DataFrame({
+            "event_id": wins["event_id"].to_numpy(),
+            "user_id": wu, "ts_us": wt,
+            "n_probe": (hi - lo).astype(np.int64)})
+
+    return events.map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kernel, batch_format="pandas")

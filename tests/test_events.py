@@ -347,3 +347,57 @@ class TestWatermarkLateEvents:
             .sort_values("event_id").reset_index(drop=True)
         exp = self._brute([(r[0], r[1]) for r in rows], 1800 * US)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestIntervalJoin:
+    def _brute(self, rows, lookback_us):
+        purchases = [(e, u, t) for e, t, u, ty, _ in rows
+                     if ty == "purchase"]
+        clicks = [(u, t) for _, t, u, ty, _ in rows if ty == "click"]
+        out = []
+        for e, u, t in sorted(purchases):
+            n = sum(1 for cu, ct in clicks
+                    if cu == u and t - lookback_us <= ct <= t)
+            out.append((e, u, t, n))
+        return pd.DataFrame(out, columns=["event_id", "user_id",
+                                          "ts_us", "n_probe"])
+
+    def test_matches_brute_force(self, ray_session):
+        from searchenginesimple_ray.stages.events import \
+            interval_join_events
+        rng = np.random.default_rng(6)
+        n = 1500
+        # half the timestamps snap to exact hour marks so interval
+        # BOUNDARY collisions (ts == wt and ts == wt - lookback) are
+        # common, not measure-zero
+        def _ts():
+            t = int(T0 + rng.integers(0, 48 * 3600 * US))
+            if rng.random() < 0.5:
+                t = t - t % (3600 * US)
+            return t
+        rows = [(int(i), _ts(), int(rng.integers(0, 40)),
+                 str(rng.choice(["purchase", "click", "view"])), 0.0)
+                for i in range(n)]
+        got = interval_join_events(_events_ds(rows, n_blocks=6),
+                                   lookback_sec=3600,
+                                   n_buckets=8).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = self._brute(rows, 3600 * US)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert got["n_probe"].sum() > 0          # joins actually hit
+
+    def test_boundaries_inclusive_and_user_isolation(self, ray_session):
+        from searchenginesimple_ray.stages.events import \
+            interval_join_events
+        L = 3600 * US
+        rows = [
+            (0, T0 + L, 1, "purchase", 0.0),
+            (1, T0, 1, "click", 0.0),           # exactly ts - L: in
+            (2, T0 + L, 1, "click", 0.0),       # exactly ts: in
+            (3, T0 - 1, 1, "click", 0.0),       # one us early: out
+            (4, T0 + L + 1, 1, "click", 0.0),   # one us late: out
+            (5, T0 + L, 2, "click", 0.0),       # other user: out
+        ]
+        got = interval_join_events(_events_ds(rows),
+                                   lookback_sec=3600).to_pandas()
+        assert len(got) == 1 and got["n_probe"].iloc[0] == 2
