@@ -1551,15 +1551,34 @@ FROM ch ORDER BY doc_id, chunk_idx
         # 3 unrolled rounds of the exact fixed-point recurrence
         #   r0 = S // n;  f(v) = sum r(u) // deg(u) over undirected
         #   edges;  r' = (15*S) // (100*n) + (85*f) // 100
-        # over the cosine >= 0.4 embedding pair graph (same edge CTE as
-        # embedding_sim_pairs); S = 10^12.  All BIGINT floor division,
-        # so values match the engine bit-for-bit.
+        # S = 10^12, all BIGINT floor division.  The edge rule is the
+        # QUANTIZED cosine >= 2/5 comparison (q = floor(x*1024 + 0.5)
+        # per component — IEEE-exact ops; edge iff na,nb > 0, dot >= 0
+        # and 25*dot^2 >= 4*na*nb, all integers): a float cosine
+        # threshold could flip a 1-ulp boundary pair between the two
+        # summation orders and cascade into every rank.  The dots are
+        # integer-valued doubles < 2^53, so list_dot_product is exact.
         "pagerank": """
-WITH e AS (
-  SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1024 + 0.5)) AS qv
+  FROM embeddings
+), nq AS (
+  SELECT vec_id, qv,
+         CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                               CAST(qv AS DOUBLE[])) AS BIGINT) AS qn
+  FROM q
+), pr AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                               CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dp,
+         a.qn AS na, b.qn AS nb
+  FROM nq a JOIN nq b ON a.vec_id < b.vec_id
+), e AS (
+  SELECT src, dst FROM pr
+  WHERE na > 0 AND nb > 0 AND dp >= 0
+    AND 25 * dp * dp >= 4 * na * nb
 ),
 und AS (SELECT src AS u, dst AS v FROM e
         UNION ALL SELECT dst, src FROM e),

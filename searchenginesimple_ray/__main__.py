@@ -74,10 +74,18 @@ def _load_inputs(files: list[str], staging_root: str) -> list[str]:
     # different staged deltas never reuse each other's staging
     stage = os.path.join(staging_root, f"{ext[1:]}_staging_{fp}")
     if not os.path.isdir(stage) or not os.listdir(stage):
-        os.makedirs(stage, exist_ok=True)
+        # write to a temp dir and rename into place: a run killed mid
+        # write_parquet must not leave a partial parquet set that a
+        # later build/append silently reuses (dropping input rows)
+        import shutil
+        tmp = stage + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
         reader = read_transcripts_jsonl if ext == ".jsonl" \
             else read_transcripts_csv
-        reader(files).write_parquet(stage)
+        reader(files).write_parquet(tmp)
+        shutil.rmtree(stage, ignore_errors=True)   # stale empty dir
+        os.replace(tmp, stage)
     return sorted(glob.glob(os.path.join(stage, "*.parquet")))
 
 

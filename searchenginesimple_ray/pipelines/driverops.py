@@ -1086,13 +1086,25 @@ def q_chunk_text(sf_dir: str) -> pd.DataFrame:
 
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """(node_id, rank_fp): 3-round exact integer fixed-point PageRank
-    over the undirected cosine>=0.4 embedding-similarity graph
-    (stages/graph.pagerank_int — per-round streaming edge scan with a
-    broadcast rank vector + one node-bounded groupby; the oracle is
-    the same recurrence unrolled in BIGINT SQL)."""
+    over the undirected cosine>=2/5 embedding-similarity graph.  The
+    edge rule is the QUANTIZED integer comparison
+    (stages/dedup.embedding_pairs_quantized) so the edge set is
+    bit-identical between numpy and the BIGINT SQL oracle — a float
+    cosine threshold could flip a 1-ulp boundary pair and cascade into
+    every node's rank.  Ranks run on the range-PARTITIONED rank-vector
+    path (stages/graph.pagerank_int num_parts=4 — per-partition slices
+    in the object store, Pregel supersteps; pytest-asserted identical
+    to the broadcast path); the oracle is the same recurrence unrolled
+    in BIGINT SQL."""
+    from ..stages.dedup import embedding_pairs_quantized
     from ..stages.graph import pagerank_int
-    edges = _embedding_pairs(sf_dir, 0.4)
-    return pagerank_int(ray.data.from_pandas(edges), num_iters=3)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    edges = embedding_pairs_quantized(ds, "vec_id", "embedding",
+                                      threshold_num=2, threshold_den=5)
+    return pagerank_int(ray.data.from_pandas(edges), num_iters=3,
+                        num_parts=4)
 
 
 def q_curation_lm_keep(sf_dir: str) -> pd.DataFrame:

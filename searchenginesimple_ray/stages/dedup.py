@@ -118,8 +118,63 @@ def _lookup_pairs(wh1: np.ndarray, wh2: np.ndarray, h1: np.ndarray,
     return hit, pos
 
 
+def _exact_winner_kernel(c1: np.ndarray, c2: np.ndarray, co: np.ndarray,
+                         order_col: str
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-(h1, h2) dup-group winners (min ``ord``) of one candidate
+    set: one lexsort + run detection.  Returns ``(wh1, wh2, wmin)``
+    sorted by (h1, h2).  Refuses ties at the group minimum loudly (the
+    winner filter keeps rows by VALUE equality, so a tie would keep
+    several rows)."""
+    o = np.lexsort((co, c2, c1))
+    c1, c2, co = c1[o], c2[o], co[o]
+    run_start = np.concatenate(
+        [[True], (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])])
+    run_id = np.cumsum(run_start) - 1
+    run_len = np.bincount(run_id)
+    starts = run_start.nonzero()[0]
+    dup_run = run_len[run_id[starts]] > 1
+    dstarts = starts[dup_run]
+    tied = co[dstarts + 1] == co[dstarts] if len(dstarts) else \
+        np.zeros(0, bool)
+    if tied.any():
+        raise ValueError(
+            f"exact_dedup_first: {int(tied.sum())} duplicate group(s) "
+            f"tie at the minimum {order_col!r} value — supply an "
+            f"order column that is unique within each key group "
+            f"(e.g. a row id)")
+    return (c1[run_start][dup_run], c2[run_start][dup_run],
+            co[run_start][dup_run])
+
+
+@ray.remote
+def _part_cand_by_h1(tbl: pa.Table, num_buckets: int):
+    """Split one candidate block by ``h1 % B`` (num_returns=B) —
+    each (h1, h2) group lands wholly in ONE bucket."""
+    h1 = tbl["h1"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = h1 % num_buckets
+    out = [tbl.filter(pa.array(b == i)) for i in range(num_buckets)]
+    return tuple(out) if num_buckets > 1 else out[0]
+
+
+@ray.remote
+def _winner_bucket(order_col: str, *pieces):
+    """Resolve ONE h1-bucket's dup-group winners (vectorized kernel)."""
+    tabs = [p for p in pieces if p.num_rows]
+    if not tabs:
+        z = np.zeros(0, np.int64)
+        return z, z, z.astype(np.float64)
+    t = pa.concat_tables(tabs).combine_chunks()
+    return _exact_winner_kernel(
+        t["h1"].to_numpy(zero_copy_only=False).astype(np.int64),
+        t["h2"].to_numpy(zero_copy_only=False).astype(np.int64),
+        t["ord"].to_numpy(zero_copy_only=False), order_col)
+
+
 def exact_dedup_first(ds: ray.data.Dataset, key: str,
-                      order_col: str) -> ray.data.Dataset:
+                      order_col: str,
+                      driver_limit: int = 2_000_000,
+                      num_buckets: int = 64) -> ray.data.Dataset:
     """Keep the min-``order_col`` row per ``key`` group (A3 analogue for
     generic tables).
 
@@ -128,12 +183,19 @@ def exact_dedup_first(ds: ray.data.Dataset, key: str,
     two independent 64-bit hashes of the key (vectorized
     ``pd.util.hash_pandas_object``); (2) a NATIVE ``groupby(h1).count``
     finds hot hashes — O(duplicate groups), broadcast once; (3) only
-    rows holding a hot hash (dup-rate bounded) are collected and their
-    per-(h1, h2) winners (min order) resolved with one lexsort; (4) the
-    input streams through a filter keeping every row that is not in a
-    dup group, plus each group's winner.  Two distinct keys colliding
-    on BOTH 64-bit hashes (~2^-128 per pair) would drop a unique row —
-    the documented residual of not shipping text.
+    rows holding a hot hash (dup-rate bounded) hold candidates; their
+    per-(h1, h2) winners (min order) resolve with one lexsort — on the
+    driver below ``driver_limit`` candidate rows, else bucketed by
+    ``h1 % num_buckets`` into parallel Ray tasks (a group's rows share
+    h1, so buckets are independent and winner arrays simply
+    concatenate); (4) the input streams through a filter keeping every
+    row that is not in a dup group, plus each group's winner.  The
+    driver holds only the O(dup groups) winner triples — never the
+    O(duplicate rows) candidate set (at web dup rates 30-50% of a
+    100 TB corpus, the old driver collect was tens of GB).  Two
+    distinct keys colliding on BOTH 64-bit hashes (~2^-128 per pair)
+    would drop a unique row — the documented residual of not shipping
+    text.
 
     ``order_col`` must be UNIQUE within each key group (a row id /
     doc id): the winner filter keeps rows matching the group-minimum
@@ -157,33 +219,34 @@ def exact_dedup_first(ds: ray.data.Dataset, key: str,
         h1 = t["h1"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(_sorted_member_mask(w, h1)))
 
-    cand = slim.map_batches(filter_hot, batch_format="pyarrow").to_pandas()
-    c1 = cand["h1"].to_numpy().astype(np.int64)
-    c2 = cand["h2"].to_numpy().astype(np.int64)
-    co = cand["ord"].to_numpy()       # int64 or float64 per source type
-    o = np.lexsort((co, c2, c1))
-    c1, c2, co = c1[o], c2[o], co[o]
-    run_start = np.concatenate(
-        [[True], (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])])
-    run_id = np.cumsum(run_start) - 1
-    run_len = np.bincount(run_id)
-    starts = run_start.nonzero()[0]
-    dup_run = run_len[run_id[starts]] > 1
-    # the winner filter keeps rows by VALUE equality with the group
-    # minimum, so a tie at the minimum would keep several rows — refuse
-    # loudly instead of silently under-deduplicating
-    dstarts = starts[dup_run]
-    tied = co[dstarts + 1] == co[dstarts] if len(dstarts) else \
-        np.zeros(0, bool)
-    if tied.any():
-        raise ValueError(
-            f"exact_dedup_first: {int(tied.sum())} duplicate group(s) "
-            f"tie at the minimum {order_col!r} value — supply an "
-            f"order column that is unique within each key group "
-            f"(e.g. a row id)")
-    wh1 = c1[run_start][dup_run]
-    wh2 = c2[run_start][dup_run]
-    wmin = co[run_start][dup_run]     # rows sorted by ord within run
+    cand = slim.map_batches(filter_hot,
+                            batch_format="pyarrow").materialize()
+    n_cand = cand.count()
+    if n_cand <= driver_limit:
+        cpd = cand.to_pandas()
+        wh1, wh2, wmin = _exact_winner_kernel(
+            cpd["h1"].to_numpy().astype(np.int64),
+            cpd["h2"].to_numpy().astype(np.int64),
+            cpd["ord"].to_numpy(), order_col)
+    else:
+        nret = {"num_returns": num_buckets} if num_buckets > 1 else {}
+        parts = [_part_cand_by_h1.options(**nret).remote(r, num_buckets)
+                 for r in cand.to_arrow_refs()]
+        if num_buckets == 1:
+            parts = [[p] for p in parts]
+        futs = [_winner_bucket.remote(
+            order_col, *[parts[j][i] for j in range(len(parts))])
+            for i in range(num_buckets)]
+        triples = [t for t in ray.get(futs) if len(t[0])]
+        if triples:
+            wh1 = np.concatenate([t[0] for t in triples])
+            wh2 = np.concatenate([t[1] for t in triples])
+            wmin = np.concatenate([t[2] for t in triples])
+            o = np.lexsort((wh2, wh1))   # _lookup_pairs needs (h1, h2)
+            wh1, wh2, wmin = wh1[o], wh2[o], wmin[o]
+        else:
+            wh1 = wh2 = np.zeros(0, np.int64)
+            wmin = np.zeros(0, np.float64)
     if not len(wh1):
         return ds
     win_ref = ray.put((wh1, wh2, wmin))
@@ -1477,6 +1540,72 @@ def embedding_pairs_exact(ds: ray.data.Dataset, id_col: str, vec_col: str,
     if len(pdf):
         pdf = pdf.sort_values(["src", "dst"])
     return pdf.reset_index(drop=True)
+
+def embedding_pairs_quantized(ds: ray.data.Dataset, id_col: str,
+                              vec_col: str, threshold_num: int = 2,
+                              threshold_den: int = 5,
+                              scale: float = 1024.0) -> pd.DataFrame:
+    """Cosine >= num/den pairs decided in EXACT integer arithmetic over
+    scale-quantized components — every edge verdict is bit-reproducible
+    between numpy and BIGINT SQL, with NO float threshold boundary.
+
+    Rule (identical on both sides): q_i = floor(x_i * scale + 0.5)
+    elementwise (float->double cast, multiply by a power of two, +0.5,
+    floor — all IEEE-exact and order-free); edge iff
+
+        na > 0 and nb > 0 and dot >= 0
+        and den^2 * dot^2 >= num^2 * na * nb
+
+    where dot = <qa, qb>, na = <qa, qa> (all integers).  dot/norms are
+    computed by float64 matmul, exact because every partial sum is an
+    integer bounded by sqrt(na*nb) < 2^53 (Cauchy-Schwarz); the final
+    comparison runs in int64.  Raises if the quantized norms could
+    overflow the int64 comparison (den^2 * nn_max^2 must fit) — lower
+    ``scale`` in that case.
+
+    Used by the ``pagerank`` entry: a float cosine-vs-0.4 edge rule can
+    flip an edge that lands within 1 ulp of the threshold between two
+    summation orders, and one flipped edge cascades into every node's
+    rank; this kernel removes the boundary entirely."""
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    if not len(ids_all):
+        return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                             "dst": pd.Series([], dtype=np.int64)})
+    V = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    Q = np.floor(V * scale + 0.5)         # integer-valued float64
+    nn = (Q * Q).sum(axis=1)
+    den2, num2 = threshold_den ** 2, threshold_num ** 2
+    nn_max = float(nn.max())
+    if den2 * nn_max * nn_max >= 2.0 ** 62:
+        raise ValueError(
+            f"embedding_pairs_quantized: quantized norm {nn_max:.3g} "
+            f"too large for exact int64 comparison — lower scale")
+    ref = ray.put((ids_all, Q, nn.astype(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        aid, A, annb = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        Vb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        Qb = np.floor(Vb * scale + 0.5)
+        nb = (Qb * Qb).sum(axis=1).astype(np.int64)
+        dot = (Qb @ A.T).astype(np.int64)       # exact: ints < 2^53
+        hit = ((nb[:, None] > 0) & (annb[None, :] > 0) & (dot >= 0)
+               & (den2 * dot * dot >= num2 * nb[:, None] * annb[None, :])
+               & (ids[:, None] < aid[None, :]))
+        bi, aj = np.nonzero(hit)
+        return pa.table({
+            "src": pa.array(ids[bi], pa.int64()),
+            "dst": pa.array(aid[aj], pa.int64()),
+        })
+
+    pdf = ds.select_columns([id_col, vec_col]).map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    if len(pdf):
+        pdf = pdf.sort_values(["src", "dst"])
+    return pdf.reset_index(drop=True)
+
 
 def embedding_near_dup_pairs(ds: ray.data.Dataset, id_col: str, vec_col: str,
                              cosine_threshold: float = 0.95,

@@ -231,6 +231,28 @@ def json_props_agg(events: ray.data.Dataset, field: str = "k"):
     combine is driver-trivial no matter the corpus size — raw events
     never shuffle.
     """
+    def row_parse(props: list) -> np.ndarray:
+        """Per-row fallback with try-cast semantics: malformed JSON,
+        non-object values and non-integer fields degrade to NULL (NaN)
+        instead of failing the batch task."""
+        import json
+        out = np.full(len(props), np.nan)
+        for i, p in enumerate(props):
+            if p is None:
+                continue
+            try:
+                v = json.loads(p)
+            except (ValueError, TypeError):
+                continue
+            k = v.get(field) if isinstance(v, dict) else None
+            if k is None or isinstance(k, bool):
+                continue
+            try:
+                out[i] = int(k)
+            except (TypeError, ValueError):
+                continue
+        return out
+
     def partial(batch: pa.Table) -> pa.Table:
         try:
             import polars as pl
@@ -238,11 +260,13 @@ def json_props_agg(events: ray.data.Dataset, field: str = "k"):
                 .struct.field(field).cast(pl.Int64) \
                 .to_numpy().astype(np.float64)   # nulls -> NaN
         except ImportError:      # pragma: no cover - polars is baked in
-            import json
-            ks = np.array(
-                [(json.loads(p) or {}).get(field, np.nan)
-                 if p is not None else np.nan
-                 for p in batch["props"].to_pylist()], dtype=np.float64)
+            ks = row_parse(batch["props"].to_pylist())
+        except Exception:
+            # polars raises ComputeError on ANY malformed props row,
+            # failing the whole batch; degrade that batch to the
+            # row-loop so malformed rows become NULL (the SQL oracle's
+            # try-cast-style semantics)
+            ks = row_parse(batch["props"].to_pylist())
         types = batch["event_type"].to_numpy(zero_copy_only=False)
         uniq, inv, counts = np.unique(types, return_inverse=True,
                                       return_counts=True)

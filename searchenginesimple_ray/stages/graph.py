@@ -15,13 +15,26 @@ with damping d in percent.  Total mass decays by the per-node floor
 truncations (bounded by n + |edges| units per round) — the standard
 quantized-PageRank trade for exactness.
 
-100-TB shape: the edge list never leaves the cluster — each round is
-one streaming ``map_batches`` over edges (broadcast (nodes, r//deg)
-arrays, searchsorted lookup, per-block partial sums) followed by one
-node-bounded native groupby-sum; driver state is O(nodes), the same
-bound every vertex-program framework (Pregel/GraphX) assumes for a
-rank vector's per-partition slice.  Rounds are a driver loop over
-distributed jobs, like the k-means loop in ``pipelines/similarity``.
+100-TB shape — two paths, bit-identical results (property-tested):
+
+- ``num_parts=None`` (broadcast): each round is one streaming
+  ``map_batches`` over edges (broadcast (nodes, r//deg) arrays,
+  searchsorted lookup, per-block partial sums) followed by one
+  node-bounded native groupby-sum.  Driver state is O(nodes) — fine to
+  ~10^8 nodes, the entry's graph class.
+- ``num_parts=P`` (partitioned, the multi-billion-node path): the node
+  id space is RANGE-PARTITIONED once (P contiguous slices of the
+  sorted node array); rank and degree slices live in the object store
+  as per-partition refs, never on the driver (the driver holds only P
+  boundary ids + refs).  Edges are routed once to their SOURCE
+  partition; each round runs P contribution tasks (slice-local
+  searchsorted + per-destination partial sums, split by destination
+  partition with ``num_returns=P``) and P update tasks (sum incoming
+  partials, apply the rank recurrence) — a Pregel superstep where
+  every task touches O(nodes/P + edges/P) state.  Rounds are a driver
+  loop over distributed jobs, like the k-means loop in
+  ``pipelines/similarity``.  (At true extreme scale the final collect
+  would be a parquet write per slice; the entry returns a frame.)
 """
 
 from __future__ import annotations
@@ -33,12 +46,140 @@ import ray
 import ray.data
 
 
+@ray.remote(num_returns=2)
+def _pr_slice(tbl: pa.Table, cnt_col: str):
+    """One contiguous slice of the sorted (node, degree) table →
+    ((first_node, len), (nodes, deg)).  The meta return is driver-tiny;
+    the arrays stay in the object store."""
+    u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = tbl[cnt_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    meta = (int(u[0]), len(u)) if len(u) else (None, 0)
+    return meta, (u, d)
+
+
+@ray.remote
+def _pr_init_rank(slice_ref, r0: int):
+    nodes, _deg = slice_ref
+    return np.full(len(nodes), r0, dtype=np.int64)
+
+
+@ray.remote
+def _pr_route_edges(tbl: pa.Table, starts: np.ndarray, num_parts: int):
+    """Split one undirected edge block by SOURCE partition
+    (num_returns=P).  ``starts`` = partition start node ids, sorted."""
+    u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = np.searchsorted(starts, u, side="right") - 1
+    out = [tbl.filter(pa.array(p == i)) for i in range(num_parts)]
+    return tuple(out) if num_parts > 1 else out[0]
+
+
+@ray.remote
+def _pr_contrib(starts: np.ndarray, num_parts: int, slice_ref,
+                rank: np.ndarray, *edge_pieces):
+    """One partition's Pregel scatter: contributions r(u)//deg(u) of
+    this partition's sources, partial-summed per destination and split
+    by destination partition (num_returns=P)."""
+    nodes, deg = slice_ref
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "partial": pa.array([], pa.int64())})
+    tabs = [t for t in edge_pieces if t.num_rows]
+    if not tabs:
+        return tuple([empty] * num_parts) if num_parts > 1 else empty
+    t = pa.concat_tables(tabs).combine_chunks()
+    u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    contrib = rank // deg
+    c = contrib[np.searchsorted(nodes, u)]
+    uniq, inv = np.unique(v, return_inverse=True)
+    s = np.zeros(len(uniq), np.int64)
+    np.add.at(s, inv, c)
+    p = np.searchsorted(starts, uniq, side="right") - 1
+    out = []
+    for i in range(num_parts):
+        m = p == i
+        out.append(pa.table({"v": pa.array(uniq[m], pa.int64()),
+                             "partial": pa.array(s[m], pa.int64())}))
+    return tuple(out) if num_parts > 1 else out[0]
+
+
+@ray.remote
+def _pr_update(base: int, damping_pct: int, slice_ref, *partial_pieces):
+    """One partition's Pregel gather: sum incoming flow partials over
+    this partition's node slice, apply the rank recurrence."""
+    nodes, _deg = slice_ref
+    flow = np.zeros(len(nodes), np.int64)
+    for t in partial_pieces:
+        if not t.num_rows:
+            continue
+        vs = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ps = t["partial"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flow[np.searchsorted(nodes, vs)] += ps
+    return base + (damping_pct * flow) // 100
+
+
+def _pagerank_partitioned(und: ray.data.Dataset, num_iters: int,
+                          damping_pct: int, scale: int,
+                          num_parts: int) -> pd.DataFrame:
+    """Range-partitioned rank-vector path — driver holds only the P
+    partition boundaries and object refs."""
+    deg_ds = und.groupby("u").count().materialize()
+    schema = deg_ds.schema()
+    if schema is None or not deg_ds.count():
+        return pd.DataFrame({"node_id": pd.Series([], dtype=np.int64),
+                             "rank_fp": pd.Series([], dtype=np.int64)})
+    cnt_col = [c for c in schema.names if c != "u"][0]
+    sliced = deg_ds.sort("u").repartition(num_parts)  # order-preserving
+    metas, slices = [], []
+    for b in sliced.to_arrow_refs():
+        m_ref, s_ref = _pr_slice.remote(b, cnt_col)
+        metas.append(m_ref)
+        slices.append(s_ref)
+    metas = ray.get(metas)
+    keep = [i for i, (first, ln) in enumerate(metas) if ln]
+    if not keep:
+        return pd.DataFrame({"node_id": pd.Series([], dtype=np.int64),
+                             "rank_fp": pd.Series([], dtype=np.int64)})
+    slices = [slices[i] for i in keep]
+    starts = np.array([metas[i][0] for i in keep], dtype=np.int64)
+    P = len(slices)
+    n = sum(metas[i][1] for i in keep)
+    base = ((100 - damping_pct) * scale) // (100 * n)
+
+    ranks = [_pr_init_rank.remote(s, scale // n) for s in slices]
+
+    # route edges to their source partition ONCE (P pieces per block)
+    nret = {"num_returns": P} if P > 1 else {}
+    routed = [_pr_route_edges.options(**nret).remote(b, starts, P)
+              for b in und.to_arrow_refs()]
+    if P == 1:
+        routed = [[r] for r in routed]
+    edge_parts = [[routed[j][p] for j in range(len(routed))]
+                  for p in range(P)]
+
+    for _ in range(num_iters):
+        outs = [_pr_contrib.options(**nret).remote(
+            starts, P, slices[p], ranks[p], *edge_parts[p])
+            for p in range(P)]
+        if P == 1:
+            outs = [[o] for o in outs]
+        ranks = [_pr_update.remote(base, damping_pct, slices[q],
+                                   *[outs[p][q] for p in range(P)])
+                 for q in range(P)]
+
+    node_arrs = [ray.get(s)[0] for s in slices]
+    rank_arrs = ray.get(ranks)
+    return pd.DataFrame({"node_id": np.concatenate(node_arrs),
+                         "rank_fp": np.concatenate(rank_arrs)})
+
+
 def pagerank_int(edges: ray.data.Dataset, num_iters: int = 3,
                  damping_pct: int = 85, scale: int = 10**12,
-                 src_col: str = "src", dst_col: str = "dst"
-                 ) -> pd.DataFrame:
+                 src_col: str = "src", dst_col: str = "dst",
+                 num_parts: int | None = None) -> pd.DataFrame:
     """(node_id, rank_fp) after ``num_iters`` exact fixed-point rounds
-    over the undirected edge set.  Empty edge list -> empty frame."""
+    over the undirected edge set.  Empty edge list -> empty frame.
+    ``num_parts >= 2`` selects the range-partitioned rank-vector path
+    (bit-identical values; see module docstring)."""
     if not (0 <= damping_pct <= 100):
         raise ValueError("damping_pct must be in [0, 100]")
 
@@ -51,6 +192,9 @@ def pagerank_int(edges: ray.data.Dataset, num_iters: int = 3,
 
     und = edges.map_batches(undirect, batch_format="pyarrow") \
         .materialize()                     # consumed once per round
+    if num_parts is not None and num_parts >= 2:
+        return _pagerank_partitioned(und, num_iters, damping_pct,
+                                     scale, num_parts)
     deg_pdf = und.groupby("u").count().to_pandas()
     if not len(deg_pdf):
         return pd.DataFrame({"node_id": pd.Series([], dtype=np.int64),

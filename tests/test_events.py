@@ -156,6 +156,23 @@ class TestReviewHardening:
         assert got["n_events"].tolist() == want["n_events"].tolist()
         assert got["sum_k"].tolist() == [int(x) for x in want["sum_k"]]
 
+    def test_json_props_malformed_rows_degrade_to_null(self,
+                                                       ray_session):
+        """A malformed props JSON row must degrade to NULL (try-cast
+        semantics) rather than failing the whole batch task (polars'
+        json_decode raises ComputeError on any bad row)."""
+        import ray.data
+
+        from searchenginesimple_ray.stages.events import json_props_agg
+        pdf = pd.DataFrame({
+            "event_type": ["a", "a", "a", "b", "b"],
+            "props": ['{"k": 3}', '{"k": oops', 'not json at all',
+                      '{"k": 5}', '[1, 2]']})
+        got = json_props_agg(ray.data.from_pandas(pdf)) \
+            .sort_values("event_type").reset_index(drop=True)
+        assert got["n_events"].tolist() == [3, 2]
+        assert got["sum_k"].tolist() == [3, 5]
+
     def test_asof_ids_above_2_53_survive(self, ray_session):
         import pyarrow as pa
         import ray.data

@@ -84,6 +84,31 @@ class TestPagerankInt:
                          num_iters=4)
         pd.testing.assert_frame_equal(a, b)
 
+    @pytest.mark.parametrize("parts", [2, 3, 4, 8])
+    def test_partitioned_rank_vector_equals_broadcast(self, ray_session,
+                                                      parts):
+        """The range-partitioned rank-vector path (per-partition
+        slices in the object store, Pregel supersteps) must be
+        bit-identical to the broadcast path at every partitioning —
+        including P > number of natural blocks."""
+        from searchenginesimple_ray.stages.graph import pagerank_int
+        t = _rand_edges(np.random.default_rng(7), n_nodes=50,
+                        n_edges=140)
+        want = pagerank_int(ray.data.from_arrow(t), num_iters=4)
+        got = pagerank_int(ray.data.from_arrow(t).repartition(6),
+                           num_iters=4, num_parts=parts)
+        pd.testing.assert_frame_equal(got, want)
+        ref = _pagerank_ref(list(zip(t["src"].to_pylist(),
+                                     t["dst"].to_pylist())), 4)
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_partitioned_empty(self, ray_session):
+        from searchenginesimple_ray.stages.graph import pagerank_int
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        out = pagerank_int(ray.data.from_arrow(empty), num_parts=4)
+        assert len(out) == 0
+
     def test_empty_and_bad_params(self, ray_session):
         from searchenginesimple_ray.stages.graph import pagerank_int
         empty = pa.table({"src": pa.array([], pa.int64()),

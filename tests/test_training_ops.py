@@ -462,6 +462,93 @@ class TestDedupFamily:
         assert lsh <= exact
         assert (0, 8) in lsh   # recall on the planted pair
 
+    def test_embedding_pairs_quantized_vs_python_ints(self, ray_session):
+        """The quantized integer edge rule must match a pure-Python
+        arbitrary-precision integer implementation exactly — including
+        vectors engineered to land near the cosine threshold."""
+        import math
+
+        from searchenginesimple_ray.stages.dedup import \
+            embedding_pairs_quantized
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(40, 16).astype(np.float32) * 0.3
+        # engineered near-threshold pairs: b ~ a rotated to cosine~0.4
+        a = vecs[0] / np.linalg.norm(vecs[0])
+        perp = rng.randn(16).astype(np.float32)
+        perp -= perp @ a * a
+        perp /= np.linalg.norm(perp)
+        for i, eps in enumerate((-1e-7, 0.0, 1e-7)):
+            c = 0.4 + eps
+            vecs[30 + i] = (c * a + math.sqrt(max(0, 1 - c * c)) * perp) \
+                .astype(np.float32)
+        vecs[35] = 0.0                      # zero vector: never an edge
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        got = {(int(r.src), int(r.dst)) for r in embedding_pairs_quantized(
+            ds, "vec_id", "embedding", 2, 5).itertuples()}
+        q = [[int(math.floor(float(x) * 1024.0 + 0.5)) for x in
+              np.asarray(v, np.float64)] for v in vecs]
+        want = set()
+        for i in range(40):
+            for j in range(i + 1, 40):
+                na = sum(x * x for x in q[i])
+                nb = sum(x * x for x in q[j])
+                dp = sum(x * y for x, y in zip(q[i], q[j]))
+                if na > 0 and nb > 0 and dp >= 0 \
+                        and 25 * dp * dp >= 4 * na * nb:
+                    want.add((i, j))
+        assert got == want
+        assert not any(35 in p for p in got)
+
+    def test_embedding_pairs_quantized_matches_duckdb(self, ray_session):
+        """The exact oracle-side SQL formulation (list_dot_product over
+        quantized integer-valued doubles) reproduces the kernel."""
+        import duckdb
+
+        from searchenginesimple_ray.stages.dedup import \
+            embedding_pairs_quantized
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(30, 8).astype(np.float32) * 0.4
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": [list(map(float, v)) for v in vecs]})
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(pdf["vec_id"]),
+            "embedding": pa.array(pdf["embedding"],
+                                  pa.list_(pa.float32()))}))
+        got = embedding_pairs_quantized(ds, "vec_id", "embedding", 2, 5)
+        con = duckdb.connect()
+        con.register("embeddings", pd.DataFrame({
+            "vec_id": pdf["vec_id"],
+            "embedding": [np.asarray(v, np.float32) for v in
+                          pdf["embedding"]]}))
+        want = con.execute("""
+WITH q AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> floor(x * 1024 + 0.5)) AS qv
+  FROM embeddings
+), nq AS (
+  SELECT vec_id, qv,
+         CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                               CAST(qv AS DOUBLE[])) AS BIGINT) AS qn
+  FROM q
+), pr AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                               CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dp,
+         a.qn AS na, b.qn AS nb
+  FROM nq a JOIN nq b ON a.vec_id < b.vec_id
+)
+SELECT src, dst FROM pr
+WHERE na > 0 AND nb > 0 AND dp >= 0 AND 25*dp*dp >= 4*na*nb
+ORDER BY src, dst""").df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            want.astype({"src": np.int64, "dst": np.int64}))
+
     def test_min_label_components_match_unionfind(self, ray_session):
         """The distributed min-label-propagation scale path must give
         the same components as the driver union-find on random graphs
@@ -537,6 +624,40 @@ class TestDedupFamily:
         got = sorted(exact_dedup_first(ds, "text", "doc_id")
                      .to_pandas()["doc_id"])
         assert got == want
+
+    def test_exact_dedup_first_bucketed_equals_driver(self, ray_session):
+        """Above ``driver_limit`` the winner resolution buckets by
+        h1 % B into Ray tasks — result must be identical to the driver
+        lexsort path (and to the pandas ground truth)."""
+        from searchenginesimple_ray.stages.dedup import exact_dedup_first
+        rng = np.random.RandomState(23)
+        pool = [f"dup body {i}" for i in range(30)]
+        texts = [pool[rng.randint(len(pool))] if rng.rand() < 0.6
+                 else f"solo {i}" for i in range(400)]
+        ids = rng.permutation(400).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts, pa.string())})).repartition(7)
+        driver = sorted(exact_dedup_first(
+            ds, "text", "doc_id",
+            driver_limit=10**9).to_pandas()["doc_id"])
+        bucketed = sorted(exact_dedup_first(
+            ds, "text", "doc_id", driver_limit=0,
+            num_buckets=5).to_pandas()["doc_id"])
+        want = sorted(pd.DataFrame({"doc_id": ids, "text": texts})
+                      .groupby("text")["doc_id"].min())
+        assert bucketed == driver == want
+
+    def test_exact_dedup_first_bucketed_tie_refused(self, ray_session):
+        """The tie-at-minimum refusal must fire through the bucketed
+        path too (the kernel runs inside Ray tasks there)."""
+        from searchenginesimple_ray.stages.dedup import exact_dedup_first
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.array([5, 5, 9], np.int64)),
+            "text": ["x", "x", "x"]}))
+        with pytest.raises(Exception, match="tie at the minimum"):
+            exact_dedup_first(ds, "text", "doc_id", driver_limit=0,
+                              num_buckets=3).materialize()
 
     def test_exact_dedup_first_no_dups_passthrough(self, ray_session):
         from searchenginesimple_ray.stages.dedup import exact_dedup_first
