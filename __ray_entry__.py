@@ -58,13 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_len_quantiles": d.q_token_len_quantiles,
         "distinct_tokens": d.q_distinct_tokens,
         "source_top_docs": d.q_source_top_docs,
-        "pii_scrub": d.q_pii_scrub,
         "nation_revenue": d.q_nation_revenue,
         # rows-only (k-means is iterative; no SQL analogue — kernel
         # exactness is pytest-gated, see TestSemDeDup)
         "semdedup": d.q_semdedup,
-        "repetition_stats": d.q_repetition_stats,
-        "decontaminate": d.q_decontaminate,
         # training-data suite: dedup family
         "exact_dedup": d.q_exact_dedup,
         "minhash_pairs": d.q_minhash_pairs,
@@ -79,49 +76,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": d.q_ivf_topk,   # nprobe=all: exact over pruned index
         # suggestion (dict G5/A2, char index A7, edit distance G9)
         "suggest_topk": d.q_suggest_topk,
-        # multimodal (image / audio / video stages, fake codec)
-        "img_stats": d.q_img_stats,
-        "audio_stats": d.q_audio_stats,
-        "video_stats": d.q_video_stats,
-        # text analysis
-        "doc_token_stats": d.q_doc_token_stats,
-        "quality_counts": d.q_quality_counts,
-        "lang_hist": d.q_lang_hist,
-        # event-stream temporal operators (windowed agg / sessions /
-        # as-of join — custom operators Ray Data lacks natively)
-        "json_props_agg": d.q_json_props_agg,
-        # exact quantiles over an unbounded double column (KLL window
-        # + exact recount — stages/sketches.exact_quantiles_unbounded)
-        "value_quantiles": d.q_value_quantiles,
-        "event_window_agg": d.q_event_window_agg,
-        "sessionize": d.q_sessionize,
-        "asof_join": d.q_asof_join,
-        # deterministic train/val/test carve + per-source quota
-        # (stages/sampling.py)
-        "hash_split": d.q_hash_split,
-        "source_quota": d.q_source_quota,
-        # substring-level dup spans (windowed suffix-dedup; stages/spans.py)
-        "dup_spans": d.q_dup_spans,
-        # concat-and-chunk sequence packing map (stages/packing.py)
-        "pack_sequences": d.q_pack_sequences,
-        # Gopher-rule quality filter (stages/textstages.gopher_quality)
-        "gopher_quality_keep": d.q_gopher_quality_keep,
-        # deterministic seeded global training order (stages/sampling)
-        "global_shuffle": d.q_global_shuffle,
-        # per-source token-budget carve (LM data-mixing primitive)
-        "token_budget_sample": d.q_token_budget_sample,
-        # first-touch funnel completion (stages/events.funnel_events)
-        "funnel": d.q_funnel,
-        # corpus-statistic filters (stages/filtering.py): source-level
-        # blocklist by mean quality + global length-outlier clip
-        "bad_source_filter": d.q_bad_source_filter,
-        "outlier_clip": d.q_outlier_clip,
-        # per-user LAG() gap aggregate (stages/events.lag_deltas_events)
-        "lag_deltas": d.q_lag_deltas,
-        # TPC-H-Q1-shape pricing summary (stages/joins.pricing_summary)
-        "pricing_summary": d.q_pricing_summary,
-        # frequency-ranked vocabulary build (stages/sketches.vocab_build)
-        "vocab_build": d.q_vocab_build,
+        # --- r3-tail entries (uncovered by the 50-entry driver budget in
+        # round 3; judged green via tools/check_entry.py) moved into the
+        # first 50 so CORRECTNESS_r04 covers them; the 16 stable r3-★
+        # entries they displace moved to the tail (see end of dict) ---
         # top-k document-co-occurrence pairs (stages/sketches.cooc_pairs_topk)
         "cooc_pairs": d.q_cooc_pairs,
         # per-label embedding centroids, exact fixed-point sums
@@ -167,6 +125,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # range/interval join: clicks inside each purchase's 1h
         # lookback (stages/events.interval_join_events)
         "interval_join": d.q_interval_join,
+        # event-stream temporal operators (windowed agg / sessions /
+        # as-of join — custom operators Ray Data lacks natively)
+        "json_props_agg": d.q_json_props_agg,
+        # exact quantiles over an unbounded double column (KLL window
+        # + exact recount — stages/sketches.exact_quantiles_unbounded)
+        "value_quantiles": d.q_value_quantiles,
+        "event_window_agg": d.q_event_window_agg,
+        "sessionize": d.q_sessionize,
+        "asof_join": d.q_asof_join,
+        # substring-level dup spans (windowed suffix-dedup; stages/spans.py)
+        "dup_spans": d.q_dup_spans,
+        # concat-and-chunk sequence packing map (stages/packing.py)
+        "pack_sequences": d.q_pack_sequences,
+        # Gopher-rule quality filter (stages/textstages.gopher_quality)
+        "gopher_quality_keep": d.q_gopher_quality_keep,
+        # corpus-statistic filters (stages/filtering.py): source-level
+        # blocklist by mean quality + global length-outlier clip
+        "bad_source_filter": d.q_bad_source_filter,
+        "outlier_clip": d.q_outlier_clip,
+        # frequency-ranked vocabulary build (stages/sketches.vocab_build)
+        "vocab_build": d.q_vocab_build,
+        # --- 16 stable r3-★ entries displaced past the 50-entry driver
+        # budget by the reorder above; each passed all three driver
+        # checks in CORRECTNESS_r03.json and keeps its pytest +
+        # tools/check_entry.py coverage ---
+        # multimodal (image / audio / video stages, fake codec)
+        "img_stats": d.q_img_stats,
+        "audio_stats": d.q_audio_stats,
+        "video_stats": d.q_video_stats,
+        # text analysis
+        "doc_token_stats": d.q_doc_token_stats,
+        "quality_counts": d.q_quality_counts,
+        "lang_hist": d.q_lang_hist,
+        "repetition_stats": d.q_repetition_stats,
+        "decontaminate": d.q_decontaminate,
+        "pii_scrub": d.q_pii_scrub,
+        # deterministic train/val/test carve + per-source quota
+        # (stages/sampling.py)
+        "hash_split": d.q_hash_split,
+        "source_quota": d.q_source_quota,
+        # deterministic seeded global training order (stages/sampling)
+        "global_shuffle": d.q_global_shuffle,
+        # per-source token-budget carve (LM data-mixing primitive)
+        "token_budget_sample": d.q_token_budget_sample,
+        # first-touch funnel completion (stages/events.funnel_events)
+        "funnel": d.q_funnel,
+        # per-user LAG() gap aggregate (stages/events.lag_deltas_events)
+        "lag_deltas": d.q_lag_deltas,
+        # TPC-H-Q1-shape pricing summary (stages/joins.pricing_summary)
+        "pricing_summary": d.q_pricing_summary,
     }
 
 
