@@ -988,9 +988,11 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
 def q_vocab_build(sf_dir: str) -> pd.DataFrame:
     """(term, token_id, df): frequency-ranked whitespace-token
     vocabulary with ROW_NUMBER-(df DESC, term) id assignment —
-    tokenizer/vocab-training primitive."""
+    tokenizer/vocab-training primitive.  driver_limit=0 forces the
+    DISTRIBUTED two-level sample-split rank (the 100-TB path) so the
+    oracle gates it, not the driver-sort shortcut."""
     from ..stages.sketches import vocab_build
-    return vocab_build(_read_documents(sf_dir))
+    return vocab_build(_read_documents(sf_dir), driver_limit=0)
 
 
 def q_retention(sf_dir: str) -> pd.DataFrame:
@@ -1141,9 +1143,12 @@ def q_late_events(sf_dir: str) -> pd.DataFrame:
 def q_distinctive_terms(sf_dir: str) -> pd.DataFrame:
     """(group, rank, term, tf, score): top-10 c-TF-IDF distinctive
     terms per source — tf x whole-bit idf, all integer arithmetic
-    (stages/sketches.distinctive_terms)."""
+    (stages/sketches.distinctive_terms).  broadcast_limit=0 forces
+    the term-hash-partitioned df JOIN (the beyond-broadcast-vocab
+    path) so the oracle gates it, not the broadcast shortcut."""
     from ..stages.sketches import distinctive_terms
-    return distinctive_terms(_read_documents(sf_dir), k=10)
+    return distinctive_terms(_read_documents(sf_dir), k=10,
+                             broadcast_limit=0, join_partitions=8)
 
 
 def q_compression_ratio(sf_dir: str) -> pd.DataFrame:

@@ -418,8 +418,186 @@ __all__.append("exact_quantiles_unbounded")
 
 # ---------------------------------------------------------- vocab build
 
-def vocab_build(ds: "ray.data.Dataset", text_col: str = "text") \
-        -> pd.DataFrame:
+def _vocab_df_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    """One (term, partial_df) row per distinct term of this batch —
+    each doc lives in exactly one batch, so per-batch distinct-doc
+    counts sum to the true df."""
+    import polars as pl
+    s = pl.from_arrow(batch[text_col]).fill_null("")
+    toks = s.str.extract_all(r"\S+")
+    doc_idx = pl.DataFrame(
+        {"d": pl.arange(0, len(s), eager=True), "t": toks}) \
+        .explode("t").drop_nulls("t")
+    dedup = doc_idx.to_arrow().group_by(["d", "t"]).aggregate([])
+    return dedup.group_by("t").aggregate([("d", "count")]) \
+        .rename_columns(["term", "partial_df"])
+
+
+def _utf8_prefix8_u64(col) -> np.ndarray:
+    """Big-endian uint64 of each string's first 8 UTF-8 bytes (zero
+    padded) — a vectorized ORDER-PRESERVING COARSENING of byte-wise
+    string order (if a < b byte-wise then prefix8(a) <= prefix8(b)),
+    computed straight off the Arrow offsets/data buffers (no per-row
+    Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_string(col.type) or pa.types.is_large_binary(
+            col.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], off_dt)[col.offset: col.offset
+                                         + len(col) + 1]
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+        else np.zeros(0, np.uint8)
+    lens = np.minimum((off[1:] - off[:-1]).astype(np.int64), 8)
+    m = np.zeros((len(col), 8), np.uint8)
+    cols8 = np.arange(8, dtype=np.int64)
+    mask = cols8[None, :] < lens[:, None]
+    idx = off[:-1].astype(np.int64)[:, None] + cols8[None, :]
+    m[mask] = data[idx[mask]]
+    return np.ascontiguousarray(m).view(">u8").ravel()
+
+
+def _vocab_rank_key_s16(df_vals: np.ndarray, term_col) -> np.ndarray:
+    """16-byte sort key whose memcmp order == (df DESC, term-prefix8
+    ASC): offset-binary big-endian (2^63 - df) ++ big-endian first 8
+    term bytes.  The true rank order (df DESC, term ASC) REFINES this
+    key's order (terms sharing df + first 8 bytes compare equal), so
+    range-bucketing on it is order-consistent."""
+    u_df = ((np.uint64(1) << np.uint64(63))
+            - df_vals.astype(np.uint64)).astype(">u8")
+    u_t8 = _utf8_prefix8_u64(term_col).astype(">u8")
+    k = np.empty((len(u_df), 2), ">u8")
+    k[:, 0] = u_df
+    k[:, 1] = u_t8
+    return np.ascontiguousarray(k).view("S16").ravel()
+
+
+_VOCAB_BUCKET_ROWS = 1_000_000      # target vocab rows per rank bucket
+_VOCAB_SAMPLES_PER_BUCKET = 64
+
+
+def _vocab_rank_distributed(dfds: "ray.data.Dataset", n_vocab: int,
+                            n_buckets: int | None = None
+                            ) -> "ray.data.Dataset":
+    """Distributed ROW_NUMBER() OVER (ORDER BY df DESC, term) over a
+    (term, df) dataset — the TeraSort two-level-rank shape, no driver
+    step scales with vocabulary:
+
+    1. a deterministic term-hash sample (~64/bucket) comes to the
+       driver; its sorted 16-byte rank keys yield ``n_buckets - 1``
+       range splitters (driver holds O(n_buckets), never O(vocab));
+    2. each batch stamps ``bucket = searchsorted(splitters, key)`` —
+       monotone in the true (df DESC, term ASC) order because the key
+       is an order-consistent coarsening (equal keys share a bucket);
+    3. per-batch partial bucket counts merge into exclusive bases
+       (O(n_buckets) ints on the driver);
+    4. ``groupby(bucket).map_groups`` sorts each bounded bucket
+       exactly and assigns ``token_id = base + arange``.
+    """
+    if n_buckets is None:
+        n_buckets = max(16, -(-n_vocab // _VOCAB_BUCKET_ROWS))
+    target = n_buckets * _VOCAB_SAMPLES_PER_BUCKET
+    frac = min(1.0, target / max(1, n_vocab))
+    cut = np.uint64(min(int(frac * float(2**64)), 2**64 - 1))
+
+    def sample_keys(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["term"].to_pandas(), index=False,
+            hash_key="se-ray-vocab-smp").to_numpy()
+        sel = h <= cut
+        if not sel.any():
+            return pa.table({"df": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string())})
+        return pa.table({"df": t["df"].filter(pa.array(sel)),
+                         "term": t["term"].filter(pa.array(sel))})
+
+    smp = dfds.map_batches(sample_keys, batch_format="pyarrow") \
+        .to_pandas()
+    if len(smp):
+        keys = np.sort(_vocab_rank_key_s16(
+            smp["df"].to_numpy(), pa.array(smp["term"], pa.string())))
+        step = max(1, len(keys) // n_buckets)
+        splitters = np.unique(keys[step::step])
+    else:
+        splitters = np.zeros(0, "S16")
+    split_ref = ray.put(splitters)
+    nb = len(splitters) + 1
+
+    def stamp_bucket(t: pa.Table) -> pa.Table:
+        sp = ray.get(split_ref)
+        key = _vocab_rank_key_s16(
+            t["df"].to_numpy(zero_copy_only=False), t["term"])
+        b = np.searchsorted(sp, key, side="right") if len(sp) \
+            else np.zeros(len(key), np.int64)
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    bucketed = dfds.map_batches(stamp_bucket,
+                                batch_format="pyarrow").materialize()
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        s = np.zeros(nb, np.int64)
+        np.add.at(s, t["bucket"].to_numpy(zero_copy_only=False), 1)
+        nz = np.flatnonzero(s)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(s[nz], pa.int64())})
+
+    totals = np.zeros(nb + 1, np.int64)
+    pp = bucketed.map_batches(bucket_partials,
+                              batch_format="pyarrow").to_pandas()
+    if len(pp):
+        np.add.at(totals, pp["bucket"].to_numpy() + 1,
+                  pp["n"].to_numpy())
+    bases = np.cumsum(totals)[:-1]
+    bases_ref = ray.put(bases)
+
+    def rank_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        srt = g.sort_values(["df", "term"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+        base = ray.get(bases_ref)[int(g["bucket"].iloc[0])]
+        return pd.DataFrame({
+            "term": srt["term"].to_numpy(),
+            "token_id": base + np.arange(len(srt), dtype=np.int64),
+            "df": srt["df"].to_numpy().astype(np.int64)})
+
+    return bucketed.groupby("bucket").map_groups(
+        rank_group, batch_format="pandas")
+
+
+def vocab_build_ds(ds: "ray.data.Dataset", text_col: str = "text",
+                   n_buckets: int | None = None) -> "ray.data.Dataset":
+    """Distributed ``vocab_build``: returns the (term, token_id, df)
+    table as a STREAMING dataset — rank assignment is the two-level
+    sample-split shape of ``_vocab_rank_distributed`` and no driver
+    step scales with vocabulary (consume with ``write_parquet``)."""
+    dfds = _vocab_df_ds(ds, text_col)
+    n_vocab = dfds.count()
+    return _vocab_rank_distributed(dfds, n_vocab, n_buckets)
+
+
+def _vocab_df_ds(ds: "ray.data.Dataset", text_col: str
+                 ) -> "ray.data.Dataset":
+    """(term, df) dataset: per-batch partials + ONE native
+    groupby-sum exchange (bounded by block vocabulary, not tokens)."""
+    import pyarrow.compute as pc
+
+    def rename(t: pa.Table) -> pa.Table:
+        dfc = [c for c in t.column_names if c != "term"][0]
+        return pa.table({"term": t["term"],
+                         "df": pc.cast(t[dfc], pa.int64())})
+
+    return ds.select_columns([text_col]) \
+        .map_batches(_vocab_df_partial, fn_kwargs={"text_col": text_col},
+                     batch_format="pyarrow") \
+        .groupby("term").sum("partial_df") \
+        .map_batches(rename, batch_format="pyarrow").materialize()
+
+
+def vocab_build(ds: "ray.data.Dataset", text_col: str = "text",
+                driver_limit: int = 2_000_000,
+                n_buckets: int | None = None) -> pd.DataFrame:
     """(term, token_id, df): frequency-ranked vocabulary over the
     whitespace-token stream — the id-assignment step of tokenizer /
     vocab training.  token_id is the 0-based rank under
@@ -428,42 +606,37 @@ def vocab_build(ds: "ray.data.Dataset", text_col: str = "text") \
 
     Scale shape: polars ``extract_all`` tokenizes each batch in one
     vectorized call, an Arrow group_by dedups (doc, term) WITHIN the
-    batch (each doc lives in exactly one batch, so per-batch distinct
-    doc counts sum to the true df), and the exchange carries one
-    (term, partial_df) row per block — bounded by block vocabulary.
-    The final rank runs on the df table; for a vocabulary beyond
-    driver memory the documented path is the same term-hash-
-    partitioned sum + a distributed sort on (df, term) (the
-    global_shuffle_order two-level-rank shape).
-    """
-    import polars as pl
-
-    def partial(batch: pa.Table) -> pa.Table:
-        s = pl.from_arrow(batch[text_col]).fill_null("")
-        toks = s.str.extract_all(r"\S+")
-        n_row = len(s)
-        doc_idx = pl.DataFrame(
-            {"d": pl.arange(0, n_row, eager=True), "t": toks}) \
-            .explode("t").drop_nulls("t")
-        t = doc_idx.to_arrow()
-        dedup = t.group_by(["d", "t"]).aggregate([])
-        return dedup.group_by("t").aggregate([("d", "count")]) \
-            .rename_columns(["term", "partial_df"])
-
-    pdf = ds.select_columns([text_col]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
-    df_tab = pdf.groupby("term", as_index=False)["partial_df"].sum() \
-        .rename(columns={"partial_df": "df"})
-    df_tab = df_tab.sort_values(["df", "term"],
-                                ascending=[False, True],
-                                kind="mergesort").reset_index(drop=True)
-    df_tab["token_id"] = np.arange(len(df_tab), dtype=np.int64)
-    df_tab["df"] = df_tab["df"].astype(np.int64)
-    return df_tab[["term", "token_id", "df"]] \
-        .sort_values("term").reset_index(drop=True)
+    batch, and the exchange carries one (term, partial_df) row per
+    block — bounded by block vocabulary; a NATIVE groupby-sum merges
+    the partials.  The rank runs on the driver below ``driver_limit``
+    vocabulary rows; above it the distributed two-level sample-split
+    rank of ``_vocab_rank_distributed`` assigns token ids with O(n_
+    buckets) driver state (both paths pytest-asserted identical).
+    Callers at true 100-TB vocabularies should use ``vocab_build_ds``
+    and write the result out rather than collecting this frame."""
+    dfds = _vocab_df_ds(ds, text_col)
+    n_vocab = dfds.count()
+    if n_vocab <= driver_limit:
+        df_tab = dfds.to_pandas()
+        if not len(df_tab):
+            return pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "token_id": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64)})
+        df_tab = df_tab.sort_values(["df", "term"],
+                                    ascending=[False, True],
+                                    kind="mergesort") \
+            .reset_index(drop=True)
+        df_tab["token_id"] = np.arange(len(df_tab), dtype=np.int64)
+        df_tab["df"] = df_tab["df"].astype(np.int64)
+        out = df_tab[["term", "token_id", "df"]]
+    else:
+        out = _vocab_rank_distributed(dfds, n_vocab, n_buckets) \
+            .to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
 
 
-__all__.append("vocab_build")
+__all__ += ["vocab_build", "vocab_build_ds"]
 
 
 # ----------------------------------------------------- co-occurrence
@@ -550,7 +723,9 @@ __all__.append("cooc_pairs_topk")
 
 
 def distinctive_terms(ds: "ray.data.Dataset", group_col: str = "source",
-                      text_col: str = "text", k: int = 10) -> pd.DataFrame:
+                      text_col: str = "text", k: int = 10,
+                      broadcast_limit: int = 2_000_000,
+                      join_partitions: int = 32) -> pd.DataFrame:
     """c-TF-IDF distinctive terms per group (the BERTopic topic-label
     core): score(g, t) = tf(g, t) * floor(log2(n_groups / df(t))) with
     df = number of groups containing t — ALL integer arithmetic (the
@@ -560,8 +735,14 @@ def distinctive_terms(ds: "ray.data.Dataset", group_col: str = "source",
 
     100-TB shape: per-batch Arrow (group, term, count) partials, ONE
     native (group, term) groupby-sum, df reduced from that table
-    (rows bounded by groups x vocab, not corpus) and broadcast as
-    sorted arrays; the top-k runs per group in ``map_groups``."""
+    (rows bounded by groups x vocab, not corpus).  Below
+    ``broadcast_limit`` vocabulary rows the (term, idf_bits) model
+    broadcasts as sorted arrays (one ``ray.put``, searchsorted per
+    batch); above it NO driver step scales with vocabulary — the df
+    table stays a dataset and a native term-hash-partitioned join
+    stamps idf onto the (g, t) rows (both paths pytest-asserted
+    identical).  The top-k runs per group in ``map_groups`` either
+    way."""
     import pyarrow.compute as pc
 
     import ray as _ray
@@ -584,30 +765,68 @@ def distinctive_terms(ds: "ray.data.Dataset", group_col: str = "source",
                              "term": pd.Series([], dtype=object),
                              "tf": pd.Series([], dtype=np.int64),
                              "score": pd.Series([], dtype=np.int64)})
-    # df(t) over the (group, term) table; vocab-bounded to the driver
-    df_pdf = gt.groupby("t").count().to_pandas()
-    cnt_col = [c for c in df_pdf.columns if c != "t"][0]
-    terms = df_pdf["t"].to_numpy()
-    order = np.argsort(terms)
-    terms = terms[order]
-    dfv = df_pdf[cnt_col].to_numpy()[order].astype(np.int64)
     n_groups = int(gt.groupby("g").count().count())
-    # floor(log2(n_groups / df)) via the exact bit-length kernel:
-    # surprisal_bits computes floor(log2(D / (c+1))), so pass df-1
-    idf_bits = surprisal_bits(dfv - 1, n_groups)
-    model = _ray.put((terms, idf_bits))
 
-    def stamp(batch: pa.Table, ref=model) -> pa.Table:
-        tv, ib = _ray.get(ref)
-        t = batch["t"].to_numpy(zero_copy_only=False)
+    def norm_tf(batch: pa.Table) -> pa.Table:
         tf_col = [c for c in batch.column_names
                   if c not in ("g", "t")][0]
-        tf = batch[tf_col].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        bits = ib[np.searchsorted(tv, t)]
         return pa.table({"g": batch["g"], "t": batch["t"],
-                         "tf": pa.array(tf),
-                         "score": pa.array(tf * bits)})
+                         "tf": pc.cast(batch[tf_col], pa.int64())})
+
+    gt = gt.map_batches(norm_tf, batch_format="pyarrow")
+    # df(t) = distinct groups containing t, reduced from the (g, t)
+    # table (one row per (g, t), so count == distinct-group count)
+    df_ds = gt.groupby("t").count()
+    n_vocab = df_ds.count()
+
+    if n_vocab <= broadcast_limit:
+        # vocab-bounded driver model, broadcast once
+        df_pdf = df_ds.to_pandas()
+        cnt_col = [c for c in df_pdf.columns if c != "t"][0]
+        terms = df_pdf["t"].to_numpy()
+        order = np.argsort(terms)
+        terms = terms[order]
+        dfv = df_pdf[cnt_col].to_numpy()[order].astype(np.int64)
+        # floor(log2(n_groups / df)) via the exact bit-length kernel:
+        # surprisal_bits computes floor(log2(D / (c+1))), so pass df-1
+        idf_bits = surprisal_bits(dfv - 1, n_groups)
+        model = _ray.put((terms, idf_bits))
+
+        def stamp(batch: pa.Table, ref=model) -> pa.Table:
+            tv, ib = _ray.get(ref)
+            t = batch["t"].to_numpy(zero_copy_only=False)
+            tf = batch["tf"].to_numpy(zero_copy_only=False)
+            bits = ib[np.searchsorted(tv, t)]
+            return pa.table({"g": batch["g"], "t": batch["t"],
+                             "tf": pa.array(tf),
+                             "score": pa.array(tf * bits)})
+
+        scored = gt.map_batches(stamp, batch_format="pyarrow")
+    else:
+        # vocabulary beyond broadcast: term-hash-partitioned join —
+        # both sides exchange on hash(t), idf stamped partition-wise;
+        # driver holds nothing vocabulary-sized
+        def idf_of(batch: pa.Table) -> pa.Table:
+            cnt_col = [c for c in batch.column_names if c != "t"][0]
+            dfv = batch[cnt_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "t": batch["t"],
+                "idf_bits": pa.array(surprisal_bits(dfv - 1, n_groups))})
+
+        idf_ds = df_ds.map_batches(idf_of, batch_format="pyarrow")
+        from .joins import shuffle_join
+        joined = shuffle_join(gt, idf_ds, on="t",
+                              num_partitions=join_partitions)
+
+        def score_row(batch: pa.Table) -> pa.Table:
+            tf = batch["tf"].to_numpy(zero_copy_only=False)
+            bits = batch["idf_bits"].to_numpy(zero_copy_only=False)
+            return pa.table({"g": batch["g"], "t": batch["t"],
+                             "tf": pa.array(tf),
+                             "score": pa.array(tf * bits)})
+
+        scored = joined.map_batches(score_row, batch_format="pyarrow")
 
     def topk(grp: pd.DataFrame) -> pd.DataFrame:
         srt = grp.sort_values(["score", "tf", "t"],
@@ -620,7 +839,6 @@ def distinctive_terms(ds: "ray.data.Dataset", group_col: str = "source",
             "tf": srt["tf"].to_numpy().astype(np.int64),
             "score": srt["score"].to_numpy().astype(np.int64)})
 
-    pdf = gt.map_batches(stamp, batch_format="pyarrow") \
-        .groupby("g").map_groups(topk, batch_format="pandas") \
+    pdf = scored.groupby("g").map_groups(topk, batch_format="pandas") \
         .to_pandas()
     return pdf.sort_values(["group", "rank"]).reset_index(drop=True)

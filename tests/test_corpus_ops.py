@@ -299,6 +299,39 @@ FROM dfs""")
         got = vocab_build(ray.data.from_arrow(t))
         assert set(got["term"]) == {"a", "b"}
 
+    def test_distributed_rank_identical_to_driver(self, ray_session):
+        """The two-level sample-split rank (driver_limit=0) must equal
+        the driver sort bit-for-bit — including CJK terms (multi-byte
+        prefix keys) and a run of same-df terms sharing their first 8
+        bytes (the coarse 16-byte key cannot separate them, so they
+        co-bucket and the in-bucket exact sort must order them)."""
+        from searchenginesimple_ray.stages.sketches import vocab_build
+        rng = np.random.default_rng(23)
+        words = [f"prefix00{i:04d}" for i in range(40)] \
+            + ["中文词", "中文字", "alpha", "beta", "z"]
+        texts = [" ".join(rng.choice(words,
+                                     size=int(rng.integers(1, 12))))
+                 for _ in range(300)]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "text": pa.array(texts, pa.string())})
+        ds = ray.data.from_arrow(t).repartition(5)
+        want = vocab_build(ds)                       # driver rank
+        for nb in (None, 2, 7):                      # 2+ partitionings
+            got = vocab_build(ds, driver_limit=0, n_buckets=nb)
+            pd.testing.assert_frame_equal(got, want)
+
+    def test_vocab_build_ds_streaming_form(self, ray_session):
+        from searchenginesimple_ray.stages.sketches import (
+            vocab_build, vocab_build_ds)
+        t = _docs_table(np.random.default_rng(29), n=120)
+        ds = ray.data.from_arrow(t).repartition(3)
+        want = vocab_build(ds)
+        got = vocab_build_ds(ds).to_pandas() \
+            .sort_values("term").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["term", "token_id", "df"]], want)
+
 
 # ------------------------------------------------------- cooc pairs
 
@@ -667,6 +700,19 @@ class TestDistinctiveTerms:
             assert len(top) == 1
             assert top["term"].iloc[0] == f"srcword{s[1:]}", \
                 (s, top["term"].iloc[0])
+
+    def test_join_path_identical_to_broadcast(self, ray_session):
+        """broadcast_limit=0 forces the term-hash-partitioned df join
+        (no vocabulary-sized driver state); results must match the
+        broadcast-model path exactly."""
+        from searchenginesimple_ray.stages.sketches import \
+            distinctive_terms
+        t = _docs_table(np.random.default_rng(31), n=200)
+        ds = ray.data.from_arrow(t).repartition(4)
+        want = distinctive_terms(ds, k=5)
+        got = distinctive_terms(ds, k=5, broadcast_limit=0,
+                                join_partitions=4)
+        pd.testing.assert_frame_equal(got, want)
 
 
 class TestCompressionRatio:
