@@ -57,9 +57,14 @@ def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     starts = np.flatnonzero(is_start)
     byte_pos = np.arange(raw.size) - starts[value_idx]  # byte offset within its value
     n = int(is_start.sum())
-    out = np.zeros(n, dtype=np.uint64)
     payload = (raw & 0x7F).astype(np.uint64) << (np.uint64(7) * byte_pos.astype(np.uint64))
-    np.add.at(out, value_idx, payload)
+    # per-value sums via cumsum differences (np.add.at is ~10x slower);
+    # uint64 wraparound cancels exactly in the subtraction, and each
+    # true per-value sum fits 64 bits, so this is exact
+    cs = np.concatenate((np.zeros(1, np.uint64),
+                         np.cumsum(payload, dtype=np.uint64)))
+    val_ends = np.append(starts[1:], raw.size)
+    out = cs[val_ends] - cs[starts]
     if count is not None:
         assert n == count, f"varbyte_decode: expected {count} values, got {n}"
     return out
@@ -105,3 +110,51 @@ def decode_postings(doc_ids_vb: bytes, tfs_vb: bytes, count: int | None = None):
     doc_ids = delta_decode(varbyte_decode(doc_ids_vb, count))
     tfs = varbyte_decode(tfs_vb, count)
     return doc_ids, tfs
+
+
+def _binary_column_stream(col):
+    """(data uint8 array, value start offsets int64) of an Arrow
+    binary/large_binary column — the values concatenated IN ROW ORDER
+    straight off the Arrow buffers, no per-row Python bytes objects.
+    Returned data covers exactly rows [0, n): leading bytes before the
+    first value (sliced arrays) are trimmed and offsets rebased."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off_dt = np.int64 if pa.types.is_large_binary(col.type) \
+        or pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], off_dt)[col.offset: col.offset
+                                         + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+        else np.zeros(0, np.uint8)
+    base = off[0]
+    return data[base:off[-1]], off - base
+
+
+def batch_decode_posting_table(doc_ids_vb_col, tfs_vb_col,
+                               n_local: np.ndarray):
+    """Decode EVERY row's (doc_ids_vb, tfs_vb) payloads in one
+    vectorized pass — the actor cold-start path (`ScorerCore`) for
+    large shards, replacing a per-term Python decode loop.
+
+    Works because each row's varbyte stream ends at a value boundary
+    (its last byte has continuation=0), so the rows' concatenated
+    bytes decode correctly as ONE stream; per-row value counts
+    (``n_local``) then split the value stream, and the docID delta
+    cumsum is segmented by subtracting each segment's entry prefix.
+
+    Returns (doc_ids u64, tfs u64, starts, ends): row i's postings
+    are ``doc_ids[starts[i]:ends[i]]`` / ``tfs[...]`` (zero-copy
+    slices of the shared arrays)."""
+    n_local = np.asarray(n_local, dtype=np.int64)
+    d_data, d_off = _binary_column_stream(doc_ids_vb_col)
+    t_data, t_off = _binary_column_stream(tfs_vb_col)
+    deltas = varbyte_decode(d_data, int(n_local.sum()))
+    tfs = varbyte_decode(t_data, int(n_local.sum()))
+    ends = np.cumsum(n_local)
+    starts = ends - n_local
+    g = np.cumsum(deltas, dtype=np.uint64)
+    pad = np.concatenate(([np.uint64(0)], g))
+    doc_ids = g - np.repeat(pad[starts], n_local)
+    return doc_ids, tfs, starts, ends

@@ -46,7 +46,7 @@ import ray
 
 from ..functions.ranking import EPS, sort_scored_asc_nan_last, sort_scored_desc
 from ..functions.tokenize import query_raw_and_transformed, ref_transform, segment
-from ..functions.varbyte import decode_postings
+from ..functions.varbyte import batch_decode_posting_table
 
 
 class ScorerCore:
@@ -82,55 +82,96 @@ class ScorerCore:
             self.doc_len = np.empty(0)
             self.ref_norm = np.empty(0)
 
-        # postings: term -> (doc_ids u64, tfs f64, df int); salted rows merged
-        self.postings: dict[str, tuple] = {}
-        raw: dict[str, list] = {}
-        self.df: dict[str, int] = {}
-        for f in sorted(post_files):
-            t = pq.read_table(f, columns=["term", "salt", "df", "n_local",
-                                          "doc_ids_vb", "tfs_vb"])
-            terms = t["term"].to_pylist()
-            dfs = t["df"].to_numpy()
-            nloc = t["n_local"].to_numpy()
-            dvb = t["doc_ids_vb"].to_pylist()
-            tvb = t["tfs_vb"].to_pylist()
-            for i, term in enumerate(terms):
-                ids, tfs = decode_postings(dvb[i], tvb[i], int(nloc[i]))
-                raw.setdefault(term, []).append((ids, tfs))
-                # rows written by an incremental append carry the
-                # GROWN global df; pre-append rows keep the old one —
-                # the max is always the current value
-                self.df[term] = max(self.df.get(term, 0), int(dfs[i]))
-        for term, runs in raw.items():
-            if len(runs) == 1:
-                ids, tfs = runs[0]
-            else:  # merge salted sub-lists (hot-term skew split, 2nd pass)
-                ids = np.concatenate([r[0] for r in runs])
-                tfs = np.concatenate([r[1] for r in runs])
-                o = np.argsort(ids)
-                ids, tfs = ids[o], tfs[o]
-            self.postings[term] = (ids.astype(np.int64), tfs.astype(np.float64))
-
-        # precompute exact BM25 term scores + block maxima (block-max-tf
-        # metadata is stored at build; exact per-block score bounds are
-        # refined here where local doc lens are known)
+        # postings: term -> (doc_ids i64, tfs f64); salted rows merged.
+        # Cold-start path is VECTORIZED: one read of all posting files,
+        # one whole-table varbyte decode (batch_decode_posting_table),
+        # one whole-stream BM25 score pass — the per-term Python work
+        # is dict inserts + zero-copy slices only (merging is reserved
+        # for the few multi-run terms: hot-term salt splits + appends).
         self.block_size = 128
+        self.postings: dict[str, tuple] = {}
+        self.df: dict[str, int] = {}
         self.scores: dict[str, np.ndarray] = {}
         self.block_max: dict[str, np.ndarray] = {}
-        for term, (ids, tfs) in self.postings.items():
-            idx = np.searchsorted(self.stat_doc_ids, ids)
-            idx = np.clip(idx, 0, max(0, len(self.stat_doc_ids) - 1))
-            dl = self.doc_len[idx] if len(self.doc_len) else np.ones(len(ids))
-            idf = self._bm25_idf(self.df[term])
-            denom = tfs + self.k1 * (1 - self.b + self.b * dl / self.avgdl)
-            s = idf * tfs * (self.k1 + 1) / denom
+        if post_files:
+            t = pq.read_table(sorted(post_files),
+                              columns=["term", "salt", "df", "n_local",
+                                       "doc_ids_vb", "tfs_vb"])
+            self._load_posting_table(t)
+
+    def _bm25_score_stream(self, ids: np.ndarray, tfs: np.ndarray,
+                           idf_per_posting: np.ndarray) -> np.ndarray:
+        """Exact BM25 per posting over a concatenated stream (local doc
+        lens looked up once, all-numpy)."""
+        idx = np.searchsorted(self.stat_doc_ids, ids)
+        idx = np.clip(idx, 0, max(0, len(self.stat_doc_ids) - 1))
+        dl = self.doc_len[idx] if len(self.doc_len) else np.ones(len(ids))
+        denom = tfs + self.k1 * (1 - self.b + self.b * dl / self.avgdl)
+        return idf_per_posting * tfs * (self.k1 + 1) / denom
+
+    def _block_max_of(self, s: np.ndarray) -> np.ndarray:
+        if not len(s):
+            return np.empty(0)
+        return np.maximum.reduceat(
+            s, np.arange(0, len(s), self.block_size))
+
+    def _load_posting_table(self, t) -> None:
+        terms = np.asarray(t["term"].to_pandas())
+        dfs = t["df"].to_numpy().astype(np.int64)
+        nloc = t["n_local"].to_numpy().astype(np.int64)
+        ids_all, tfs_all, starts, ends = batch_decode_posting_table(
+            t["doc_ids_vb"], t["tfs_vb"], nloc)
+        ids_all = ids_all.astype(np.int64)
+        tfs_all = tfs_all.astype(np.float64)
+
+        # per-TERM df = max over its rows (append rows carry the GROWN
+        # global df; pre-append rows keep the old one) — grouped via
+        # one stable argsort over the vocab-bounded row table
+        order = np.argsort(terms, kind="stable")
+        st = terms[order]
+        run_start = np.empty(len(st), bool)
+        if len(st):
+            run_start[0] = True
+            run_start[1:] = st[1:] != st[:-1]
+        gstarts = np.flatnonzero(run_start)
+        gends = np.append(gstarts[1:], len(st))
+
+        # score the WHOLE stream once with per-posting idf from the
+        # row df; single-run terms (the vast majority) slice straight
+        # into this array — only multi-run terms recompute after merge
+        row_df_max = dfs.copy()
+        for gs, ge in zip(gstarts, gends):
+            if ge - gs > 1:
+                row_df_max[order[gs:ge]] = dfs[order[gs:ge]].max()
+        # one math.log per ROW (vocab-bounded) — bit-identical to the
+        # per-term _bm25_idf the query path uses, unlike np.log1p
+        idf_row = np.array([self._bm25_idf(int(d)) for d in row_df_max],
+                           np.float64)
+        s_all = self._bm25_score_stream(
+            ids_all, tfs_all, np.repeat(idf_row, nloc))
+
+        for gs, ge in zip(gstarts, gends):
+            term = st[gs]
+            rows = order[gs:ge]
+            dfv = int(row_df_max[rows[0]])
+            if ge - gs == 1:
+                r = rows[0]
+                ids = ids_all[starts[r]:ends[r]]
+                tfs = tfs_all[starts[r]:ends[r]]
+                s = s_all[starts[r]:ends[r]]
+            else:   # merge salted sub-lists / append runs, re-sort
+                ids = np.concatenate(
+                    [ids_all[starts[r]:ends[r]] for r in rows])
+                tfs = np.concatenate(
+                    [tfs_all[starts[r]:ends[r]] for r in rows])
+                o = np.argsort(ids)
+                ids, tfs = ids[o], tfs[o]
+                s = np.concatenate(
+                    [s_all[starts[r]:ends[r]] for r in rows])[o]
+            self.postings[term] = (ids, tfs)
+            self.df[term] = dfv
             self.scores[term] = s
-            nb = (len(s) + self.block_size - 1) // self.block_size
-            if nb:
-                self.block_max[term] = np.maximum.reduceat(
-                    s, np.arange(0, len(s), self.block_size))
-            else:
-                self.block_max[term] = np.empty(0)
+            self.block_max[term] = self._block_max_of(s)
 
     # ----------------------------------------------------- A8 membership
 

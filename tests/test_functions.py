@@ -104,6 +104,36 @@ class TestVarbyte:
             seg = tfs[bi * 16:(bi + 1) * 16]
             assert bm[bi] == seg.max()
 
+    @given(st.lists(st.lists(st.integers(0, 10**12), max_size=40),
+                    max_size=30),
+           st.integers(0, 5))
+    @settings(max_examples=40, deadline=None)
+    def test_batch_table_decode_equals_per_row(self, rows, skew):
+        """Whole-table vectorized decode == per-row decode_postings,
+        including empty posting rows and a SLICED Arrow column (the
+        offset-rebase path)."""
+        import pyarrow as pa
+        enc_d, enc_t, n_local, want = [], [], [], []
+        for vals in rows:
+            ids = np.unique(np.array(vals, dtype=np.uint64))
+            tfs = (np.arange(len(ids), dtype=np.uint64) % 9) + 1
+            dvb, tvb, _, _ = V.encode_postings(ids, tfs)
+            enc_d.append(dvb)
+            enc_t.append(tvb)
+            n_local.append(len(ids))
+            want.append((ids, tfs))
+        d_col = pa.chunked_array([pa.array(enc_d, pa.binary())])
+        t_col = pa.chunked_array([pa.array(enc_t, pa.binary())])
+        sl = min(skew, len(rows))
+        d_col, t_col = d_col.slice(sl), t_col.slice(sl)
+        nl = np.array(n_local[sl:], np.int64)
+        ids_all, tfs_all, starts, ends = \
+            V.batch_decode_posting_table(d_col, t_col, nl)
+        assert len(ids_all) == nl.sum()
+        for i, (ids, tfs) in enumerate(want[sl:]):
+            assert np.array_equal(ids_all[starts[i]:ends[i]], ids)
+            assert np.array_equal(tfs_all[starts[i]:ends[i]], tfs)
+
 
 class TestTokenize:
     def test_ref_fold_quirk(self):
