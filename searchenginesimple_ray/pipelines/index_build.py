@@ -639,61 +639,70 @@ def _run_downstream(out_dir: str, cfg: EngineConfig, res: BuildResult,
                        os.path.join(tmp, "term_df.parquet"))
         return len(df_pdf), {}
 
-    with ThreadPoolExecutor(2) as pool:
-        fut_docs = pool.submit(run_or_skip, "docs", "global", docs_dir,
-                               mk_docs, df_deps)
-        fut_df = pool.submit(run_or_skip, "term_df", "global", df_dir,
-                             mk_df, df_deps)
-        m_docs = fut_docs.result()
-        m = fut_df.result()
-    res.metrics["docs/rows"] = m_docs["row_count"]
-
-    res.n_docs = m_docs["row_count"]
-    res.n_terms = m["row_count"]
-    df_tab = pq.read_table(os.path.join(df_dir, "term_df.parquet"))
-    df_map = (df_tab["term"].to_numpy(zero_copy_only=False),
-              df_tab["df"].to_numpy(zero_copy_only=False)
-              .astype(np.int64))   # sorted-array pair, not a dict
-
     # ---- stage 5: doc_stats (doc_len, ref L2 norm — G4) ----------------
     stats_dir = os.path.join(out_dir, "doc_stats")
-
-    def mk_stats(tmp):
-        st = doc_stats_from_prepped(prepped_ds(), df_map,
-                                    n_docs=res.n_docs,
-                                    num_doc_shards=cfg.num_doc_shards)
-        st.write_parquet(tmp, partition_cols=["doc_shard"])
-        # total doc_len rides in the manifest so meta never re-scans
-        # the stats files on the driver
-        return _count_rows(tmp), {"tot_len": _sum_doc_len(tmp)}
-
     stats_deps = df_deps + ["term_df/global"]
+
+    def mk_stats_with(df_map, n_docs):
+        def mk_stats(tmp):
+            st = doc_stats_from_prepped(prepped_ds(), df_map,
+                                        n_docs=n_docs,
+                                        num_doc_shards=cfg.num_doc_shards)
+            st.write_parquet(tmp, partition_cols=["doc_shard"])
+            # total doc_len rides in the manifest so meta never
+            # re-scans the stats files on the driver
+            return _count_rows(tmp), {"tot_len": _sum_doc_len(tmp)}
+        return mk_stats
 
     # ---- stage 6: postings (A1/A6 + skew salt) -------------------------
     postings_dir = os.path.join(out_dir, "postings")
 
-    def mk_postings(tmp):
-        po = build_postings(prepped_ds(), df_map,
-                            num_term_shards=cfg.num_term_shards,
-                            num_doc_shards=cfg.num_doc_shards,
-                            hot_term_df_threshold=cfg.hot_term_df_threshold,
-                            posting_block_size=cfg.posting_block_size,
-                            prepped=True)
-        po.write_parquet(tmp, partition_cols=["doc_shard"])
-        per_shard = {}
-        for f in glob.glob(os.path.join(tmp, "**", "*.parquet"),
-                           recursive=True):
-            shard = os.path.basename(os.path.dirname(f))
-            per_shard[shard] = per_shard.get(shard, 0) + pq.read_metadata(f).num_rows
-        return sum(per_shard.values()), {"per_shard_rows": per_shard}
+    def mk_postings_with(df_map):
+        def mk_postings(tmp):
+            po = build_postings(
+                prepped_ds(), df_map,
+                num_term_shards=cfg.num_term_shards,
+                num_doc_shards=cfg.num_doc_shards,
+                hot_term_df_threshold=cfg.hot_term_df_threshold,
+                posting_block_size=cfg.posting_block_size,
+                prepped=True)
+            po.write_parquet(tmp, partition_cols=["doc_shard"])
+            per_shard = {}
+            for f in glob.glob(os.path.join(tmp, "**", "*.parquet"),
+                               recursive=True):
+                shard = os.path.basename(os.path.dirname(f))
+                per_shard[shard] = per_shard.get(shard, 0) \
+                    + pq.read_metadata(f).num_rows
+            return sum(per_shard.values()), {"per_shard_rows": per_shard}
+        return mk_postings
 
-    # doc_stats and postings share the same upstreams — run their jobs
-    # concurrently (two independent shuffles; one barrier instead of two)
-    with ThreadPoolExecutor(2) as pool:
-        fut_stats = pool.submit(run_or_skip, "doc_stats", "global",
-                                stats_dir, mk_stats, stats_deps)
+    # BARRIER-FREE TAIL: the doc store feeds nothing downstream except
+    # the scalar n_docs (doc_stats' idf N), and postings needs only
+    # term_df.  So docs ∥ term_df start together; postings launches
+    # the moment term_df lands (overlapping the doc-store write — the
+    # former docs barrier idled ~2 of 4 cores for its tail); doc_stats
+    # launches when docs lands.  One join at the end.
+    with ThreadPoolExecutor(4) as pool:
+        fut_docs = pool.submit(run_or_skip, "docs", "global", docs_dir,
+                               mk_docs, df_deps)
+        fut_df = pool.submit(run_or_skip, "term_df", "global", df_dir,
+                             mk_df, df_deps)
+        m = fut_df.result()
+        res.n_terms = m["row_count"]
+        df_tab = pq.read_table(os.path.join(df_dir, "term_df.parquet"))
+        df_map = (df_tab["term"].to_numpy(zero_copy_only=False),
+                  df_tab["df"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))   # sorted-array pair, not a dict
         fut_post = pool.submit(run_or_skip, "postings", "global",
-                               postings_dir, mk_postings, stats_deps)
+                               postings_dir, mk_postings_with(df_map),
+                               stats_deps)
+        m_docs = fut_docs.result()
+        res.metrics["docs/rows"] = m_docs["row_count"]
+        res.n_docs = m_docs["row_count"]
+        fut_stats = pool.submit(run_or_skip, "doc_stats", "global",
+                                stats_dir,
+                                mk_stats_with(df_map, res.n_docs),
+                                stats_deps)
         m_stats = fut_stats.result()
         n_stats = m_stats["row_count"]
         m = fut_post.result()
@@ -945,13 +954,6 @@ def append_index(new_files: list[str], index_dir: str,
                                 lambda t: mk_docs_delta(t)[0], flat=True)
         return n, extra
 
-    run_or_skip("docs_append", tag, docs_marker, docs_append,
-                deps=dedup_dep)
-    # count the store itself (metadata-only), NOT old_meta + delta:
-    # a skipped re-append must not double-count the sealed delta
-    res.n_docs = sum(pq.read_metadata(f).num_rows
-                     for f in _pq_files(os.path.join(index_dir, "docs")))
-
     # stage 4': term_df — merge old table with the delta partials
     df_dir = os.path.join(index_dir, "term_df")
 
@@ -994,6 +996,14 @@ def append_index(new_files: list[str], index_dir: str,
             json.dump(applied, f)
         return len(merged_df), {}
 
+    # barrier-free append tail (mirrors _run_downstream): docs_append
+    # ∥ term_df run first; postings_append launches when term_df
+    # lands; doc_stats launches when docs_append lands (it needs the
+    # post-append doc count for its idf N).
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    _tail_pool = _TPE(4)
+    fut_docs = _tail_pool.submit(run_or_skip, "docs_append", tag,
+                                 docs_marker, docs_append, dedup_dep)
     m = run_or_skip("term_df", "global", df_dir, mk_df_merged,
                     deps=dedup_dep)
     res.n_terms = m["row_count"]
@@ -1039,15 +1049,22 @@ def append_index(new_files: list[str], index_dir: str,
         return _file_append(os.path.join(index_dir, "postings"),
                             lambda t: mk_postings_delta(t)[0], flat=False)
 
-    from concurrent.futures import ThreadPoolExecutor as _TPE
-    with _TPE(2) as pool:
-        fut_stats = pool.submit(run_or_skip, "doc_stats", "global",
-                                stats_dir, mk_stats, stats_deps)
-        fut_post = pool.submit(run_or_skip, "postings_append", tag,
-                               post_marker, postings_append, stats_deps)
-        m_stats = fut_stats.result()
+    try:
+        fut_post = _tail_pool.submit(run_or_skip, "postings_append",
+                                     tag, post_marker, postings_append,
+                                     stats_deps)
+        fut_docs.result()
+        # count the store itself (metadata-only), NOT old_meta + delta:
+        # a skipped re-append must not double-count the sealed delta
+        res.n_docs = sum(
+            pq.read_metadata(f).num_rows
+            for f in _pq_files(os.path.join(index_dir, "docs")))
+        m_stats = run_or_skip("doc_stats", "global", stats_dir,
+                              mk_stats, stats_deps)
         n_stats = m_stats["row_count"]
         m = fut_post.result()
+    finally:
+        _tail_pool.shutdown(wait=True)
     res.n_posting_rows = m["row_count"]
 
     # ---- meta ------------------------------------------------------
