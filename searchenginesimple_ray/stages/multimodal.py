@@ -3,16 +3,18 @@
 Media ride as opaque ``binary`` columns with typed metadata columns
 (``media_type``, ``width``/``height`` or ``sample_rate``/``n_samples``).
 The Ray-side plumbing — schema, actor-pool stage signature, batch
-sizing, output layout — is real and tested; the actual codec calls are
-STUBBED because no image/audio libraries ship in this environment:
+sizing, output layout — is real and tested, with two codec modes:
 
-- with ``codec="fake"`` (default) a deterministic fake decoder derives
+- ``codec="fake"`` (default): a deterministic fake decoder derives
   pixel/sample arrays from the payload bytes (byte stream reshaped /
-  tiled to the declared dims) so downstream feature stages exercise
-  real array shapes end-to-end;
-- with ``codec="real"`` the stage raises ``NotImplementedError`` at
-  actor construction, marking exactly where a PIL/libsndfile/ffmpeg
-  call plugs in on a cluster image that has them.
+  tiled to the declared dims) — this is the oracle-checked path, so
+  the driver's SQL can reproduce every statistic exactly;
+- ``codec="real"``: pure-stdlib decoders from ``functions/codecs.py``
+  — PNG (zlib + filter inversion) for images, RIFF PCM WAV for audio,
+  YUV4MPEG2 for video.  Formats needing external libraries (JPEG,
+  MP3, H.264, ...) raise ``ValueError`` from the parsers; a
+  PIL/libsndfile/ffmpeg call plugs in at the same seam on a cluster
+  image that ships them.
 
 Batch-size guidance (SCALE): media payloads are large — callers should
 pass a small ``batch_size`` (e.g. 16-64) so ``batch_size x concurrency
@@ -53,10 +55,12 @@ class ImageDecodeStage:
     def __init__(self, payload_col: str = "payload", width_col: str = "width",
                  height_col: str = "height", codec: str = "fake",
                  resize_to: tuple[int, int] | None = None):
-        if codec == "real":
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv (not in this "
-                "container); plug the decoder in here")
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        # codec="real": pure-stdlib PNG decode (functions/codecs.py) —
+        # dims come from IHDR, so the width/height metadata columns are
+        # neither required nor validated on this path
+        self.codec = codec
         self.payload_col = payload_col
         self.width_col = width_col
         self.height_col = height_col
@@ -83,14 +87,20 @@ class ImageDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
-        ws = _require_positive_ints(batch, self.width_col)
-        hs = _require_positive_ints(batch, self.height_col)
+        if self.codec == "fake":
+            ws = _require_positive_ints(batch, self.width_col)
+            hs = _require_positive_ints(batch, self.height_col)
         n = len(payloads)
         mean = np.zeros(n)
         std = np.zeros(n)
         edge = np.zeros(n)
         for i, buf in enumerate(payloads):
-            img = self._decode_fake(buf or b"", int(ws[i]), int(hs[i]))
+            if self.codec == "real":
+                from ..functions.codecs import decode_png
+                img = decode_png(buf or b"")
+            else:
+                img = self._decode_fake(buf or b"", int(ws[i]),
+                                        int(hs[i]))
             if self.resize_to:
                 img = self._resize(img, self.resize_to)
             # mean/std via exact integer sums (pixel values are uint8 ->
@@ -131,10 +141,12 @@ class AudioFrameStage:
     def __init__(self, payload_col: str = "payload",
                  rate_col: str = "sample_rate", codec: str = "fake",
                  frame_len: int = 1024, hop: int = 512, max_frames: int = 64):
-        if codec == "real":
-            raise NotImplementedError(
-                "real audio decode requires libsndfile/ffmpeg (not in "
-                "this container); plug the decoder in here")
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        # codec="real": pure-stdlib RIFF PCM WAV parse — the deviation
+        # stream is the channel sum of signed offsets, full scale
+        # n_channels * (128|32768); same exact-int64 RMS path either way
+        self.codec = codec
         self.payload_col = payload_col
         self.rate_col = rate_col
         self.frame_len = frame_len
@@ -155,15 +167,23 @@ class AudioFrameStage:
         rms_rows: list[np.ndarray] = []
         fl, hop = self.frame_len, self.hop
         for i, buf in enumerate(payloads):
-            raw = self._decode_fake(buf or b"")
-            d = raw.astype(np.int64) - 128
+            if self.codec == "real":
+                from ..functions.codecs import decode_wav, wav_full_scale
+                _, d = decode_wav(buf or b"")
+                if d.size == 0:
+                    d = np.zeros(fl, np.int64)
+                fs2 = float(wav_full_scale(buf)) ** 2
+            else:
+                raw = self._decode_fake(buf or b"")
+                d = raw.astype(np.int64) - 128
+                fs2 = 16384.0
             csum = np.concatenate(([0], np.cumsum(d * d)))
-            starts = np.arange(0, max(1, raw.size - fl + 1),
+            starts = np.arange(0, max(1, d.size - fl + 1),
                                hop)[: self.max_frames]
-            ends = np.minimum(starts + fl, raw.size)
+            ends = np.minimum(starts + fl, d.size)
             ssq = csum[ends] - csum[starts]
             cnt = np.maximum(ends - starts, 1)
-            rms = np.sqrt(ssq / (cnt * 16384.0))
+            rms = np.sqrt(ssq / (cnt * fs2))
             n_frames[i] = len(starts)
             rms_rows.append(rms)
         return (batch
@@ -190,10 +210,12 @@ class VideoFrameSampleStage:
                  height_col: str = "height",
                  n_frames_col: str = "n_frames_total", codec: str = "fake",
                  stride: int = 2, max_frames: int = 16):
-        if codec == "real":
-            raise NotImplementedError(
-                "real video decode requires ffmpeg/pyav (not in this "
-                "container); plug the frame extractor in here")
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        # codec="real": pure-stdlib YUV4MPEG2 parse — dims and frame
+        # count come from the stream header, luma plane means are the
+        # same exact integer sums as the fake path
+        self.codec = codec
         self.payload_col = payload_col
         self.width_col = width_col
         self.height_col = height_col
@@ -203,12 +225,24 @@ class VideoFrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
-        ws = _require_positive_ints(batch, self.width_col)
-        hs = _require_positive_ints(batch, self.height_col)
-        nt = _require_positive_ints(batch, self.n_frames_col)
+        if self.codec == "fake":
+            ws = _require_positive_ints(batch, self.width_col)
+            hs = _require_positive_ints(batch, self.height_col)
+            nt = _require_positive_ints(batch, self.n_frames_col)
         n_sampled = np.zeros(len(payloads), np.int32)
         mean_rows: list[list[float]] = []
         for i, buf in enumerate(payloads):
+            if self.codec == "real":
+                from ..functions.codecs import decode_y4m
+                w, h, frames = decode_y4m(buf or b"")
+                sel = frames[::self.stride][: self.max_frames]
+                F = w * h
+                means = [
+                    float(int(f.astype(np.int64).sum()) / float(F))
+                    for f in sel]
+                n_sampled[i] = len(sel)
+                mean_rows.append(means)
+                continue
             raw = np.frombuffer(buf or b"\x00", dtype=np.uint8)
             L = raw.size
             F = int(ws[i]) * int(hs[i])

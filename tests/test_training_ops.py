@@ -779,15 +779,17 @@ class TestMultimodal:
                 seg = tiled[f * w * h:(f + 1) * w * h]
                 assert out.frame_mean[i][j] == int(seg.sum()) / float(w * h)
 
-    def test_real_codec_is_stubbed(self):
+    def test_real_codec_constructs_and_rejects_unknown(self):
+        # round 4: codec="real" is genuinely real (pure-stdlib PNG /
+        # WAV / Y4M parsers — see tests/test_codecs.py); unknown codec
+        # names fail fast at construction
         from searchenginesimple_ray.stages.multimodal import (
             AudioFrameStage, ImageDecodeStage, VideoFrameSampleStage)
-        with pytest.raises(NotImplementedError):
-            ImageDecodeStage(codec="real")
-        with pytest.raises(NotImplementedError):
-            AudioFrameStage(codec="real")
-        with pytest.raises(NotImplementedError):
-            VideoFrameSampleStage(codec="real")
+        for cls in (ImageDecodeStage, AudioFrameStage,
+                    VideoFrameSampleStage):
+            cls(codec="real")
+            with pytest.raises(ValueError):
+                cls(codec="pillow")
 
 
 class TestHashSplit:
