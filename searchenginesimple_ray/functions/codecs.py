@@ -199,6 +199,8 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
     audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_fmt != 1:
         raise ValueError(f"only PCM WAV supported (fmt {audio_fmt})")
+    if n_ch < 1:
+        raise ValueError("malformed WAV: fmt declares 0 channels")
     if bits == 8:
         s = np.frombuffer(data, np.uint8).astype(np.int64) - 128
     elif bits == 16:
@@ -265,10 +267,13 @@ def decode_y4m(buf: bytes) -> tuple[int, int, list[np.ndarray]]:
     if w <= 0 or h <= 0:
         raise ValueError("Y4M header missing W/H")
     luma = w * h
+    # chroma planes use PER-PLANE ceil dims (mjpegtools/ffmpeg write
+    # ceil(w/2) x ceil(h/2) for odd sizes), not luma//2
+    cw, chh = (w + 1) // 2, (h + 1) // 2
     if cmode.startswith("420"):
-        chroma = luma // 2
+        chroma = 2 * cw * chh
     elif cmode.startswith("422"):
-        chroma = luma
+        chroma = 2 * cw * h
     elif cmode.startswith("444"):
         chroma = 2 * luma
     elif cmode.startswith("mono"):
@@ -295,8 +300,9 @@ def encode_y4m(frames: list[np.ndarray], cmode: str = "420") -> bytes:
     """Minimal Y4M encoder (tests + fixtures): gray frames become the
     luma planes; chroma planes are zero-filled to the mode's size."""
     h, w = frames[0].shape
-    chroma = {"420": w * h // 2, "422": w * h, "444": 2 * w * h,
-              "mono": 0}[cmode]
+    cw, chh = (w + 1) // 2, (h + 1) // 2
+    chroma = {"420": 2 * cw * chh, "422": 2 * cw * h,
+              "444": 2 * w * h, "mono": 0}[cmode]
     out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cmode}\n"
            .encode("ascii")]
     for f in frames:

@@ -120,6 +120,12 @@ def _binary_column_stream(col):
     first value (sliced arrays) are trimmed and offsets rebased."""
     import pyarrow as pa
     if isinstance(col, pa.ChunkedArray):
+        if pa.types.is_binary(col.type) or pa.types.is_string(col.type):
+            # int32-offset concat overflows past 2 GB of payload per
+            # shard (routine at scale) — widen BEFORE combining
+            col = col.cast(pa.large_binary()
+                           if pa.types.is_binary(col.type)
+                           else pa.large_string())
         col = col.combine_chunks()
     off_dt = np.int64 if pa.types.is_large_binary(col.type) \
         or pa.types.is_large_string(col.type) else np.int32

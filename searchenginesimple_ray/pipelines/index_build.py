@@ -1002,15 +1002,22 @@ def append_index(new_files: list[str], index_dir: str,
     # post-append doc count for its idf N).
     from concurrent.futures import ThreadPoolExecutor as _TPE
     _tail_pool = _TPE(4)
-    fut_docs = _tail_pool.submit(run_or_skip, "docs_append", tag,
-                                 docs_marker, docs_append, dedup_dep)
-    m = run_or_skip("term_df", "global", df_dir, mk_df_merged,
-                    deps=dedup_dep)
-    res.n_terms = m["row_count"]
-    df_tab = pq.read_table(os.path.join(df_dir, "term_df.parquet"))
-    df_map = (df_tab["term"].to_numpy(zero_copy_only=False),
-              df_tab["df"].to_numpy(zero_copy_only=False)
-              .astype(np.int64))
+    try:
+        fut_docs = _tail_pool.submit(run_or_skip, "docs_append", tag,
+                                     docs_marker, docs_append,
+                                     dedup_dep)
+        m = run_or_skip("term_df", "global", df_dir, mk_df_merged,
+                        deps=dedup_dep)
+        res.n_terms = m["row_count"]
+        df_tab = pq.read_table(os.path.join(df_dir, "term_df.parquet"))
+        df_map = (df_tab["term"].to_numpy(zero_copy_only=False),
+                  df_tab["df"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+    except BaseException:
+        # a term_df failure must not leave docs_append mutating the
+        # index from an unsupervised thread (nor its error unobserved)
+        _tail_pool.shutdown(wait=True)
+        raise
 
     # stage 5': doc_stats — the ONE corpus-proportional recompute: the
     # reference L2 norm is IDF-weighted, and appending changes df/N for

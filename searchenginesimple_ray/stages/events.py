@@ -256,9 +256,17 @@ def json_props_agg(events: ray.data.Dataset, field: str = "k"):
     def partial(batch: pa.Table) -> pa.Table:
         try:
             import polars as pl
-            ks = pl.from_arrow(batch["props"]).str.json_decode() \
-                .struct.field(field).cast(pl.Int64) \
-                .to_numpy().astype(np.float64)   # nulls -> NaN
+            s = pl.from_arrow(batch["props"]).str.json_decode() \
+                .struct.field(field)
+            if s.dtype == pl.Boolean:
+                # row_parse (and the SQL oracle's string-cast) treat
+                # JSON booleans as NULL; polars' Int64 cast would turn
+                # true into 1, making sum_k depend on which rows share
+                # a batch — keep the two paths value-identical
+                ks = np.full(len(s), np.nan)
+            else:
+                ks = s.cast(pl.Int64) \
+                    .to_numpy().astype(np.float64)   # nulls -> NaN
         except ImportError:      # pragma: no cover - polars is baked in
             ks = row_parse(batch["props"].to_pylist())
         except Exception:

@@ -141,6 +141,13 @@ def _pagerank_partitioned(und: ray.data.Dataset, num_iters: int,
                              "rank_fp": pd.Series([], dtype=np.int64)})
     slices = [slices[i] for i in keep]
     starts = np.array([metas[i][0] for i in keep], dtype=np.int64)
+    if not np.all(np.diff(starts) > 0):
+        # sort('u').repartition() emitting blocks out of global order
+        # would silently misroute every edge via searchsorted — fail
+        # loudly instead (order preservation is an executor detail)
+        raise AssertionError(
+            "pagerank partition starts are not strictly increasing; "
+            "repartition no longer preserves sorted block order")
     P = len(slices)
     n = sum(metas[i][1] for i in keep)
     base = ((100 - damping_pct) * scale) // (100 * n)

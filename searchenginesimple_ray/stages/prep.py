@@ -91,7 +91,10 @@ class VectorizedPrepStage:
         # past memory, so both caches reset past _CACHE_CAP entries
         self.fold_cache: dict[str, str | None] = {}
         self._bits_ids: dict[str, int] = {}
-        self._bits_mat = np.empty((256, 64))
+        # int8 ±1 signs (8x smaller than float64 rows); the float
+        # conversion of ±1 at use time is exact, so w * sign products
+        # are bit-identical either way
+        self._bits_mat = np.empty((256, 64), np.int8)
         self._w_lut = np.array([0.0, 1.0])   # 1 + log2(tf), tf-indexed
         self._shifts = np.arange(64, dtype=np.uint64)
 
@@ -135,13 +138,14 @@ class VectorizedPrepStage:
             if t not in ids:
                 j = len(ids)
                 if j >= len(self._bits_mat):
-                    grown = np.empty((2 * len(self._bits_mat), 64))
+                    grown = np.empty((2 * len(self._bits_mat), 64),
+                                     np.int8)
                     grown[:j] = self._bits_mat[:j]
                     self._bits_mat = grown
                 h = jenkins64(t)
                 self._bits_mat[j] = np.fromiter(
-                    (1.0 if (h >> k) & 1 else -1.0 for k in range(64)),
-                    np.float64, 64)
+                    (1 if (h >> k) & 1 else -1 for k in range(64)),
+                    np.int8, 64)
                 ids[t] = j
         return np.fromiter((ids[t] for t in terms), np.int64, len(terms))
 
@@ -246,7 +250,8 @@ class VectorizedPrepStage:
             if len(r_s):
                 w = self._weights_of(c_s)
                 gid = self._bits_rows(new_terms)
-                C = w[:, None] * self._bits_mat[gid[t_s]]
+                C = w[:, None] * self._bits_mat[gid[t_s]] \
+                    .astype(np.float64)
                 starts = np.concatenate(
                     [[0], np.flatnonzero(r_s[1:] != r_s[:-1]) + 1])
                 ends = np.append(starts[1:], len(r_s))

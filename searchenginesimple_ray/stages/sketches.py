@@ -775,8 +775,10 @@ def distinctive_terms(ds: "ray.data.Dataset", group_col: str = "source",
 
     gt = gt.map_batches(norm_tf, batch_format="pyarrow")
     # df(t) = distinct groups containing t, reduced from the (g, t)
-    # table (one row per (g, t), so count == distinct-group count)
-    df_ds = gt.groupby("t").count()
+    # table (one row per (g, t), so count == distinct-group count).
+    # Materialized: n_vocab plus the consumer below would otherwise
+    # run the vocabulary groupby shuffle twice.
+    df_ds = gt.groupby("t").count().materialize()
     n_vocab = df_ds.count()
 
     if n_vocab <= broadcast_limit:
