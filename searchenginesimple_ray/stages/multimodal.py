@@ -128,7 +128,9 @@ class AudioFrameStage:
     """binary payload -> fixed-rate frame sample + per-frame RMS energy.
 
     Output: ``n_frames`` (int32) and ``frame_rms`` (list<float64>, one
-    value per hop) per row.  Real codec stubbed as in ImageDecodeStage.
+    value per hop) per row.  ``codec="real"`` parses RIFF PCM WAV
+    (functions/codecs.py); ``codec="fake"`` derives bytes from the
+    payload deterministically.
 
     RMS is computed from the EXACT integer sum of squared deviations
     ((b-128)^2, summed in int64 via a cumulative sum, so frame ssq is a
@@ -203,7 +205,7 @@ class VideoFrameSampleStage:
     means are exact integer byte sums / (w*h) — reproducible by a SQL
     oracle via modular prefix sums over the payload (the tiled range
     [a, b) sums to P(b) - P(a) with P(x) = (x // L)*S + prefix(x % L)).
-    Real codec stubbed as in ImageDecodeStage.
+    ``codec="real"`` parses YUV4MPEG2 streams (functions/codecs.py).
     """
 
     def __init__(self, payload_col: str = "payload", width_col: str = "width",
