@@ -175,6 +175,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_deltas": d.q_lag_deltas,
         # TPC-H-Q1-shape pricing summary (stages/joins.pricing_summary)
         "pricing_summary": d.q_pricing_summary,
+        # --- round-4 second op wave (past the 50-entry driver budget;
+        # gated by tools/check_entry.py + tests/test_round4_ops.py) ---
+        # SFT prompt/response pair mining over the transcripts
+        # (stages/transcript_ops.sft_pairs — LEAD window per conv,
+        # text never shuffles)
+        "sft_pairs": d.q_sft_pairs,
+        # ordered conversation assembly + order-sensitive digest
+        # (stages/transcript_ops.conv_assemble)
+        "conv_assemble": d.q_conv_assemble,
+        # per-user rolling ROWS window (stages/events.rolling_window_events)
+        "rolling_window": d.q_rolling_window,
+        # TPC-H-Q3 shape: segment semi-join + fact x fact join +
+        # global top-k (stages/joins.shipping_priority_topk)
+        "tpch_q3": d.q_tpch_q3,
+        # fixed-centroid k-means E-step, integer-exact argmin
+        # (pipelines/similarity.kmeans_assign)
+        "kmeans_assign": d.q_kmeans_assign,
+        # two-snapshot content diff (stages/snapshot.snapshot_diff)
+        "snapshot_diff": d.q_snapshot_diff,
+        # edit-distance-1 fuzzy term join via deletion-neighborhood
+        # blocking + exact verify (stages/fuzzy.py)
+        "typo_pairs": d.q_typo_pairs,
     }
 
 
@@ -1752,5 +1774,156 @@ LEFT JOIN events c
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id, p.ts
 ORDER BY p.event_id
+""",
+        # SFT pair mining: user turn + adjacent assistant turn over
+        # the derived transcripts (role = parity of turn_idx by the
+        # derivation rule; the engine tests the role COLUMN)
+        "sft_pairs": r"""
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              - 1 AS BIGINT) AS turn_idx,
+         text
+  FROM documents
+), m AS (
+  SELECT conv_id, turn_idx,
+         length(text) AS n_chars,
+         length(regexp_extract_all(text, '\S+')) AS n_tokens,
+         LEAD(turn_idx) OVER w AS nxt_idx,
+         LEAD(length(text)) OVER w AS nxt_chars,
+         LEAD(length(regexp_extract_all(text, '\S+'))) OVER w
+             AS nxt_tokens
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       turn_idx AS prompt_turn_idx,
+       CAST(n_chars AS BIGINT) AS prompt_chars,
+       CAST(n_tokens AS BIGINT) AS prompt_tokens,
+       CAST(nxt_chars AS BIGINT) AS response_chars,
+       CAST(nxt_tokens AS BIGINT) AS response_tokens
+FROM m WHERE turn_idx % 2 = 0 AND nxt_idx = turn_idx + 1
+ORDER BY conv_id, prompt_turn_idx
+""",
+        # ordered conversation assembly witnessed by md5 of the
+        # ORDER BY turn_idx concatenation — equal digests mean
+        # byte-identical assembly
+        "conv_assemble": """
+WITH t AS (
+  SELECT source AS conv_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+             AS turn_idx,
+         text
+  FROM documents)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(text, chr(10) ORDER BY turn_idx))
+            AS BIGINT) AS n_chars,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS dialog_md5
+FROM t GROUP BY conv_id ORDER BY conv_id
+""",
+        # per-user rolling ROWS window, exact integer cents
+        "rolling_window": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS win_n,
+       CAST(sum(cents) OVER w AS BIGINT) AS win_sum_c
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+        # TPC-H-Q3 shape: same cutoff/segment constants as
+        # driverops.Q3_CUTOFF_US / Q3_SEGMENT; revenue in exact
+        # 1e-4-dollar units under the engine's cent rule
+        "tpch_q3": """
+SELECT l.l_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_orderpriority,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                               AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'AUTOMOBILE'
+  AND epoch_us(o.o_orderdate) < 900000000000000
+  AND epoch_us(l.l_shipdate) > 900000000000000
+GROUP BY l.l_orderkey, o_orderdate_us, o.o_orderpriority
+ORDER BY revenue_c4 DESC, l.l_orderkey
+LIMIT 10
+""",
+        # fixed-centroid k-means E-step: centroids = vec_id < 8,
+        # distances over floor(x*1e6 + 0.5)-quantized components are
+        # pure int64 so the argmin has no float boundary; ties to the
+        # lowest cluster id
+        "kmeans_assign": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+             AS qe
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < 8),
+d AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(list_zip(q.qe, c.qc),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM q CROSS JOIN c)
+SELECT vec_id,
+       CAST(cid AS BIGINT) AS cluster_id,
+       CAST(dist AS BIGINT) AS dist_q
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+ORDER BY vec_id
+""",
+        # two-snapshot diff over the deterministic derivation in
+        # q_snapshot_diff (OLD drops id%10==3, NEW drops id%10==7 and
+        # rewrites id%5==0); the engine compares 64-bit content
+        # digests, the oracle compares the texts directly
+        "snapshot_diff": """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+             AS text
+  FROM documents WHERE doc_id % 10 != 7
+), j AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text != n.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY status ORDER BY status
+""",
+        # edit-distance-1 pairs over the noisy vocabulary; the noise
+        # rule is hash_u32(doc_id*131 + ascii(term[0])*7 + len(term),
+        # seed 5) % 8 — the same Knuth multiplicative hash as
+        # hash_split, integer-exact in BIGINT
+        "typo_pairs": """
+WITH base AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents)
+  WHERE length(term) BETWEEN 4 AND 16
+), noisy AS (
+  SELECT CASE ((((doc_id * 131 + ascii(term) * 7 + length(term) + 5)
+                 % 2147483648) * 2654435761) % 4294967296) % 8
+      WHEN 0 THEN substr(term, 1, 1) || term
+      WHEN 1 THEN substr(term, 1, length(term) - 1)
+      WHEN 2 THEN 'x' || substr(term, 2)
+      ELSE term END AS term
+  FROM base
+), vocab AS (SELECT DISTINCT term FROM noisy)
+SELECT a.term AS term_a, b.term AS term_b
+FROM vocab a JOIN vocab b
+  ON a.term < b.term
+ AND abs(length(a.term) - length(b.term)) <= 1
+ AND levenshtein(a.term, b.term) = 1
+ORDER BY term_a, term_b
 """,
     }

@@ -183,7 +183,14 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("distinctive_terms", d.q_distinctive_terms),
                      ("compression_ratio", d.q_compression_ratio),
                      ("quantize_embeddings", d.q_quantize_embeddings),
-                     ("interval_join", d.q_interval_join)]:
+                     ("interval_join", d.q_interval_join),
+                     ("sft_pairs", d.q_sft_pairs),
+                     ("conv_assemble", d.q_conv_assemble),
+                     ("rolling_window", d.q_rolling_window),
+                     ("tpch_q3", d.q_tpch_q3),
+                     ("kmeans_assign", d.q_kmeans_assign),
+                     ("snapshot_diff", d.q_snapshot_diff),
+                     ("typo_pairs", d.q_typo_pairs)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

@@ -1179,3 +1179,109 @@ def q_interval_join(sf_dir: str) -> pd.DataFrame:
     from ..stages.events import interval_join_events
     pdf = interval_join_events(_read_events(sf_dir)).to_pandas()
     return pdf.sort_values("event_id").reset_index(drop=True)
+
+
+# ------------------------------------------- round-4 second op wave
+
+def q_sft_pairs(sf_dir: str) -> pd.DataFrame:
+    """(conv_id, prompt_turn_idx, prompt_chars, prompt_tokens,
+    response_chars, response_tokens): SFT prompt/response pair mining
+    over the derived transcripts — user turn followed by the adjacent
+    assistant turn (LEAD window per conversation; text never enters
+    the exchange — per-turn lengths are computed pre-shuffle)."""
+    from ..stages.transcript_ops import sft_pairs
+    ts = ray.data.read_parquet(derive_transcripts(sf_dir))
+    pdf = sft_pairs(ts).to_pandas()
+    return pdf.sort_values(["conv_id", "prompt_turn_idx"]) \
+        .reset_index(drop=True)
+
+
+def q_conv_assemble(sf_dir: str) -> pd.DataFrame:
+    """(conv_id, n_turns, n_chars, dialog_md5): ordered conversation
+    assembly — each conversation's turns joined by \\n in turn order,
+    witnessed by an order-sensitive md5 (byte-identical concatenation
+    check against string_agg(... ORDER BY turn_idx))."""
+    from ..stages.transcript_ops import conv_assemble
+    ts = ray.data.read_parquet(derive_transcripts(sf_dir))
+    pdf = conv_assemble(ts).to_pandas()
+    return pdf.sort_values("conv_id").reset_index(drop=True)
+
+
+def q_rolling_window(sf_dir: str) -> pd.DataFrame:
+    """(event_id, user_id, win_n, win_sum_c): per-user rolling ROWS
+    window (last 5 events by ts) — SQL's ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW as a coarse-bucket shuffle + cumsum-difference
+    kernel; exact integer cents."""
+    from ..stages.events import rolling_window_events
+    pdf = rolling_window_events(_read_events(sf_dir)).to_pandas()
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
+Q3_CUTOFF_US = 900_000_000_000_000   # 1998-07-09 16:00:00 UTC
+Q3_SEGMENT = "AUTOMOBILE"
+
+
+def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q3 shape (shipping priority): top-10 open orders by
+    revenue for one customer segment — broadcast semi-join into the
+    orders scan, per-batch lineitem revenue combiner, ONE fact x fact
+    shuffle join on orderkey, order-bounded groupby-sum, partial
+    top-k pushdown (stages/joins.shipping_priority_topk)."""
+    from ..stages.joins import shipping_priority_topk
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return shipping_priority_topk(cust, orders, li, Q3_SEGMENT,
+                                  Q3_CUTOFF_US, k=10)
+
+
+def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, cluster_id, dist_q): fixed-centroid cluster assignment
+    (k-means E-step) over the embeddings — centroids = vec_id < 8,
+    quantized-int64 squared-L2 argmin so the entry is integer-exact
+    (pipelines/similarity.kmeans_assign)."""
+    from .similarity import kmeans_assign
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pdf = kmeans_assign(emb).to_pandas()
+    return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """(status, n_docs): content-level diff of two corpus snapshots
+    (incremental-corpus audit).  Snapshots are derived
+    deterministically from documents: OLD drops doc_id%10==3, NEW
+    drops doc_id%10==7 and rewrites text of doc_id%5==0 (' v2'
+    suffix); the diff engine itself (stages/snapshot.snapshot_diff)
+    never sees the rules — only two keyed datasets."""
+    from ..stages.snapshot import snapshot_diff
+
+    docs = ray.data.read_parquet(_docs_path(sf_dir),
+                                 columns=["doc_id", "text"])
+
+    def old_fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 != 3))
+
+    def new_fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 10 != 7))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.binary_join_element_wise(
+            b["text"].cast(pa.string()),
+            pa.array(np.where(ids % 5 == 0, " v2", ""), pa.string()), "")
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    old = docs.map_batches(old_fn, batch_format="pyarrow")
+    new = docs.map_batches(new_fn, batch_format="pyarrow")
+    return snapshot_diff(old, new).sort_values("status") \
+        .reset_index(drop=True)
+
+
+def q_typo_pairs(sf_dir: str) -> pd.DataFrame:
+    """(term_a, term_b): all unordered vocabulary pairs at Levenshtein
+    distance exactly 1 — deletion-neighborhood blocking + exact
+    verify (stages/fuzzy.py) over the deterministic noisy vocabulary
+    (hash-injected insert/delete/substitute typos so the fixed-vocab
+    testdata has real positives; same hash rule in the oracle)."""
+    from ..stages.fuzzy import typo_pairs
+    return typo_pairs(_read_documents(sf_dir))

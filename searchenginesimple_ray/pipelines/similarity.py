@@ -40,6 +40,11 @@ def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray tensor-extension column (ndarray cells): already a
+        # (n, dim) block behind the extension — one to_numpy call
+        return np.asarray(col.to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
     # zero-copy path for fixed-width lists backed by a flat float buffer
     flat = col.flatten().to_numpy(zero_copy_only=False)
     offsets = col.offsets.to_numpy(zero_copy_only=False)
@@ -461,3 +466,64 @@ def quantize_embeddings_stats(ds: "ray.data.Dataset",
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         stats, batch_format="pyarrow")
+
+
+def kmeans_assign(ds: "ray.data.Dataset", n_clusters: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> "ray.data.Dataset":
+    """Fixed-centroid cluster assignment — the E-step every clustering
+    / IVF / SemDeDup pipeline runs at full-corpus scale: assign each
+    vector to its nearest of ``n_clusters`` centroids.
+
+    Centroids are the vectors with ``id_col < n_clusters``
+    (deterministic seed pick, same rule as the SQL oracle).  All
+    arithmetic is INTEGER-exact: components quantize once via
+    ``floor(x * 1e6 + 0.5)`` (float->double is exact and the product
+    is one IEEE double op — identical in numpy and DuckDB), and the
+    squared-L2 distance over quantized components is int64 (|q| <=
+    ~2e6 per component at unit-norm-ish embeddings -> dim * 1.6e13
+    per distance, far inside int64), so the argmin has no float
+    boundary and the entry is ★-checkable.  Ties break to the lowest
+    cluster id.
+
+    Scale shape: the (k x dim) quantized centroid matrix is
+    ``ray.put`` ONCE and every batch runs one vectorized
+    (B x k x dim) int64 kernel — a streaming map, no shuffle.  The
+    M-step (recomputing centroids) is ``label_centroids`` above; an
+    iterative loop alternates the two without ever materializing the
+    corpus.
+    """
+    import pyarrow.compute as pc
+
+    cent = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b[id_col], n_clusters)), batch_format="pyarrow") \
+        .to_pandas().sort_values(id_col)
+    if len(cent) != n_clusters:
+        raise ValueError(f"expected {n_clusters} seed centroids, "
+                         f"found {len(cent)}")
+    C = np.stack(cent[vec_col].to_numpy()).astype(np.float64)
+    Cq = np.floor(C * 1e6 + 0.5).astype(np.int64)
+    cq_ref = ray.put(Cq)
+
+    def assign(batch: pa.Table, ref=None) -> pa.Table:
+        Cq = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        V = _vec_matrix(batch, vec_col).astype(np.float64)
+        Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        # (B, k) int64 distances; loop over k (tiny) keeps the temp
+        # at B x dim instead of B x k x dim
+        d = np.empty((len(ids), Cq.shape[0]), dtype=np.int64)
+        for j in range(Cq.shape[0]):
+            diff = Vq - Cq[j]
+            d[:, j] = np.einsum("ij,ij->i", diff, diff)
+        cl = np.argmin(d, axis=1)          # first (lowest id) on ties
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cl.astype(np.int64)),
+            "dist_q": pa.array(d[np.arange(len(ids)), cl]),
+        })
+
+    import functools
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        functools.partial(assign, ref=cq_ref), batch_format="pyarrow")

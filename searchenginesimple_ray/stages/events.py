@@ -713,3 +713,64 @@ def interval_join_events(events: ray.data.Dataset,
 
     return events.map_batches(with_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(kernel, batch_format="pandas")
+
+
+# ---------------------------------------------- rolling ROWS window
+
+def rolling_window_events(events: ray.data.Dataset, window_rows: int = 5,
+                          n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-event rolling ROWS window over the last ``window_rows``
+    events of the same user in (ts, event_id) order — SQL's
+    ``SUM/COUNT OVER (PARTITION BY user ORDER BY ts ROWS BETWEEN W-1
+    PRECEDING AND CURRENT ROW)``, the moving-average primitive for
+    rate limiting / anomaly features.  Output: (event_id, user_id,
+    win_n, win_sum_c) with value carried as exact integer cents.
+
+    Scale shape: the exchange carries only (user_id, event_id, ts_us,
+    cents) — 32 B/row — through the coarse user-bucket shuffle shared
+    with ``sessionize_events``; the kernel is ONE lexsort + a cumsum
+    difference (window start = max(user segment start, i - W + 1)),
+    no per-row loop and no window materialization.
+    """
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pa.array(_ts_us(batch)),
+            "cents": pa.array(_cents(batch)),
+            "bucket": pa.array((uid % n_buckets).astype(np.int32)),
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("event_id", "user_id",
+                                           "win_n", "win_sum_c")})
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        n = len(uid)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[:1] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        # segment start index, broadcast to every row of the segment
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), -1))
+        idx = np.arange(n)
+        start = np.maximum(seg_start, idx - (window_rows - 1))
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame({
+            "event_id": eid,
+            "user_id": uid,
+            "win_n": (idx + 1 - start).astype(np.int64),
+            "win_sum_c": (csum[idx + 1] - csum[start]).astype(np.int64),
+        })
+
+    return events.select_columns(["event_id", "ts", "user_id", "value"]) \
+        .map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kernel, batch_format="pandas")

@@ -21,6 +21,7 @@ the engine exposes the two shapes that matter at scale:
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -160,3 +161,95 @@ def pricing_summary(lineitem: ray.data.Dataset,
 
 
 __all__.append("pricing_summary")
+
+
+def shipping_priority_topk(customer: "ray.data.Dataset",
+                           orders: "ray.data.Dataset",
+                           lineitem: "ray.data.Dataset",
+                           segment: str, cutoff_us: int,
+                           k: int = 10) -> "pd.DataFrame":
+    """TPC-H-Q3 shape (shipping priority): top-``k`` orders by open
+    revenue — customers in ``segment``, orders placed before the
+    cutoff, lineitems shipped after it.  Output: (l_orderkey,
+    o_orderdate_us, o_orderpriority, revenue_c4) sorted by
+    (revenue DESC, orderkey), revenue in exact 1e-4-dollar integer
+    units (same floor(x*100 + 0.5) cent rule as nation_revenue).
+
+    Plan (the canonical Q3 at scale):
+    - the segment's custkey set rides a BROADCAST semi-join into the
+      orders scan (dimension-sized side pinned once via ``ray.put``;
+      the ``BROADCAST_MAX_ROWS`` guard fails loudly if a "segment"
+      ever isn't) — orders are date-filtered AT THE READ side before
+      any exchange;
+    - lineitem is date-filtered and pre-aggregated to (orderkey,
+      rev_c4) partials INSIDE each batch (combiner), so the one
+      fact x fact shuffle join moves order-bounded partials, never
+      raw lineitems;
+    - final revenue needs each order's global sum, so top-k runs
+      AFTER one order-bounded groupby-sum; per-block partial top-k
+      bounds what the driver sees to k x blocks rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cust_keys = customer.select_columns(["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["c_mktsegment"], segment))
+            .select(["c_custkey"]), batch_format="pyarrow")
+    cust_tbl = pa.Table.from_pandas(cust_keys.to_pandas())
+
+    def orders_narrow(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64())
+        t = pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_orderdate_us": od,
+            "o_orderpriority": batch["o_orderpriority"]})
+        return t.filter(pc.less(t["o_orderdate_us"], cutoff_us))
+
+    orders_f = broadcast_join(
+        orders.map_batches(orders_narrow, batch_format="pyarrow"),
+        cust_tbl, keys="o_custkey", right_keys="c_custkey",
+        join_type="left semi") \
+        .select_columns(["o_orderkey", "o_orderdate_us", "o_orderpriority"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy()
+        sel = ship > cutoff_us
+        if not sel.any():
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        batch = batch.filter(pa.array(sel))
+        price_c = np.floor(batch["l_extendedprice"].to_numpy() * 100
+                           + 0.5).astype(np.int64)
+        disc_c = np.floor(batch["l_discount"].to_numpy() * 100
+                          + 0.5).astype(np.int64)
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "rev": pa.array(price_c * (100 - disc_c))})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "rev"])
+
+    li_agg = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    joined = shuffle_join(li_agg, orders_f, on="l_orderkey",
+                          right_on="o_orderkey", num_partitions=8)
+    rev = joined.groupby(
+        ["l_orderkey", "o_orderdate_us", "o_orderpriority"]) \
+        .sum("rev")
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["sum(rev)", "l_orderkey"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = rev.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["sum(rev)", "l_orderkey"],
+                            ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "l_orderkey": cand["l_orderkey"].to_numpy(),
+        "o_orderdate_us": cand["o_orderdate_us"].to_numpy(),
+        "o_orderpriority": cand["o_orderpriority"].to_numpy(),
+        "revenue_c4": cand["sum(rev)"].to_numpy().astype(np.int64),
+    }).reset_index(drop=True)
