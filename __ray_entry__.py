@@ -197,6 +197,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edit-distance-1 fuzzy term join via deletion-neighborhood
         # blocking + exact verify (stages/fuzzy.py)
         "typo_pairs": d.q_typo_pairs,
+        # integer-exact lift-thresholded collocation mining
+        # (stages/sketches.collocations)
+        "collocations": d.q_collocations,
+        # per-document top-k tf-idf keywords, shuffle-free
+        # (stages/sketches.doc_tfidf_topk)
+        "doc_tfidf_topk": d.q_doc_tfidf_topk,
+        # fixed-width value histogram (stages/events.value_histogram)
+        "value_histogram": d.q_value_histogram,
+        # conditional bigram-LM surprisal, whole-bit exact
+        # (stages/lm.bigram_surprisal)
+        "bigram_surprisal": d.q_bigram_surprisal,
     }
 
 
@@ -1925,5 +1936,109 @@ FROM vocab a JOIN vocab b
  AND abs(length(a.term) - length(b.term)) <= 1
  AND levenshtein(a.term, b.term) = 1
 ORDER BY term_a, term_b
+""",
+        # lift-thresholded collocations: document lift >= 21/20 with
+        # n_ab >= 5, verdict by int64 cross-multiplication (no float);
+        # same \S+ doc-distinct tokenization as cooc_pairs
+        "collocations": r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents)
+), n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY term
+), pairs AS (
+  SELECT a.term AS ta, b.term AS tb, CAST(count(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT ta AS term_a, tb AS term_b, n_ab, fa.c AS n_a, fb.c AS n_b
+FROM pairs JOIN dfs fa ON ta = fa.term
+           JOIN dfs fb ON tb = fb.term CROSS JOIN n
+WHERE n_ab >= 5 AND nd * n_ab * 20 >= 21 * fa.c * fb.c
+ORDER BY term_a, term_b
+""",
+        # per-document top-5 tf-idf keywords; idf is the exact
+        # whole-bit log2 (bit-length arithmetic), ties
+        # (score DESC, tf DESC, term ASC); same \s+ lower tokenization
+        # as lm_surprisal
+        "doc_tfidf_topk": r"""
+WITH doc AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS text FROM documents
+), tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x != '')) AS t
+  FROM doc
+), tf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), dfs AS (
+  SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY t
+), n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+idf AS (
+  SELECT t, (length(bin(nd)) - length(bin(df))
+             - CASE WHEN nd < df * power(2, length(bin(nd))
+                                            - length(bin(df)))
+               THEN 1 ELSE 0 END) AS idf_bits
+  FROM dfs CROSS JOIN n
+), scored AS (
+  SELECT tf.doc_id, tf.t AS term, tf.tf,
+         tf.tf * idf.idf_bits AS score
+  FROM tf JOIN idf USING (t)
+)
+SELECT doc_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+       term, tf, CAST(score AS BIGINT) AS score
+FROM scored
+WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, tf DESC, term)
+QUALIFY row_number() OVER w <= 5
+ORDER BY doc_id, rank
+""",
+        # $10-bucket histogram over value, exact integer cents
+        # (values are non-negative so // matches numpy floor division)
+        "value_histogram": """
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+SELECT cents // 1000 AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_c
+FROM c GROUP BY 1 ORDER BY 1
+""",
+        # conditional bigram surprisal: s = floor(log2((c1 + V) /
+        # (c12 + 1))) per adjacent in-doc pair, exact bit-length
+        # arithmetic (the lm_surprisal device with per-token denoms)
+        "bigram_surprisal": r"""
+WITH doc AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS text FROM documents
+), toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                             x -> x != '') AS l
+  FROM doc
+), tok AS (SELECT unnest(l) AS t FROM toks),
+uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+v AS (SELECT CAST(count(*) AS BIGINT) AS V FROM uni),
+pe AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_zip(list_slice(l, 1, len(l) - 1),
+                           list_slice(l, 2, len(l)))) AS p
+    FROM toks WHERE len(l) >= 2)
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM pe GROUP BY w1, w2
+), scored AS (
+  SELECT pe.doc_id,
+         (length(bin(u.c + V)) - length(bin(b.c12 + 1))
+          - CASE WHEN (u.c + V) < (b.c12 + 1)
+                      * power(2, length(bin(u.c + V))
+                                 - length(bin(b.c12 + 1)))
+            THEN 1 ELSE 0 END) AS s
+  FROM pe JOIN uni u ON pe.w1 = u.t
+  JOIN big b ON pe.w1 = b.w1 AND pe.w2 = b.w2 CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(s) AS BIGINT) AS sum_bits
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """,
     }

@@ -190,7 +190,11 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("tpch_q3", d.q_tpch_q3),
                      ("kmeans_assign", d.q_kmeans_assign),
                      ("snapshot_diff", d.q_snapshot_diff),
-                     ("typo_pairs", d.q_typo_pairs)]:
+                     ("typo_pairs", d.q_typo_pairs),
+                     ("collocations", d.q_collocations),
+                     ("doc_tfidf_topk", d.q_doc_tfidf_topk),
+                     ("value_histogram", d.q_value_histogram),
+                     ("bigram_surprisal", d.q_bigram_surprisal)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

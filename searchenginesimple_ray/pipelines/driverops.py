@@ -1285,3 +1285,46 @@ def q_typo_pairs(sf_dir: str) -> pd.DataFrame:
     testdata has real positives; same hash rule in the oracle)."""
     from ..stages.fuzzy import typo_pairs
     return typo_pairs(_read_documents(sf_dir))
+
+
+# -------------------------------------------- round-4 third op wave
+
+def q_collocations(sf_dir: str) -> pd.DataFrame:
+    """(term_a, term_b, n_ab, n_a, n_b): statistically-associated
+    token pairs — document-lift >= 21/20 with n_ab >= 5, verdict by
+    integer cross-multiplication (the PMI-threshold collocation-mining
+    step on top of the cooc counting core;
+    stages/sketches.collocations).  The threshold is set inside the
+    synthetic corpus's near-independent lift band (max ~1.09) so the
+    entry has real positives AND real negatives."""
+    from ..stages.sketches import collocations
+    return collocations(_read_documents(sf_dir), min_count=5,
+                        lift_num=21, lift_den=20)
+
+
+def q_doc_tfidf_topk(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, rank, term, tf, score): per-document top-5 keywords by
+    whole-bit tf-idf (stages/sketches.doc_tfidf_topk) — df partials +
+    one idf broadcast, then a pure streaming scoring/top-k map (a
+    doc's tokens live in its row, so no shuffle anywhere)."""
+    from ..stages.sketches import doc_tfidf_topk
+    pdf = doc_tfidf_topk(_read_documents(sf_dir)).to_pandas()
+    return pdf.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def q_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """(bin, n, sum_c): fixed-width ($10 buckets, exact integer cents)
+    histogram over the events value column — per-batch combiner,
+    rows never shuffle (stages/events.value_histogram)."""
+    from ..stages.events import value_histogram
+    return value_histogram(_read_events(sf_dir))
+
+
+def q_bigram_surprisal(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_pairs, sum_bits): per-doc whole-bit surprisal under
+    an add-one-smoothed CONDITIONAL bigram LM (stages/lm.
+    bigram_surprisal) — the 2-gram step of CCNet-style model scoring;
+    exact bit-length arithmetic on both sides."""
+    from ..stages.lm import bigram_surprisal
+    pdf = bigram_surprisal(_read_documents(sf_dir)).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)

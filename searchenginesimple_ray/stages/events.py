@@ -774,3 +774,36 @@ def rolling_window_events(events: ray.data.Dataset, window_rows: int = 5,
     return events.select_columns(["event_id", "ts", "user_id", "value"]) \
         .map_batches(with_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(kernel, batch_format="pandas")
+
+
+# --------------------------------------------------- value histogram
+
+def value_histogram(events: ray.data.Dataset,
+                    bin_cents: int = 1000) -> pd.DataFrame:
+    """(bin, n, sum_c): fixed-width histogram over the value column —
+    the classic distribution-profiling primitive (bin = cents //
+    bin_cents; exact integer cents so the oracle is bit-stable;
+    values are non-negative in this stream, so numpy floor-division
+    and SQL integer division agree).
+
+    Scale shape: the canonical combiner-then-tiny-reduce — each batch
+    pre-aggregates to <= n_bins partial rows with one Arrow group_by
+    and only those reach the driver; rows never shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch)
+        t = pa.table({"bin": pa.array(cents // bin_cents),
+                      "cents": pa.array(cents)})
+        return t.group_by("bin").aggregate(
+            [("cents", "sum"), ([], "count_all")]).rename_columns(
+            ["bin", "sum_c", "n"])
+
+    parts = events.select_columns(["value"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bin", as_index=False).agg(
+        n=("n", "sum"), sum_c=("sum_c", "sum"))
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_c"] = out["sum_c"].astype(np.int64)
+    return out[["bin", "n", "sum_c"]].sort_values("bin") \
+        .reset_index(drop=True)

@@ -188,3 +188,137 @@ def lm_surprisal(ds: ray.data.Dataset, id_col: str = "doc_id",
 
 
 __all__ = ["unigram_counts", "surprisal_bits", "lm_surprisal"]
+
+
+def surprisal_bits_vec(counts: np.ndarray,
+                       denoms: np.ndarray) -> np.ndarray:
+    """``floor(log2(denoms / (counts + 1)))`` with PER-ELEMENT
+    denominators (the conditional-model generalization of
+    ``surprisal_bits``); exact for values <= 2^53."""
+    c1 = counts.astype(np.int64) + 1
+    k = _bitlen(denoms.astype(np.int64)) - _bitlen(c1)
+    adjust = denoms.astype(np.float64) < c1.astype(np.float64) \
+        * np.exp2(k.astype(np.float64))
+    return k - adjust.astype(np.int64)
+
+
+def bigram_counts(ds: ray.data.Dataset, text_col: str = "text",
+                  max_vocab_broadcast: int = 50_000_000
+                  ) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """Corpus bigram counts -> (w1 array, w2 array, int64 counts) for
+    adjacent in-document token pairs.  Same partial/combine shape as
+    ``unigram_counts``: exchange rows bounded by the BIGRAM vocabulary
+    x blocks (the loud ``max_vocab_broadcast`` guard marks the switch
+    point to a hash-partitioned Dataset.join scoring path)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _flat_tokens(batch, text_col)
+        if len(flat) < 2:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        p = parents.to_numpy(zero_copy_only=False)
+        adj = p[1:] == p[:-1]
+        if not adj.any():
+            return pa.table({"k": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        idx = np.flatnonzero(adj)
+        w1 = flat.take(pa.array(idx))
+        w2 = flat.take(pa.array(idx + 1))
+        # tokens are \s+-split so ' ' cannot occur inside one — the
+        # joined key is collision-free
+        keys = pc.binary_join_element_wise(w1, w2, " ")
+        vc = keys.value_counts()
+        return pa.table({"k": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    parts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()
+    tabs = [t for t in ray.get(parts) if t.num_rows]
+    if not tabs:
+        e = pa.array([], pa.string())
+        return e, e, np.empty(0, np.int64)
+    allp = pa.concat_tables(tabs)
+    if allp.num_rows > max_vocab_broadcast:
+        raise ValueError(
+            f"bigram partials ({allp.num_rows} rows) exceed "
+            f"max_vocab_broadcast={max_vocab_broadcast}; score via the "
+            "hash-partitioned Dataset.join path instead of broadcast")
+    comb = allp.group_by("k").aggregate([("c", "sum")])
+    keys = comb["k"].combine_chunks()
+    sp = pc.split_pattern(keys, " ", max_splits=1)
+
+    def _arr(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    return _arr(pc.list_element(sp, 0)), _arr(pc.list_element(sp, 1)), \
+        comb["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def bigram_surprisal(ds: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     max_vocab_broadcast: int = 50_000_000
+                     ) -> ray.data.Dataset:
+    """Per-document whole-bit surprisal under an add-one-smoothed
+    CONDITIONAL bigram model — the next step up from ``lm_surprisal``
+    toward KenLM-style CCNet scoring:
+
+        s(w1 w2) = floor(log2((c(w1) + V) / (c(w1, w2) + 1)))
+
+    (add-one over the V-token follow-set of w1; every step is the
+    exact bit-length arithmetic of ``surprisal_bits``, so the DuckDB
+    oracle matches bit-for-bit).  Output: (id, n_pairs, sum_bits) for
+    every document with >= 2 tokens.
+
+    Scale shape: TWO count passes reduce the corpus to the unigram and
+    bigram vocabularies (per-batch Arrow value_counts partials); both
+    models broadcast ONCE as sorted key arrays; the scoring pass is a
+    pure streaming map (index_in lookups + vectorized bit math +
+    one reduceat per batch) — no shuffle, nothing materializes.
+    """
+    vocab, uni_c = unigram_counts(ds, text_col, max_vocab_broadcast)
+    V = len(vocab)
+    w1a, w2a, big_c = bigram_counts(ds, text_col, max_vocab_broadcast)
+    big_keys = pc.binary_join_element_wise(w1a, w2a, " ")
+    model_ref = ray.put((vocab, uni_c, big_keys, big_c, V))
+
+    def score(batch: pa.Table, ref=None) -> pa.Table:
+        vocab, uni_c, big_keys, big_c, V = ray.get(ref)
+        flat, parents = _flat_tokens(batch, text_col)
+        ids = batch[id_col].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "sum_bits": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        p = parents.to_numpy(zero_copy_only=False)
+        adj = np.flatnonzero(p[1:] == p[:-1])
+        if not len(adj):
+            return empty
+        w1 = flat.take(pa.array(adj))
+        keys = pc.binary_join_element_wise(
+            w1, flat.take(pa.array(adj + 1)), " ")
+        # self-trained: every token/pair is in the model; fill_null 0
+        # keeps the cross-corpus case (unseen -> add-one floor) sound
+        u_idx = pc.index_in(w1, value_set=vocab)
+        c1 = np.where(u_idx.is_valid().to_numpy(zero_copy_only=False),
+                      uni_c[pc.fill_null(u_idx, 0)
+                            .to_numpy(zero_copy_only=False)], 0)
+        b_idx = pc.index_in(keys, value_set=big_keys)
+        c12 = np.where(b_idx.is_valid().to_numpy(zero_copy_only=False),
+                       big_c[pc.fill_null(b_idx, 0)
+                             .to_numpy(zero_copy_only=False)], 0)
+        bits = surprisal_bits_vec(c12, c1 + V)
+        gp = p[adj]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gp[1:] != gp[:-1])))
+        ends = np.append(starts[1:], len(gp))
+        return pa.table({
+            id_col: pa.array(ids[gp[starts]]),
+            "n_pairs": pa.array((ends - starts).astype(np.int64)),
+            "sum_bits": pa.array(np.add.reduceat(bits, starts)
+                                 .astype(np.int64))})
+
+    import functools
+    return ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(score, ref=model_ref), batch_format="pyarrow")
