@@ -1798,12 +1798,13 @@ WITH t AS (
   FROM documents
 ), m AS (
   SELECT conv_id, turn_idx,
-         length(text) AS n_chars,
-         length(regexp_extract_all(text, '\S+')) AS n_tokens,
+         length(coalesce(text, '')) AS n_chars,
+         length(regexp_extract_all(coalesce(text, ''), '\S+'))
+             AS n_tokens,
          LEAD(turn_idx) OVER w AS nxt_idx,
-         LEAD(length(text)) OVER w AS nxt_chars,
-         LEAD(length(regexp_extract_all(text, '\S+'))) OVER w
-             AS nxt_tokens
+         LEAD(length(coalesce(text, ''))) OVER w AS nxt_chars,
+         LEAD(length(regexp_extract_all(coalesce(text, ''), '\S+')))
+             OVER w AS nxt_tokens
   FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
 )
 SELECT conv_id,
@@ -1827,9 +1828,10 @@ WITH t AS (
   FROM documents)
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
-       CAST(length(string_agg(text, chr(10) ORDER BY turn_idx))
-            AS BIGINT) AS n_chars,
-       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS dialog_md5
+       CAST(length(string_agg(coalesce(text, ''), chr(10)
+                              ORDER BY turn_idx)) AS BIGINT) AS n_chars,
+       md5(string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx))
+           AS dialog_md5
 FROM t GROUP BY conv_id ORDER BY conv_id
 """,
         # per-user rolling ROWS window, exact integer cents

@@ -499,9 +499,15 @@ def kmeans_assign(ds: "ray.data.Dataset", n_clusters: int = 8,
         .map_batches(lambda b: b.filter(
             pc.less(b[id_col], n_clusters)), batch_format="pyarrow") \
         .to_pandas().sort_values(id_col)
-    if len(cent) != n_clusters:
-        raise ValueError(f"expected {n_clusters} seed centroids, "
-                         f"found {len(cent)}")
+    # the seed rule is "ids 0..k-1 are the centroids": require exactly
+    # that id set — a bare row-count check would let duplicated ids
+    # slip through and silently turn cluster_id into a positional rank
+    seed_ids = cent[id_col].to_numpy()
+    if len(cent) != n_clusters or \
+            not np.array_equal(seed_ids, np.arange(n_clusters)):
+        raise ValueError(
+            f"expected {n_clusters} seed centroids with ids "
+            f"0..{n_clusters - 1}, found ids {seed_ids.tolist()}")
     C = np.stack(cent[vec_col].to_numpy()).astype(np.float64)
     Cq = np.floor(C * 1e6 + 0.5).astype(np.int64)
     cq_ref = ray.put(Cq)

@@ -6,14 +6,15 @@ vocabulary terms at Levenshtein distance exactly 1.  A naive
 all-pairs join is O(V^2) edit-distance calls; the scalable plan is
 deletion-neighborhood blocking (the SymSpell / Norvig key scheme):
 
-    ed(a, b) <= 1  <=>  D(a) ∩ D(b) != ∅,
+    ed(a, b) <= 1  =>  D(a) ∩ D(b) != ∅,
     D(t) = {t} ∪ {t with one character deleted}
 
 (substitution at position i: both sides share the delete-at-i key;
 insert/delete: the longer word's deletion key IS the shorter word).
-Keys can also collide for ed-2 pairs (e.g. "abx"/"ayb" share "ab"),
-so every candidate is verified with an exact ed==1 check — blocking
-is a recall-complete candidate generator, never the verdict.
+The implication is one-directional — sharing a key does NOT imply
+ed <= 1: ed-2 pairs can collide (e.g. "abx"/"ayb" share "ab") — so
+every candidate is verified with an exact ed==1 check.  Blocking is
+a recall-complete candidate generator, never the verdict.
 
 Scale shape: candidate generation is a streaming map over the
 DISTINCT vocabulary (each term emits len(t)+1 keys of ~16 B hash +

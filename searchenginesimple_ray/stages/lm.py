@@ -204,9 +204,11 @@ def surprisal_bits_vec(counts: np.ndarray,
 
 def bigram_counts(ds: ray.data.Dataset, text_col: str = "text",
                   max_vocab_broadcast: int = 50_000_000
-                  ) -> tuple[pa.Array, pa.Array, np.ndarray]:
-    """Corpus bigram counts -> (w1 array, w2 array, int64 counts) for
-    adjacent in-document token pairs.  Same partial/combine shape as
+                  ) -> tuple[pa.Array, np.ndarray]:
+    """Corpus bigram counts -> ('w1 w2' joined-key array, int64
+    counts) for adjacent in-document token pairs (tokens are
+    \\s+-split, so the ' '-joined key is collision-free and directly
+    index_in-able by the scoring pass).  Same partial/combine shape as
     ``unigram_counts``: exchange rows bounded by the BIGRAM vocabulary
     x blocks (the loud ``max_vocab_broadcast`` guard marks the switch
     point to a hash-partitioned Dataset.join scoring path)."""
@@ -235,8 +237,7 @@ def bigram_counts(ds: ray.data.Dataset, text_col: str = "text",
         partial, batch_format="pyarrow").to_arrow_refs()
     tabs = [t for t in ray.get(parts) if t.num_rows]
     if not tabs:
-        e = pa.array([], pa.string())
-        return e, e, np.empty(0, np.int64)
+        return pa.array([], pa.string()), np.empty(0, np.int64)
     allp = pa.concat_tables(tabs)
     if allp.num_rows > max_vocab_broadcast:
         raise ValueError(
@@ -244,13 +245,7 @@ def bigram_counts(ds: ray.data.Dataset, text_col: str = "text",
             f"max_vocab_broadcast={max_vocab_broadcast}; score via the "
             "hash-partitioned Dataset.join path instead of broadcast")
     comb = allp.group_by("k").aggregate([("c", "sum")])
-    keys = comb["k"].combine_chunks()
-    sp = pc.split_pattern(keys, " ", max_splits=1)
-
-    def _arr(a):
-        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-
-    return _arr(pc.list_element(sp, 0)), _arr(pc.list_element(sp, 1)), \
+    return comb["k"].combine_chunks(), \
         comb["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
@@ -277,8 +272,7 @@ def bigram_surprisal(ds: ray.data.Dataset, id_col: str = "doc_id",
     """
     vocab, uni_c = unigram_counts(ds, text_col, max_vocab_broadcast)
     V = len(vocab)
-    w1a, w2a, big_c = bigram_counts(ds, text_col, max_vocab_broadcast)
-    big_keys = pc.binary_join_element_wise(w1a, w2a, " ")
+    big_keys, big_c = bigram_counts(ds, text_col, max_vocab_broadcast)
     model_ref = ray.put((vocab, uni_c, big_keys, big_c, V))
 
     def score(batch: pa.Table, ref=None) -> pa.Table:

@@ -641,6 +641,19 @@ __all__ += ["vocab_build", "vocab_build_ds"]
 
 # ----------------------------------------------------- co-occurrence
 
+def _doc_term_distinct(batch: pa.Table, text_col: str):
+    """Distinct (batch-row, \\S+ token) polars frame — the shared
+    tokenization of the cooc/collocation family; keeping it in one
+    place keeps pair counts and marginal counts consistent."""
+    import polars as pl
+
+    s = pl.from_arrow(batch[text_col]).fill_null("")
+    return pl.DataFrame(
+        {"d": pl.arange(0, len(s), eager=True),
+         "t": s.str.extract_all(r"\S+")}) \
+        .explode("t").drop_nulls("t").unique()
+
+
 def _doc_pair_partial(batch: pa.Table, text_col: str,
                       max_doc_terms: int) -> pa.Table:
     """Per-batch distinct-(doc, term) unordered pair expansion +
@@ -648,13 +661,7 @@ def _doc_pair_partial(batch: pa.Table, text_col: str,
     Pure index arithmetic (repeat + cumsum-offset arange), no Python
     loop over docs; output one (term_a, term_b, n) row per distinct
     pair in the batch."""
-    import polars as pl
-
-    s = pl.from_arrow(batch[text_col]).fill_null("")
-    doc_term = pl.DataFrame(
-        {"d": pl.arange(0, len(s), eager=True),
-         "t": s.str.extract_all(r"\S+")}) \
-        .explode("t").drop_nulls("t").unique()
+    doc_term = _doc_term_distinct(batch, text_col)
     if not len(doc_term):
         return pa.table({"term_a": pa.array([], pa.string()),
                          "term_b": pa.array([], pa.string()),
@@ -858,7 +865,8 @@ def distinctive_terms(ds: "ray.data.Dataset", group_col: str = "source",
 
 def collocations(ds: "ray.data.Dataset", text_col: str = "text",
                  min_count: int = 5, lift_num: int = 2,
-                 lift_den: int = 1, max_doc_terms: int = 4096
+                 lift_den: int = 1, max_doc_terms: int = 4096,
+                 max_vocab_broadcast: int = 50_000_000
                  ) -> pd.DataFrame:
     """Statistically-associated token pairs (collocation mining — the
     PMI-threshold step on top of the ``cooc_pairs_topk`` counting
@@ -875,24 +883,21 @@ def collocations(ds: "ray.data.Dataset", text_col: str = "text",
 
     Scale shape: the pair side is the cooc partial (per-batch distinct
     (doc, term) + index-arithmetic pair expansion + per-batch
-    combiner); the marginal side is the term_df partial (one value_
-    counts per batch).  Both exchanges are bounded by vocabulary, not
-    corpus; marginals stamp onto the combined pair table vectorized
-    (searchsorted against the sorted vocab).  Magnitude: n_docs * n_ab
+    combiner) combined by a NATIVE pair-key groupby-sum — the pair
+    table never lands on the driver — and the lift verdict runs
+    DISTRIBUTED inside the post-groupby map with the (vocab-bounded,
+    ``max_vocab_broadcast``-guarded) marginal table broadcast once;
+    the driver sees only surviving pairs.  Magnitude: n_docs * n_ab
     <= n_docs^2 -> int64 holds past 3e9 docs; past that, compare via
-    Python ints on the (vocab-bounded) final table.
+    Python ints on the (output-bounded) final table.
     """
-    import polars as pl
+    import functools
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         return _doc_pair_partial(batch, text_col, max_doc_terms)
 
     def df_partial(batch: pa.Table) -> pa.Table:
-        s = pl.from_arrow(batch[text_col]).fill_null("")
-        dt = pl.DataFrame(
-            {"d": pl.arange(0, len(s), eager=True),
-             "t": s.str.extract_all(r"\S+")}) \
-            .explode("t").drop_nulls("t").unique()
+        dt = _doc_term_distinct(batch, text_col)
         if not len(dt):
             return pa.table({"t": pa.array([], pa.string()),
                              "c": pa.array([], pa.int64())})
@@ -901,32 +906,51 @@ def collocations(ds: "ray.data.Dataset", text_col: str = "text",
                          "c": pa.array(vc["count"].to_numpy()
                                        .astype(np.int64))})
 
-    n_docs = ds.count()
-    pairs = ds.select_columns([text_col]) \
-        .map_batches(pair_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(ds.count())
     dfs = ds.select_columns([text_col]) \
         .map_batches(df_partial, batch_format="pyarrow").to_pandas()
     out_cols = ["term_a", "term_b", "n_ab", "n_a", "n_b"]
-    if not len(pairs):
-        return pd.DataFrame({c: pd.Series(
-            [], dtype=object if c.startswith("term") else np.int64)
-            for c in out_cols})
-    pairs = pairs.groupby(["term_a", "term_b"], as_index=False)["n"] \
-        .sum()
+    empty = pd.DataFrame({c: pd.Series(
+        [], dtype=object if c.startswith("term") else np.int64)
+        for c in out_cols})
+    if not len(dfs):
+        return empty
+    if len(dfs) > max_vocab_broadcast:
+        raise ValueError(
+            f"term-df partials ({len(dfs)} rows) exceed "
+            f"max_vocab_broadcast={max_vocab_broadcast}; stamp "
+            "marginals via a term-hash-partitioned join instead "
+            "(distinctive_terms shape)")
     dfs = dfs.groupby("t", as_index=False)["c"].sum()
     vocab = dfs["t"].to_numpy().astype(object)
     counts = dfs["c"].to_numpy().astype(np.int64)
     order = np.argsort(vocab)
-    vocab, counts = vocab[order], counts[order]
-    n_ab = pairs["n"].to_numpy().astype(np.int64)
-    n_a = counts[np.searchsorted(vocab, pairs["term_a"].to_numpy())]
-    n_b = counts[np.searchsorted(vocab, pairs["term_b"].to_numpy())]
-    keep = (n_ab >= min_count) & (
-        int(n_docs) * n_ab * lift_den >= lift_num * n_a * n_b)
-    out = pd.DataFrame({
-        "term_a": pairs["term_a"].to_numpy()[keep],
-        "term_b": pairs["term_b"].to_numpy()[keep],
-        "n_ab": n_ab[keep], "n_a": n_a[keep], "n_b": n_b[keep]})
+    marg_ref = ray.put((vocab[order].astype(str), counts[order]))
+
+    def lift_filter(batch: pa.Table, ref=None) -> pa.Table:
+        vocab, counts = ray.get(ref)
+        n_ab = batch["sum(n)"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ta = batch["term_a"].to_numpy(zero_copy_only=False)
+        tb = batch["term_b"].to_numpy(zero_copy_only=False)
+        n_a = counts[np.searchsorted(vocab, ta)]
+        n_b = counts[np.searchsorted(vocab, tb)]
+        keep = (n_ab >= min_count) & (
+            n_docs * n_ab * lift_den >= lift_num * n_a * n_b)
+        return pa.table({
+            "term_a": pa.array(ta[keep].astype(object), pa.string()),
+            "term_b": pa.array(tb[keep].astype(object), pa.string()),
+            "n_ab": pa.array(n_ab[keep]),
+            "n_a": pa.array(n_a[keep]),
+            "n_b": pa.array(n_b[keep])})
+
+    out = ds.select_columns([text_col]) \
+        .map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["term_a", "term_b"]).sum("n") \
+        .map_batches(functools.partial(lift_filter, ref=marg_ref),
+                     batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return empty
     return out.sort_values(["term_a", "term_b"]).reset_index(drop=True)
 
 

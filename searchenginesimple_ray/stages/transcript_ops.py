@@ -69,7 +69,10 @@ def sft_pairs(ts: ray.data.Dataset, n_buckets: int = 64
     """
 
     def narrow(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
+        # null text counts as '' (0 chars / 0 tokens) — without the
+        # fill, nulls propagate through the counts and degrade the
+        # int64 output columns to float64 NaN
+        text = pc.fill_null(batch["text"], "")
         n_chars = pc.utf8_length(text).cast(pa.int64())
         # \S+ is greedy, so each non-overlapping match is one maximal
         # whitespace-delimited token — same count as the oracle's
@@ -148,7 +151,9 @@ def conv_assemble(ts: ray.data.Dataset, n_buckets: int = 64,
             "bucket": _conv_bucket(batch["conv_id"], n_buckets),
             "conv_id": batch["conv_id"],
             "turn_idx": batch["turn_idx"].cast(pa.int64()),
-            "text": batch["text"],
+            # null turns assemble as '' — the digest stays total (the
+            # SQL oracle spells the same rule: coalesce(text, ''))
+            "text": pc.fill_null(batch["text"], ""),
         })
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
@@ -162,17 +167,17 @@ def conv_assemble(ts: ray.data.Dataset, n_buckets: int = 64,
         tidx = g["turn_idx"].to_numpy()
         order = np.lexsort((tidx, conv))
         conv = conv[order]
-        texts = pa.array(g["text"].to_numpy()[order], pa.string())
+        # large_string + int64 offsets: no int32 row cap, no 2 GB
+        # bucket-text cap — a bucket is sized by the shuffle, not us
+        texts = pa.array(g["text"].to_numpy()[order], pa.large_string())
         starts = np.flatnonzero(
             np.concatenate(([True], conv[1:] != conv[:-1])))
         ends = np.append(starts[1:], len(conv))
         # per-conversation ordered join in ONE Arrow kernel
         offsets = pa.array(np.concatenate((starts, [len(conv)]))
-                           .astype(np.int32))
-        lists = pa.ListArray.from_arrays(offsets, texts.combine_chunks()
-                                         if isinstance(texts, pa.ChunkedArray)
-                                         else texts)
-        joined = pc.binary_join(lists, sep)
+                           .astype(np.int64))
+        lists = pa.LargeListArray.from_arrays(offsets, texts)
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
         n_chars = pc.utf8_length(joined).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         digests = [hashlib.md5(s.encode()).hexdigest()

@@ -401,3 +401,52 @@ SELECT a.term term_a, b.term term_b FROM vocab a JOIN vocab b
 ORDER BY 1, 2""").df()
         assert len(exp) > 0          # the noise rule yields positives
         _eq(got, exp)
+
+
+class TestReviewRegressions:
+    """Round-4 review findings: null-text handling, duplicate seed
+    ids, bigram key contract."""
+
+    def test_sft_pairs_null_text(self, ray_session):
+        from searchenginesimple_ray.stages.transcript_ops import sft_pairs
+        df = pd.DataFrame({
+            "conv_id": ["c"] * 4,
+            "turn_idx": np.arange(4, dtype=np.int32),
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": [None, "ok then", "hi", None],
+            "tool": [""] * 4,
+            "ts": pd.to_datetime([T0] * 4, unit="us")})
+        got = sft_pairs(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("prompt_turn_idx").reset_index(drop=True)
+        # null text counts as '' -> 0 chars / 0 tokens, int64 dtype
+        assert got["prompt_chars"].tolist() == [0, 2]
+        assert got["response_tokens"].tolist() == [2, 0]
+        assert got["prompt_chars"].dtype == np.int64
+        assert got["response_tokens"].dtype == np.int64
+
+    def test_conv_assemble_null_text(self, ray_session):
+        from searchenginesimple_ray.stages.transcript_ops import \
+            conv_assemble
+        df = pd.DataFrame({
+            "conv_id": ["c", "c", "c"],
+            "turn_idx": np.arange(3, dtype=np.int32),
+            "role": ["user"] * 3,
+            "text": ["a", None, "b"],
+            "tool": [""] * 3,
+            "ts": pd.to_datetime([T0] * 3, unit="us")})
+        got = conv_assemble(ray.data.from_pandas(df)).to_pandas()
+        assert len(got) == 1
+        dialog = "a\n\nb"          # null assembles as ''
+        assert got["dialog_md5"].iloc[0] == \
+            hashlib.md5(dialog.encode()).hexdigest()
+        assert got["n_chars"].iloc[0] == len(dialog)
+
+    def test_kmeans_duplicate_seed_ids_raise(self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import \
+            kmeans_assign
+        df = pd.DataFrame({
+            "vec_id": np.array([0, 0, 1], np.int64),
+            "embedding": [np.ones(4, np.float32)] * 3,
+            "label": np.zeros(3, np.int32)})
+        with pytest.raises(ValueError, match="seed centroids"):
+            kmeans_assign(ray.data.from_pandas(df), n_clusters=2)
