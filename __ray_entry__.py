@@ -208,6 +208,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conditional bigram-LM surprisal, whole-bit exact
         # (stages/lm.bigram_surprisal)
         "bigram_surprisal": d.q_bigram_surprisal,
+        # trailing-window anomaly flags (stages/events.
+        # rolling_anomaly_counts; ROWS BETWEEN 4 PRECEDING AND
+        # 1 PRECEDING frame, integer cross-product verdict)
+        "rolling_anomaly": d.q_rolling_anomaly,
+        # BPE tokenizer INFERENCE — rows-only (the merge table comes
+        # from the iterative trainer; encode kernel pytest-gated
+        # against an independent reference, stages/bpe.bpe_encode)
+        "bpe_encode": d.q_bpe_encode,
     }
 
 
@@ -2042,5 +2050,27 @@ pe AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(s) AS BIGINT) AS sum_bits
 FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+        # trailing-window anomaly: previous-4-rows frame, strict
+        # integer cross-product verdict; first events (empty frame)
+        # are never anomalous
+        "rolling_anomaly": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT user_id, cents,
+         CAST(count(*) OVER w AS BIGINT) AS prev_n,
+         CAST(COALESCE(sum(cents) OVER w, 0) AS BIGINT) AS prev_sum
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE prev_n > 0
+                             AND cents * prev_n > 3 * prev_sum)
+            AS BIGINT) AS n_anomalies
+FROM w GROUP BY user_id ORDER BY user_id
 """,
     }

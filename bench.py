@@ -194,7 +194,9 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("collocations", d.q_collocations),
                      ("doc_tfidf_topk", d.q_doc_tfidf_topk),
                      ("value_histogram", d.q_value_histogram),
-                     ("bigram_surprisal", d.q_bigram_surprisal)]:
+                     ("bigram_surprisal", d.q_bigram_surprisal),
+                     ("rolling_anomaly", d.q_rolling_anomaly),
+                     ("bpe_encode", d.q_bpe_encode)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

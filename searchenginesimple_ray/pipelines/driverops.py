@@ -1328,3 +1328,27 @@ def q_bigram_surprisal(sf_dir: str) -> pd.DataFrame:
     from ..stages.lm import bigram_surprisal
     pdf = bigram_surprisal(_read_documents(sf_dir)).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_rolling_anomaly(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_events, n_anomalies): trailing-window anomaly flags
+    — events whose value beats 3x the mean of the user's previous 4
+    events, verdict by integer cross-product (stages/events.
+    rolling_anomaly_counts; SQL frame ROWS BETWEEN 4 PRECEDING AND
+    1 PRECEDING)."""
+    from ..stages.events import rolling_anomaly_counts
+    pdf = rolling_anomaly_counts(_read_events(sf_dir)).to_pandas()
+    return pdf.sort_values("user_id").reset_index(drop=True)
+
+
+def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): tokenizer INFERENCE — the
+    12-merge table trained by the bpe_merges entry applied back to the
+    corpus (stages/bpe.bpe_encode).  Rows-only: the merge table is the
+    output of an iterative trainer; the encode kernel is pytest-gated
+    against an independent per-word reference."""
+    from ..stages.bpe import bpe_encode, bpe_train
+    docs = _read_documents(sf_dir)
+    merges = bpe_train(docs, n_merges=12)
+    pdf = bpe_encode(docs, merges).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)

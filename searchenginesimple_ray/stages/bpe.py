@@ -192,4 +192,126 @@ def bpe_train_reference(texts: list, n_merges: int) -> pd.DataFrame:
         .astype({"rank": np.int64, "n": np.int64})
 
 
-__all__ = ["pair_counts", "bpe_train", "bpe_train_reference"]
+def _encode_unique_words(words: list, merges: list) -> np.ndarray:
+    """Apply a trained merge table (rank-ordered (left, right, merged)
+    string triples) to a list of UNIQUE words; returns int64 token
+    counts per word.  Same flat-buffer kernel as the trainer: one
+    vectorized hit-scan per merge over ALL words at once (leftmost-
+    first within equal-symbol runs), never a per-word Python loop.
+    Sequential rank-order application reproduces the trainer's
+    segmentation exactly (each training round applied its merge
+    globally before the next was chosen)."""
+    if not words:
+        return np.empty(0, np.int64)
+    flat, widx = _word_symbol_buffer(words)
+    sym_id: dict = {}
+    next_id = 0x110000
+    for left, right, merged in merges:
+        la = sym_id[left] if left in sym_id else (
+            ord(left) if len(left) == 1 else None)
+        rb = sym_id[right] if right in sym_id else (
+            ord(right) if len(right) == 1 else None)
+        if la is None or rb is None:
+            # merge built from a symbol this table never formed —
+            # possible only for foreign/truncated tables; skip is the
+            # standard tokenizer behavior (pair can never occur)
+            sym_id[merged] = next_id
+            next_id += 1
+            continue
+        hit = np.flatnonzero((flat[:-1] == la) & (flat[1:] == rb))
+        if la == rb and len(hit):
+            keepm = np.ones(len(hit), bool)
+            for j in range(1, len(hit)):       # runs of ONE pair only
+                if hit[j] == hit[j - 1] + 1 and keepm[j - 1]:
+                    keepm[j] = False
+            hit = hit[keepm]
+        sym_id[merged] = next_id
+        if len(hit):
+            flat[hit] = next_id
+            keep = np.ones(len(flat), bool)
+            keep[hit + 1] = False
+            flat, widx = flat[keep], widx[keep]
+        next_id += 1
+    nb = flat != _BOUNDARY
+    return np.bincount(widx[nb], minlength=len(words)).astype(np.int64)
+
+
+def bpe_encode(ds: ray.data.Dataset, merges: pd.DataFrame,
+               id_col: str = "doc_id", text_col: str = "text"
+               ) -> ray.data.Dataset:
+    """Tokenizer INFERENCE — apply a trained BPE merge table to the
+    corpus: (id, n_words, n_bpe_tokens) per document, where
+    n_bpe_tokens is the token count after all merges (the number a
+    token-budget / packing stage would consume).
+
+    Scale shape: the (rank-ordered) merge triples broadcast ONCE via
+    ``ray.put``; each batch encodes only its UNIQUE lowercase words
+    (Zipf makes uniques ≪ occurrences) with the trainer's vectorized
+    flat-buffer kernel — one hit-scan per merge over the whole unique
+    set — then gathers per-occurrence counts back to documents with a
+    bincount.  Pure streaming map, no shuffle.  Rows-only entry (the
+    merge table is the output of an iterative trainer; pytest gates
+    the kernel against the independent per-word reference).
+    """
+    import ray as _ray
+
+    triples = list(map(tuple, merges.sort_values("rank")
+                       [["left", "right", "merged"]].values))
+    merges_ref = _ray.put(triples)
+
+    def encode(batch: pa.Table, ref=None) -> pa.Table:
+        import polars as pl
+        triples = _ray.get(ref)
+        s = pl.from_arrow(batch[text_col]).fill_null("")
+        dt = pl.DataFrame(
+            {"d": pl.arange(0, len(s), eager=True),
+             "w": s.str.to_lowercase().str.extract_all(r"\S+")}) \
+            .explode("w").drop_nulls("w")
+        ids = batch[id_col].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if not len(dt):
+            return pa.table({id_col: pa.array(ids),
+                             "n_words": pa.array(
+                                 np.zeros(len(ids), np.int64)),
+                             "n_bpe_tokens": pa.array(
+                                 np.zeros(len(ids), np.int64))})
+        d = dt["d"].to_numpy()
+        w = dt["w"].to_numpy().astype(object)
+        uniq, inv = np.unique(w, return_inverse=True)
+        per_word = _encode_unique_words(list(uniq), triples)
+        n_words = np.bincount(d, minlength=len(ids)).astype(np.int64)
+        n_bpe = np.zeros(len(ids), np.int64)
+        np.add.at(n_bpe, d, per_word[inv])
+        return pa.table({id_col: pa.array(ids),
+                         "n_words": pa.array(n_words),
+                         "n_bpe_tokens": pa.array(n_bpe)})
+
+    import functools
+    return ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(encode, ref=merges_ref),
+        batch_format="pyarrow")
+
+
+def bpe_encode_reference(text: str, merges: list) -> int:
+    """Independent per-word reference token count for the pytest gate
+    (dict-of-lists sequential merge application)."""
+    total = 0
+    for word in (text or "").lower().split():
+        syms = list(word)
+        for la, rb, m in merges:
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == la
+                        and syms[i + 1] == rb):
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total
+
+
+__all__ = ["pair_counts", "bpe_train", "bpe_train_reference",
+           "bpe_encode", "bpe_encode_reference"]

@@ -807,3 +807,67 @@ def value_histogram(events: ray.data.Dataset,
     out["sum_c"] = out["sum_c"].astype(np.int64)
     return out[["bin", "n", "sum_c"]].sort_values("bin") \
         .reset_index(drop=True)
+
+
+def rolling_anomaly_counts(events: ray.data.Dataset,
+                           window_rows: int = 4, mult: int = 3,
+                           n_buckets: int = 64) -> ray.data.Dataset:
+    """(user_id, n_events, n_anomalies): per-user count of events whose
+    value exceeds ``mult`` x the mean of their PREVIOUS ``window_rows``
+    events — the trailing-window anomaly flag (SQL frame ROWS BETWEEN
+    W PRECEDING AND 1 PRECEDING), with the verdict as an integer
+    cross-product ``cents * prev_n > mult * prev_sum`` so no float
+    boundary exists.  A user's first event has an empty frame and is
+    never anomalous.
+
+    Same exchange/kernel contract as ``rolling_window_events`` (32 B
+    rows, coarse user buckets, one lexsort + cumsum difference); only
+    the frame shifts by one.
+    """
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pa.array(_ts_us(batch)),
+            "cents": pa.array(_cents(batch)),
+            "bucket": pa.array((uid % n_buckets).astype(np.int32)),
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("user_id", "n_events",
+                                           "n_anomalies")})
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, cents = uid[order], cents[order]
+        n = len(uid)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[:1] = True
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(new_seg, np.arange(n), -1))
+        idx = np.arange(n)
+        # frame = [max(seg_start, i - W), i)  — excludes the current row
+        start = np.maximum(seg_start, idx - window_rows)
+        prev_n = idx - start
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        prev_sum = csum[idx] - csum[start]
+        anom = (prev_n > 0) & (cents * prev_n > mult * prev_sum)
+        starts = np.flatnonzero(new_seg)
+        ends = np.append(starts[1:], n)
+        acs = np.concatenate(([0], np.cumsum(anom.astype(np.int64))))
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "n_anomalies": acs[ends] - acs[starts],
+        })
+
+    return events.select_columns(["event_id", "ts", "user_id", "value"]) \
+        .map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(kernel, batch_format="pandas")

@@ -195,3 +195,113 @@ FROM scored GROUP BY doc_id""").df()
         got = bigram_surprisal(ray.data.from_pandas(df)).to_pandas()
         assert set(got["doc_id"]) == {2}
         assert got["n_pairs"].tolist() == [1]
+
+
+# ------------------------------------------------- wave 4: anomaly
+
+class TestRollingAnomaly:
+    def test_vs_duckdb(self, ray_session):
+        from searchenginesimple_ray.stages.events import \
+            rolling_anomaly_counts
+        rng = np.random.default_rng(43)
+        n = 400
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(1_700_000_000_000_000
+                                 + rng.integers(0, n // 2, n)
+                                 * 1_000_000, unit="us"),
+            "user_id": rng.integers(0, 13, n).astype(np.int64),
+            "event_type": "click",
+            "value": np.round(rng.uniform(0, 50, n), 2),
+            "props": "{}"})
+        got = rolling_anomaly_counts(
+            ray.data.from_pandas(df).repartition(6),
+            window_rows=4, mult=3, n_buckets=5).to_pandas()
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us,
+                  CAST(floor(value*100+0.5) AS BIGINT) cents
+           FROM events),
+w AS (SELECT user_id, cents,
+        CAST(count(*) OVER w AS BIGINT) prev_n,
+        CAST(COALESCE(sum(cents) OVER w, 0) AS BIGINT) prev_sum
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+SELECT user_id, CAST(count(*) AS BIGINT) n_events,
+       CAST(count(*) FILTER (WHERE prev_n > 0
+                             AND cents * prev_n > 3 * prev_sum)
+            AS BIGINT) n_anomalies
+FROM w GROUP BY user_id""").df()
+        _eq(got, exp)
+
+    def test_first_event_never_anomalous(self, ray_session):
+        from searchenginesimple_ray.stages.events import \
+            rolling_anomaly_counts
+        df = pd.DataFrame({
+            "event_id": np.arange(3, dtype=np.int64),
+            "ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "user_id": np.array([7, 7, 7], np.int64),
+            "event_type": "click",
+            "value": [1000.0, 0.01, 1000.0],   # huge first, tiny, huge
+            "props": "{}"})
+        got = rolling_anomaly_counts(ray.data.from_pandas(df)) \
+            .to_pandas()
+        # first event: empty frame; third: 1000 > 3*mean(1000, 0.01)?
+        # mean ~500 -> not anomalous; second: 0.01 < 3*1000.
+        # Only cents*prev_n > 3*prev_sum decides: event 3 has
+        # prev_sum=100001, prev_n=2 -> 100000*2 < 3*100001 -> 0
+        assert got["n_anomalies"].tolist() == [0]
+        assert got["n_events"].tolist() == [3]
+
+
+# ---------------------------------------------- wave 4: bpe encode
+
+class TestBpeEncode:
+    def test_vs_reference(self, ray_session):
+        from searchenginesimple_ray.stages.bpe import (
+            bpe_encode, bpe_encode_reference, bpe_train)
+        rng = np.random.default_rng(47)
+        words = ["aaa", "aab", "abab", "banana", "bandana", "scan",
+                 "scans", "Table", "table!"]
+        texts = [" ".join(rng.choice(words, size=rng.integers(1, 9)))
+                 for _ in range(60)]
+        df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                           "text": texts})
+        ds = ray.data.from_pandas(df).repartition(4)
+        merges = bpe_train(ds, n_merges=8)
+        assert len(merges) > 0
+        got = bpe_encode(ds, merges).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        triples = list(map(tuple, merges.sort_values("rank")
+                           [["left", "right", "merged"]].values))
+        exp_counts = [bpe_encode_reference(t, triples) for t in texts]
+        assert got["n_bpe_tokens"].tolist() == exp_counts
+        assert got["n_words"].tolist() == [len(t.split()) for t in texts]
+
+    def test_zero_merges_is_codepoint_count(self, ray_session):
+        from searchenginesimple_ray.stages.bpe import bpe_encode
+        df = pd.DataFrame({"doc_id": np.array([0, 1], np.int64),
+                           "text": ["ab cde", ""]})
+        merges = pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                               "left": [], "right": [], "merged": [],
+                               "n": pd.Series([], dtype=np.int64)})
+        got = bpe_encode(ray.data.from_pandas(df), merges).to_pandas() \
+            .sort_values("doc_id")
+        assert got["n_bpe_tokens"].tolist() == [5, 0]
+
+    def test_more_merges_never_increase_tokens(self, ray_session):
+        from searchenginesimple_ray.stages.bpe import bpe_encode, \
+            bpe_train
+        df = pd.DataFrame({
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": ["the quick brown fox the the quick"] * 20})
+        ds = ray.data.from_pandas(df)
+        m_all = bpe_train(ds, n_merges=10)
+        prev = None
+        for k in (0, 3, 10):
+            got = bpe_encode(ds, m_all.head(k)).to_pandas()
+            tot = int(got["n_bpe_tokens"].sum())
+            if prev is not None:
+                assert tot <= prev
+            prev = tot
