@@ -212,6 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rolling_anomaly_counts; ROWS BETWEEN 4 PRECEDING AND
         # 1 PRECEDING frame, integer cross-product verdict)
         "rolling_anomaly": d.q_rolling_anomaly,
+        # C4/RefinedWeb segment-level dedup: duplicated 10-word
+        # segments removed from every doc, docs reassembled
+        # (stages/linededup.segment_dedup)
+        "segment_dedup": d.q_segment_dedup,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -2072,5 +2076,35 @@ SELECT user_id,
                              AND cents * prev_n > 3 * prev_sum)
             AS BIGINT) AS n_anomalies
 FROM w GROUP BY user_id ORDER BY user_id
+""",
+        # C4/RefinedWeb segment dedup: consecutive 10-word chunks; a
+        # chunk duplicated across >= 2 DISTINCT docs is removed from
+        # ALL docs; clean_text re-joins survivors with single spaces
+        "segment_dedup": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         array_to_string(words[i*10+1 : i*10+10], ' ') AS seg
+  FROM w, LATERAL (SELECT unnest(range(CAST(ceil(len(words)/10.0)
+                                            AS BIGINT))) AS i) t
+), d AS (
+  SELECT seg FROM seg GROUP BY seg
+  HAVING count(DISTINCT doc_id) >= 2
+), k AS (
+  SELECT s.doc_id, s.seg_idx, s.seg,
+         CASE WHEN d.seg IS NULL THEN 1 ELSE 0 END AS keep
+  FROM seg s LEFT JOIN d ON d.seg = s.seg
+)
+SELECT w.doc_id,
+       coalesce(string_agg(CASE WHEN k.keep = 1 THEN k.seg END,
+                           ' ' ORDER BY k.seg_idx), '') AS clean_text,
+       CAST(count(k.seg_idx) AS BIGINT) AS n_segs,
+       CAST(coalesce(sum(1 - k.keep), 0) AS BIGINT) AS n_removed
+FROM w LEFT JOIN k ON k.doc_id = w.doc_id
+GROUP BY w.doc_id ORDER BY w.doc_id
 """,
     }

@@ -1352,3 +1352,18 @@ def q_bpe_encode(sf_dir: str) -> pd.DataFrame:
     merges = bpe_train(docs, n_merges=12)
     pdf = bpe_encode(docs, merges).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+SEG_DEDUP_WORDS = 10
+
+
+def q_segment_dedup(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, clean_text, n_segs, n_removed): C4/RefinedWeb-style
+    cross-document segment dedup — every 10-word segment whose exact
+    text occurs in >= 2 distinct docs is removed from ALL docs and the
+    doc re-joined from the survivors (stages/linededup.segment_dedup;
+    sketch-then-verify, text never enters the wide exchange)."""
+    from ..stages.linededup import segment_dedup
+    pdf = segment_dedup(_read_documents(sf_dir),
+                        seg_words=SEG_DEDUP_WORDS).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
