@@ -85,7 +85,12 @@ def run_index_build(corpus_dir: str, tag: str) -> tuple[float, dict]:
     from searchenginesimple_ray.sources.transcripts import transcripts_files
     out = os.path.join(BENCH_ROOT, f"index_{tag}")
     shutil.rmtree(out, ignore_errors=True)   # cold build: no lineage skip
-    cfg = EngineConfig(num_input_buckets=8, num_doc_shards=8)
+    # dedup_key_index: persist the sorted-key candidate index so the
+    # append rows below probe only the delta's key ranges instead of
+    # re-scanning every fingerprint (the 100-TB deployment shape;
+    # costs ~3% build time, verdicts identical — test_append.py)
+    cfg = EngineConfig(num_input_buckets=8, num_doc_shards=8,
+                       dedup_key_index=True)
     t0 = time.perf_counter()
     res = build_index(transcripts_files(corpus_dir), out, cfg)
     dt = time.perf_counter() - t0
@@ -196,7 +201,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("value_histogram", d.q_value_histogram),
                      ("bigram_surprisal", d.q_bigram_surprisal),
                      ("rolling_anomaly", d.q_rolling_anomaly),
-                     ("bpe_encode", d.q_bpe_encode)]:
+                     ("bpe_encode", d.q_bpe_encode),
+                     ("segment_dedup", d.q_segment_dedup)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)
@@ -266,7 +272,8 @@ def _scale_child(num_cpus: int, corpus_dir: str,
         from searchenginesimple_ray.pipelines.index_build import append_index
         t0 = time.perf_counter()
         append_index(transcripts_files(extra_dir), info["out"],
-                     EngineConfig(num_input_buckets=8, num_doc_shards=8))
+                     EngineConfig(num_input_buckets=8, num_doc_shards=8,
+                                  dedup_key_index=True))
         out["append_sec"] = round(time.perf_counter() - t0, 3)
         # skew fixture at the HEADLINE sf: the scale corpus is
         # sf * RAY_GRAFT_SCALE_CORPUS_MULT, so divide the inverted
@@ -413,7 +420,8 @@ def main():
         n_convs=n_extra, seed=77, n_files=8, conv_prefix="convz-")
     t0 = time.perf_counter()
     append_index(transcripts_files(extra), build_info["out"],
-                 EngineConfig(num_input_buckets=8, num_doc_shards=8))
+                 EngineConfig(num_input_buckets=8, num_doc_shards=8,
+                              dedup_key_index=True))
     timings["append_10pct"] = round(time.perf_counter() - t0, 3)
 
     ops = run_ops_suite(SF_DIR)
