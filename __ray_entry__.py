@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # segments removed from every doc, docs reassembled
         # (stages/linededup.segment_dedup)
         "segment_dedup": d.q_segment_dedup,
+        # exact per-stratum 1/4 sample by hash rank — the exact-count
+        # stratified carve (stages/sampling.stratified_sample)
+        "stratified_sample": d.q_stratified_sample,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -2106,5 +2109,25 @@ SELECT w.doc_id,
        CAST(coalesce(sum(1 - k.keep), 0) AS BIGINT) AS n_removed
 FROM w LEFT JOIN k ON k.doc_id = w.doc_id
 GROUP BY w.doc_id ORDER BY w.doc_id
+""",
+        # exact per-stratum sample: within each source, the ceil(n/4)
+        # rows ranking first under (hash_u32(doc_id), doc_id) keep=1;
+        # same BIGINT-exact hash as hash_split, rational boundary
+        "stratified_sample": """
+WITH h AS (
+  SELECT doc_id, source,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, source, hv,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY hv, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM h
+)
+SELECT doc_id, source,
+       CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM r ORDER BY doc_id
 """,
     }

@@ -1367,3 +1367,15 @@ def q_segment_dedup(sf_dir: str) -> pd.DataFrame:
     pdf = segment_dedup(_read_documents(sf_dir),
                         seg_words=SEG_DEDUP_WORDS).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, source, keep): exact per-stratum 1/4 sample — within
+    every source, the ceil(n/4) docs ranking first under
+    (hash_u32(doc_id), doc_id) keep=1 (stages/sampling.
+    stratified_sample; bucketed two-level prefix ranks, integer-exact
+    rational boundary)."""
+    from ..stages.sampling import stratified_sample
+    pdf = stratified_sample(_read_documents(sf_dir), "source",
+                            num=1, den=4).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)

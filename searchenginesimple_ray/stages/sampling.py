@@ -372,3 +372,93 @@ def token_budget_sample(ds: ray.data.Dataset, budget: int,
 
     return slim.map_batches(final_filter, fn_kwargs={"ref": keep_ref},
                             batch_format="pyarrow")
+
+
+def stratified_sample(ds: ray.data.Dataset, group_col: str,
+                      num: int, den: int, key: str = "doc_id",
+                      seed: int = 0,
+                      n_buckets: int | None = None) -> ray.data.Dataset:
+    """(key, group, keep): exact per-stratum sampling — within every
+    group, the ``ceil(num/den * n_group)`` rows that rank FIRST under
+    ``(hash_u32(key, seed), key)`` get ``keep = 1`` (SQL
+    ``row_number() OVER (PARTITION BY group ORDER BY hv, key)
+    <= ceil(num * n / den)``).  The fraction is a rational, so the
+    boundary is integer-exact on both sides — no float cut.
+
+    Unlike the Bernoulli ``hash_split`` (whose per-stratum yield only
+    CONVERGES to the fraction), this is the exact-count stratified
+    carve a data-mixing recipe needs: every stratum contributes
+    precisely its quota, deterministically.
+
+    100-TB shape: within-group ranks use the two-level prefix pattern
+    of ``global_shuffle_order`` — the exchange carries (key, group,
+    bucket) rows only; per-(group, bucket) partial counts merge on the
+    driver into exclusive bases (O(groups x buckets) ints, the same
+    driver bound ``token_budget_sample`` documents) and each
+    (group, bucket) cell is one bounded in-task lexsort.  No global
+    sort, no per-group materialization.  Keys must be unique and
+    non-negative; a null group is its own stratum (sentinel-mapped)."""
+    if not (0 < num <= den):
+        raise ValueError(f"fraction must be in (0, 1]: {num}/{den}")
+    import pandas as pd
+    slim = ds.select_columns([key, group_col]).materialize()
+    if n_buckets is None:
+        n_buckets = max(64, -(-slim.count() // _SHUFFLE_BUCKET_ROWS))
+
+    def partials(t: pa.Table) -> pa.Table:
+        h = hash_u32(t[key].to_numpy(zero_copy_only=False), seed)
+        b = h * n_buckets // _M32
+        g = t[group_col].to_pandas().fillna("\x00null")
+        pdf = pd.DataFrame({"g": g, "bucket": b})
+        agg = pdf.groupby(["g", "bucket"], sort=False).size()
+        out = agg.reset_index(name="partial")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = slim.map_batches(partials, batch_format="pyarrow") \
+        .to_pandas()
+    if len(parts):
+        cnt = parts.groupby(["g", "bucket"], sort=True)["partial"] \
+            .sum().reset_index()
+    else:
+        cnt = pd.DataFrame({"g": [], "bucket": [], "partial": []})
+    groups = sorted(cnt["g"].unique().tolist())
+    g_index = {g: i for i, g in enumerate(groups)}
+    # per-(group, bucket) exclusive base within the group + per-group
+    # keep quota k_g = ceil(num * n_g / den) (integer-exact)
+    bases = np.zeros((len(groups), n_buckets), np.int64)
+    if len(cnt):
+        bases[cnt["g"].map(g_index).to_numpy(np.int64),
+              cnt["bucket"].to_numpy(np.int64)] = \
+            cnt["partial"].to_numpy(np.int64)
+    n_g = bases.sum(axis=1)
+    bases = np.cumsum(bases, axis=1) - bases       # exclusive prefix
+    k_g = (num * n_g + den - 1) // den
+    state_ref = ray.put((g_index, bases, k_g))
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = hash_u32(t[key].to_numpy(zero_copy_only=False), seed)
+        g = t[group_col].to_pandas().fillna("\x00null")
+        return pa.table({key: t[key], group_col: t[group_col],
+                         "_g": pa.array(g, pa.string()),
+                         "bucket": pa.array(h * n_buckets // _M32,
+                                            pa.int64())})
+
+    def rank_cell(g: pd.DataFrame, ref=None) -> pd.DataFrame:
+        g_index_w, bases_w, k_w = ray.get(ref)
+        k = g[key].to_numpy()
+        if len(np.unique(k)) != len(k):
+            raise ValueError(
+                f"stratified_sample requires unique '{key}' values")
+        gi = g_index_w[g["_g"].iloc[0]]
+        b = int(g["bucket"].iloc[0])
+        o = np.lexsort((k, hash_u32(k, seed)))
+        rank = bases_w[gi, b] + np.arange(len(k), dtype=np.int64)
+        keep = np.zeros(len(k), np.int64)
+        keep[o] = (rank < k_w[gi]).astype(np.int64)
+        return pd.DataFrame({key: k, group_col: g[group_col].to_numpy(),
+                             "keep": keep})
+
+    return slim.map_batches(tag, batch_format="pyarrow") \
+        .groupby(["_g", "bucket"]).map_groups(
+            rank_cell, fn_kwargs={"ref": state_ref},
+            batch_format="pandas")
