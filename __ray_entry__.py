@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact per-stratum 1/4 sample by hash rank — the exact-count
         # stratified carve (stages/sampling.stratified_sample)
         "stratified_sample": d.q_stratified_sample,
+        # cross-source segment-overlap matrix (stages/linededup.
+        # source_overlap; mirror/syndication diagnostic)
+        "source_overlap": d.q_source_overlap,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -2129,5 +2132,26 @@ SELECT doc_id, source,
        CAST(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END
             AS BIGINT) AS keep
 FROM r ORDER BY doc_id
+""",
+        # cross-source overlap: distinct 10-word segment texts shared
+        # by each source pair (same seg CTE as segment_dedup)
+        "source_overlap": """
+WITH w AS (
+  SELECT doc_id, coalesce(source, '') AS source,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), seg AS (
+  SELECT doc_id, source,
+         array_to_string(words[i*10+1 : i*10+10], ' ') AS seg
+  FROM w, LATERAL (SELECT unnest(range(CAST(ceil(len(words)/10.0)
+                                            AS BIGINT))) AS i) t
+), ds AS (
+  SELECT DISTINCT source, seg FROM seg
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM ds a JOIN ds b ON a.seg = b.seg AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY src_a, src_b
 """,
     }

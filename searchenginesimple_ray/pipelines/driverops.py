@@ -1379,3 +1379,13 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     pdf = stratified_sample(_read_documents(sf_dir), "source",
                             num=1, den=4).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """(src_a, src_b, n_shared): cross-source content-overlap matrix —
+    distinct 10-word segment texts shared by each source pair
+    (stages/linededup.source_overlap; mirror/syndication diagnostic,
+    sketch-then-verify, exact)."""
+    from ..stages.linededup import source_overlap
+    return source_overlap(_read_documents(sf_dir),
+                          seg_words=SEG_DEDUP_WORDS).to_pandas()

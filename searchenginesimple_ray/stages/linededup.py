@@ -206,3 +206,92 @@ def segment_dedup(ds: ray.data.Dataset, seg_words: int = 10,
 
 
 __all__ = ["segment_dedup"]
+
+
+def source_overlap(ds: ray.data.Dataset, seg_words: int = 10,
+                   group_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_verify_buckets: int = 32) -> ray.data.Dataset:
+    """(src_a, src_b, n_shared): cross-source content-overlap matrix —
+    for every pair of sources (src_a < src_b), the number of DISTINCT
+    ``seg_words``-word segment texts that occur in both (the
+    crawl-provenance diagnostic behind mirror/syndication detection in
+    web curation).  Exact (hash collisions verified away).
+
+    100-TB shape: pass 1 ships per-batch-distinct ``(shash, source)``
+    rows (8 B + the source key); only hashes seen under >= 2 distinct
+    sources survive to pass 2, which re-derives segment TEXT for those
+    candidates only and pair-expands per verify bucket.  The final
+    combine is a native groupby-sum over (src_a, src_b) — bounded by
+    source pairs that actually share content, not by the corpus."""
+    ds = ds.select_columns([id_col, group_col, text_col])
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        keys, doc_idx, _, _, _ = _segments(batch, id_col, text_col,
+                                           seg_words)
+        src = batch[group_col].to_pandas().fillna("").to_numpy(object)
+        s = src[doc_idx]
+        df = pd.DataFrame({"shash": keys, "src": s})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand_pdf = ds.map_batches(pass1, batch_format="pyarrow") \
+        .groupby("shash").count() \
+        .map_batches(lambda t: t.filter(pc.greater_equal(t["count()"], 2))
+                     .select(["shash"]), batch_format="pyarrow") \
+        .to_pandas()
+    cand = (cand_pdf["shash"].to_numpy() if "shash" in cand_pdf.columns
+            else np.empty(0, np.int64))
+    empty = pa.table({"src_a": pa.array([], pa.string()),
+                      "src_b": pa.array([], pa.string()),
+                      "n_shared": pa.array([], pa.int64())})
+    if not len(cand):
+        return ray.data.from_arrow(empty)
+    cand_ref = ray.put(np.sort(cand))
+
+    def pass2(batch: pa.Table, ref=None) -> pa.Table:
+        cand_sorted = ray.get(ref)
+        keys, doc_idx, seg_idx, words, _ = _segments(
+            batch, id_col, text_col, seg_words)
+        m = _sorted_member_mask(cand_sorted, keys)
+        keys, doc_idx, seg_idx = keys[m], doc_idx[m], seg_idx[m]
+        segs = _seg_text(words, doc_idx, seg_idx, seg_words)
+        src = batch[group_col].to_pandas().fillna("").to_numpy(object)
+        return pa.table({
+            "bucket": pa.array(keys % np.int64(n_verify_buckets),
+                               pa.int64()),
+            "seg": pa.array(segs, pa.string()),
+            "src": pa.array(src[doc_idx], pa.string())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["seg", "src"]].drop_duplicates()
+        rows_a, rows_b = [], []
+        for _, grp in g.groupby("seg", sort=False):
+            ss = np.sort(grp["src"].to_numpy(object))
+            if len(ss) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ss), k=1)
+            rows_a.append(ss[ia]); rows_b.append(ss[ib])
+        if not rows_a:
+            return pd.DataFrame({"src_a": pd.Series([], dtype=object),
+                                 "src_b": pd.Series([], dtype=object),
+                                 "n_partial": pd.Series([],
+                                                        dtype=np.int64)})
+        a = np.concatenate(rows_a); b = np.concatenate(rows_b)
+        out = pd.DataFrame({"src_a": a, "src_b": b}) \
+            .groupby(["src_a", "src_b"], sort=False).size() \
+            .reset_index(name="n_partial")
+        out["n_partial"] = out["n_partial"].astype(np.int64)
+        return out
+
+    part = ds.map_batches(pass2, fn_kwargs={"ref": cand_ref},
+                          batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas") \
+        .to_pandas()
+    if not len(part):
+        return ray.data.from_arrow(empty)
+    out = part.groupby(["src_a", "src_b"], as_index=False)["n_partial"] \
+        .sum().rename(columns={"n_partial": "n_shared"})
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    out = out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    return ray.data.from_pandas(out)

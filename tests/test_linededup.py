@@ -124,3 +124,61 @@ class TestSegmentDedup:
         assert got.loc[0, "clean_text"] == ""
         assert got.loc[0, "n_segs"] == 0
         assert got.loc[1, "clean_text"] == "a b c"
+
+
+class TestSourceOverlap:
+    def _run(self, df: pd.DataFrame) -> pd.DataFrame:
+        from searchenginesimple_ray.stages.linededup import source_overlap
+        ds = ray.data.from_pandas(df).repartition(4)
+        return source_overlap(ds, seg_words=10).to_pandas()
+
+    def test_handcrafted(self, ray_session):
+        shared = " ".join(f"s{i}" for i in range(10))
+        other = " ".join(f"o{i}" for i in range(10))
+        df = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["a", "a", "b", "b", "c", "c"],
+            "text": [shared, other,             # a has both segs
+                     shared, other,             # b has both segs
+                     shared,                    # c shares only one
+                     "nothing in common here at all ok fine now done"],
+        })
+        got = self._run(df)
+        exp = pd.DataFrame({"src_a": ["a", "a", "b"],
+                            "src_b": ["b", "c", "c"],
+                            "n_shared": np.array([2, 1, 1], np.int64)})
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_within_source_dup_is_not_overlap(self, ray_session):
+        seg = " ".join(f"w{i}" for i in range(10))
+        df = pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "source": ["a", "a", "b"],
+            "text": [seg, seg,                   # duplicated INSIDE a
+                     "totally different words in this other source doc x"],
+        })
+        got = self._run(df)
+        assert len(got) == 0
+
+    def test_randomized_vs_duckdb(self, ray_session):
+        rng = np.random.default_rng(11)
+        vocab = [f"t{i}" for i in range(25)]
+        texts, srcs = [], []
+        for i in range(150):
+            texts.append(" ".join(rng.choice(vocab,
+                                             size=int(rng.integers(0, 30)))))
+            srcs.append(f"s{int(rng.integers(0, 6))}")
+        shared = " ".join(rng.choice(vocab, size=10))
+        for i in range(0, 150, 11):
+            texts[i] = shared + " " + texts[i]
+        df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64),
+                           "source": srcs, "text": texts})
+        got = self._run(df)
+        con = duckdb.connect()
+        con.register("documents", df)
+        import __ray_entry__ as e
+        sql = e.oracle_sql()["source_overlap"]
+        exp = con.execute(sql).df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True),
+                                      check_dtype=False)
