@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-source segment-overlap matrix (stages/linededup.
         # source_overlap; mirror/syndication diagnostic)
         "source_overlap": d.q_source_overlap,
+        # product-quantization encode, 4x16-dim subspaces, int-exact
+        # (pipelines/similarity.pq_encode)
+        "pq_encode": d.q_pq_encode,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -2153,5 +2156,36 @@ SELECT a.source AS src_a, b.source AS src_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM ds a JOIN ds b ON a.seg = b.seg AND a.source < b.source
 GROUP BY a.source, b.source ORDER BY src_a, src_b
+""",
+        # PQ encode: per 16-dim subspace, nearest of the 8 seed
+        # codewords (vec_id < 8) under quantized int64 squared-L2;
+        # ties to the lowest code; dist_q = total reconstruction error
+        "pq_encode": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+             AS qe
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < 8),
+d AS (
+  SELECT q.vec_id, c.cid, s.s AS sub,
+         list_sum(list_transform(
+             list_zip(q.qe[s.s*16+1 : s.s*16+16],
+                      c.qc[s.s*16+1 : s.s*16+16]),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM q CROSS JOIN c
+       CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+b AS (
+  SELECT vec_id, sub, cid, dist FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, cid) = 1)
+SELECT vec_id,
+       CAST(max(CASE WHEN sub = 0 THEN cid END) AS BIGINT) AS code_0,
+       CAST(max(CASE WHEN sub = 1 THEN cid END) AS BIGINT) AS code_1,
+       CAST(max(CASE WHEN sub = 2 THEN cid END) AS BIGINT) AS code_2,
+       CAST(max(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code_3,
+       CAST(sum(dist) AS BIGINT) AS dist_q
+FROM b GROUP BY vec_id ORDER BY vec_id
 """,
     }

@@ -1389,3 +1389,14 @@ def q_source_overlap(sf_dir: str) -> pd.DataFrame:
     from ..stages.linededup import source_overlap
     return source_overlap(_read_documents(sf_dir),
                           seg_words=SEG_DEDUP_WORDS).to_pandas()
+
+
+def q_pq_encode(sf_dir: str) -> pd.DataFrame:
+    """(vec_id, code_0..code_3, dist_q): product-quantization encode of
+    the embeddings — 4 subspaces x 8 codewords, integer-exact argmin
+    (pipelines/similarity.pq_encode; the PQ compression path for
+    100-TB vector stores)."""
+    from .similarity import pq_encode
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pdf = pq_encode(emb).to_pandas()
+    return pdf.sort_values("vec_id").reset_index(drop=True)

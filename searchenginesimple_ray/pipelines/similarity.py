@@ -533,3 +533,74 @@ def kmeans_assign(ds: "ray.data.Dataset", n_clusters: int = 8,
     import functools
     return ds.select_columns([id_col, vec_col]).map_batches(
         functools.partial(assign, ref=cq_ref), batch_format="pyarrow")
+
+
+def pq_encode(ds: "ray.data.Dataset", n_sub: int = 4,
+              n_codes: int = 8, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Product-quantization encode — THE storage path for 100-TB
+    embedding corpora (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): the vector splits into ``n_sub``
+    contiguous subspaces and each sub-vector is replaced by the id of
+    its nearest codeword, compressing dim x 4 bytes to ``n_sub`` bytes
+    (plus the small shared codebooks) while supporting asymmetric
+    distance scans.
+
+    Codebooks use the same deterministic seed rule as
+    ``kmeans_assign`` (codewords = sub-slices of the vectors with
+    ``id_col < n_codes``; a real pipeline swaps in per-subspace
+    k-means codebooks via ``label_centroids``/``kmeans_assign``
+    iterations).  All arithmetic is integer-exact (one
+    floor(x*1e6+0.5) quantize, int64 squared-L2), so the entry is
+    ★-checkable with no float boundary; ties break to the lowest code.
+
+    Output: (vec_id, code_0..code_{n_sub-1}, dist_q) where dist_q is
+    the total quantized reconstruction error.  Scale shape: the
+    (n_codes x dim) codebook matrix ships via ``ray.put`` once and the
+    encode is a pure streaming map — no shuffle, nothing materializes.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+
+    cent = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b[id_col], n_codes)), batch_format="pyarrow") \
+        .to_pandas().sort_values(id_col)
+    seed_ids = cent[id_col].to_numpy()
+    if len(cent) != n_codes or \
+            not np.array_equal(seed_ids, np.arange(n_codes)):
+        raise ValueError(
+            f"expected {n_codes} seed codewords with ids "
+            f"0..{n_codes - 1}, found ids {seed_ids.tolist()}")
+    C = np.stack(cent[vec_col].to_numpy()).astype(np.float64)
+    dim = C.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    w = dim // n_sub
+    Cq = np.floor(C * 1e6 + 0.5).astype(np.int64)
+    cq_ref = ray.put(Cq)
+
+    def encode(batch: pa.Table, ref=None) -> pa.Table:
+        Cq = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        V = _vec_matrix(batch, vec_col).astype(np.float64)
+        Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        n = len(ids)
+        cols = {id_col: pa.array(ids, pa.int64())}
+        total = np.zeros(n, np.int64)
+        for s in range(n_sub):
+            Vs = Vq[:, s * w:(s + 1) * w]
+            Cs = Cq[:, s * w:(s + 1) * w]
+            d = np.empty((n, n_codes), dtype=np.int64)
+            for j in range(n_codes):
+                diff = Vs - Cs[j]
+                d[:, j] = np.einsum("ij,ij->i", diff, diff)
+            code = np.argmin(d, axis=1)        # lowest code on ties
+            total += d[np.arange(n), code]
+            cols[f"code_{s}"] = pa.array(code.astype(np.int64))
+        cols["dist_q"] = pa.array(total)
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        functools.partial(encode, ref=cq_ref), batch_format="pyarrow")

@@ -1,0 +1,84 @@
+"""pq_encode (pipelines/similarity.py): product-quantization encode —
+brute-force oracle, invariants vs kmeans_assign, seed guards."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from searchenginesimple_ray.pipelines.similarity import (kmeans_assign,
+                                                         pq_encode)
+
+
+def _emb_table(rng, n=80, dim=64):
+    V = rng.normal(size=(n, dim)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v for v in V],
+                              pa.list_(pa.float32()))})
+
+
+def brute_pq(t: pa.Table, n_sub=4, n_codes=8) -> pd.DataFrame:
+    V = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
+    ids = t["vec_id"].to_numpy()
+    Cq = Vq[np.argsort(ids)][:n_codes]
+    w = V.shape[1] // n_sub
+    rows = []
+    for i in range(len(ids)):
+        codes, tot = [], 0
+        for s in range(n_sub):
+            d = [int(((Vq[i, s*w:(s+1)*w] - Cq[j, s*w:(s+1)*w]) ** 2).sum())
+                 for j in range(n_codes)]
+            c = int(np.argmin(d))
+            codes.append(c); tot += d[c]
+        rows.append((int(ids[i]), *codes, tot))
+    return pd.DataFrame(rows, columns=["vec_id", "code_0", "code_1",
+                                       "code_2", "code_3", "dist_q"]) \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
+class TestPqEncode:
+    def test_matches_bruteforce(self, ray_session):
+        t = _emb_table(np.random.default_rng(2))
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = pq_encode(ds).to_pandas().sort_values("vec_id") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, brute_pq(t), check_dtype=False)
+
+    def test_seed_rows_have_zero_error(self, ray_session):
+        t = _emb_table(np.random.default_rng(4), n=40)
+        got = pq_encode(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        seeds = got[got["vec_id"] < 8]
+        assert (seeds["dist_q"] == 0).all()
+        for s in range(4):
+            assert seeds[f"code_{s}"].tolist() == list(range(8))
+
+    def test_pq_error_never_exceeds_whole_vector_assign(self, ray_session):
+        # per-subspace argmin <= any single whole-vector codeword, so
+        # the PQ reconstruction error is <= the kmeans E-step distance
+        t = _emb_table(np.random.default_rng(6), n=60)
+        ds = ray.data.from_arrow(t)
+        pq = pq_encode(ds).to_pandas().sort_values("vec_id")
+        km = kmeans_assign(ds).to_pandas().sort_values("vec_id")
+        assert (pq["dist_q"].to_numpy()
+                <= km["dist_q"].to_numpy()).all()
+
+    def test_bad_seed_ids_refused(self, ray_session):
+        t = _emb_table(np.random.default_rng(1), n=30)
+        t = t.set_column(0, "vec_id",
+                         pa.array(np.arange(30, dtype=np.int64) + 5))
+        with pytest.raises(ValueError, match="seed codewords"):
+            pq_encode(ray.data.from_arrow(t))
+
+    def test_indivisible_dim_refused(self, ray_session):
+        rng = np.random.default_rng(3)
+        V = rng.normal(size=(10, 30)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(np.arange(10, dtype=np.int64)),
+                      "embedding": pa.array([v for v in V],
+                                            pa.list_(pa.float32()))})
+        with pytest.raises(ValueError, match="divisible"):
+            pq_encode(ray.data.from_arrow(t), n_sub=4)
