@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization encode, 4x16-dim subspaces, int-exact
         # (pipelines/similarity.pq_encode)
         "pq_encode": d.q_pq_encode,
+        # PQ asymmetric-distance top-k scan over the code table
+        # (pipelines/similarity.pq_adc_topk)
+        "pq_adc_topk": d.q_pq_adc_topk,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -2187,5 +2190,50 @@ SELECT vec_id,
        CAST(max(CASE WHEN sub = 3 THEN cid END) AS BIGINT) AS code_3,
        CAST(sum(dist) AS BIGINT) AS dist_q
 FROM b GROUP BY vec_id ORDER BY vec_id
+""",
+        # PQ ADC top-10: codes from the pq_encode CTE; per query
+        # (vec_id < 3) the subspace LUT distance to each code's
+        # codeword, summed — all BIGINT, ties by vec_id
+        "pq_adc_topk": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+             AS qe
+  FROM embeddings),
+c AS (SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < 8),
+d AS (
+  SELECT q.vec_id, c.cid, s.s AS sub,
+         list_sum(list_transform(
+             list_zip(q.qe[s.s*16+1 : s.s*16+16],
+                      c.qc[s.s*16+1 : s.s*16+16]),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM q CROSS JOIN c
+       CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+codes AS (
+  SELECT vec_id, sub, cid FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, cid) = 1),
+qs AS (SELECT vec_id AS qid, qe AS qv FROM q WHERE vec_id < 3),
+lut AS (
+  SELECT qs.qid, c.cid, s.s AS sub,
+         list_sum(list_transform(
+             list_zip(qs.qv[s.s*16+1 : s.s*16+16],
+                      c.qc[s.s*16+1 : s.s*16+16]),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS ld
+  FROM qs CROSS JOIN c
+       CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+adc AS (
+  SELECT codes.vec_id, l.qid, sum(l.ld) AS adc_q
+  FROM codes JOIN lut l ON l.sub = codes.sub AND l.cid = codes.cid
+  GROUP BY codes.vec_id, l.qid)
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY adc_q, vec_id) - 1
+            AS BIGINT) AS rank,
+       vec_id, CAST(adc_q AS BIGINT) AS adc_q
+FROM adc
+QUALIFY rank < 10
+ORDER BY query_id, rank
 """,
     }

@@ -1400,3 +1400,13 @@ def q_pq_encode(sf_dir: str) -> pd.DataFrame:
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     pdf = pq_encode(emb).to_pandas()
     return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_pq_adc_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, vec_id, adc_q): PQ asymmetric-distance top-10 —
+    queries = embeddings 0..2 score the whole corpus through the
+    per-query subspace lookup tables (pipelines/similarity.pq_adc_topk;
+    integer-exact, no float boundary anywhere)."""
+    from .similarity import pq_adc_topk
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return pq_adc_topk(emb, query_ids=[0, 1, 2], k=10)

@@ -577,7 +577,6 @@ def pq_encode(ds: "ray.data.Dataset", n_sub: int = 4,
     dim = C.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    w = dim // n_sub
     Cq = np.floor(C * 1e6 + 0.5).astype(np.int64)
     cq_ref = ray.put(Cq)
 
@@ -586,21 +585,129 @@ def pq_encode(ds: "ray.data.Dataset", n_sub: int = 4,
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         V = _vec_matrix(batch, vec_col).astype(np.float64)
         Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
-        n = len(ids)
+        codes, dists = _pq_codes(Vq, Cq, n_sub)
         cols = {id_col: pa.array(ids, pa.int64())}
-        total = np.zeros(n, np.int64)
         for s in range(n_sub):
-            Vs = Vq[:, s * w:(s + 1) * w]
-            Cs = Cq[:, s * w:(s + 1) * w]
-            d = np.empty((n, n_codes), dtype=np.int64)
-            for j in range(n_codes):
-                diff = Vs - Cs[j]
-                d[:, j] = np.einsum("ij,ij->i", diff, diff)
-            code = np.argmin(d, axis=1)        # lowest code on ties
-            total += d[np.arange(n), code]
-            cols[f"code_{s}"] = pa.array(code.astype(np.int64))
-        cols["dist_q"] = pa.array(total)
+            cols[f"code_{s}"] = pa.array(codes[:, s])
+        cols["dist_q"] = pa.array(dists.sum(axis=1))
         return pa.table(cols)
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         functools.partial(encode, ref=cq_ref), batch_format="pyarrow")
+
+
+def _pq_codes(Vq: np.ndarray, Cq: np.ndarray, n_sub: int):
+    """(codes int64 (n, n_sub), dists int64 (n, n_sub)): per-subspace
+    nearest-codeword assignment under int64 squared-L2 (lowest code on
+    ties) — the shared kernel of ``pq_encode`` and ``pq_adc_topk``."""
+    n, dim = Vq.shape
+    n_codes = Cq.shape[0]
+    w = dim // n_sub
+    codes = np.empty((n, n_sub), np.int64)
+    dists = np.empty((n, n_sub), np.int64)
+    for s in range(n_sub):
+        Vs = Vq[:, s * w:(s + 1) * w]
+        Cs = Cq[:, s * w:(s + 1) * w]
+        d = np.empty((n, n_codes), dtype=np.int64)
+        for j in range(n_codes):
+            diff = Vs - Cs[j]
+            d[:, j] = np.einsum("ij,ij->i", diff, diff)
+        codes[:, s] = np.argmin(d, axis=1)
+        dists[:, s] = d[np.arange(n), codes[:, s]]
+    return codes, dists
+
+
+def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
+                k: int = 10, n_sub: int = 4, n_codes: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> pd.DataFrame:
+    """(query_id, rank, vec_id, adc_q): PQ asymmetric-distance top-k —
+    the query side of the Jégou et al. 2011 scheme: each query
+    precomputes an ``n_sub x n_codes`` lookup table of quantized
+    squared-L2 distances to every codeword, and scanning a vector
+    costs ``n_sub`` table gathers + adds instead of a ``dim``-wide
+    multiply.  All arithmetic int64 (the pq_encode quantization), so
+    ranks have NO float boundary; ties break by vec_id asc.
+
+    Scale shape: codebooks + the (nq, n_sub, n_codes) LUT ship via
+    ``ray.put`` once; every batch encodes its vectors with the shared
+    ``_pq_codes`` kernel and gathers LUT sums — a streaming map whose
+    per-batch output is <= nq x k candidate rows, merged with one
+    exact driver cut (the ``brute_force_topk`` partial-top-k shape).
+    On a real deployment the codes are READ from the pq_encode output
+    instead of re-derived, making the scan 1-byte-per-subspace I/O.
+    """
+    import pyarrow.compute as pc
+
+    cent = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b[id_col], n_codes)), batch_format="pyarrow") \
+        .to_pandas().sort_values(id_col)
+    seed_ids = cent[id_col].to_numpy()
+    if len(cent) != n_codes or \
+            not np.array_equal(seed_ids, np.arange(n_codes)):
+        raise ValueError(
+            f"expected {n_codes} seed codewords with ids "
+            f"0..{n_codes - 1}, found ids {seed_ids.tolist()}")
+    C = np.stack(cent[vec_col].to_numpy()).astype(np.float64)
+    dim = C.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    w = dim // n_sub
+    Cq = np.floor(C * 1e6 + 0.5).astype(np.int64)
+
+    qset = set(int(q) for q in query_ids)
+    qdf = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            b[id_col], value_set=pa.array(sorted(qset), pa.int64()))),
+            batch_format="pyarrow") \
+        .to_pandas()
+    # to_pandas() on a fully-empty dataset drops the column schema
+    if id_col not in qdf.columns or len(qdf) != len(qset):
+        raise ValueError(f"query ids {sorted(qset)} not all present")
+    qdf = qdf.sort_values(id_col)
+    qids = qdf[id_col].to_numpy(np.int64)
+    Qq = np.floor(np.stack(qdf[vec_col].to_numpy()).astype(np.float64)
+                  * 1e6 + 0.5).astype(np.int64)
+    nq = len(qids)
+    lut = np.empty((nq, n_sub, n_codes), np.int64)
+    for s in range(n_sub):
+        Qs = Qq[:, s * w:(s + 1) * w]
+        Cs = Cq[:, s * w:(s + 1) * w]
+        for j in range(n_codes):
+            diff = Qs - Cs[j]
+            lut[:, s, j] = np.einsum("ij,ij->i", diff, diff)
+    state_ref = ray.put((qids, lut, Cq))
+
+    def scan(batch: pa.Table, ref=None) -> pa.Table:
+        qids_w, lut_w, Cq_w = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        V = _vec_matrix(batch, vec_col).astype(np.float64)
+        Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        codes, _ = _pq_codes(Vq, Cq_w, n_sub)
+        n = len(ids)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(qids_w)):
+            adc = np.zeros(n, np.int64)
+            for s in range(n_sub):
+                adc += lut_w[qi, s][codes[:, s]]
+            kk = min(k, n)
+            # per-batch partial top-k under (adc, vec_id) exact order
+            o = np.lexsort((ids, adc))[:kk]
+            out_q.append(np.full(kk, qids_w[qi], np.int64))
+            out_v.append(ids[o].astype(np.int64))
+            out_d.append(adc[o])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_v)),
+            "adc_q": pa.array(np.concatenate(out_d))})
+
+    import functools
+    pdf = ds.select_columns([id_col, vec_col]).map_batches(
+        functools.partial(scan, ref=state_ref),
+        batch_format="pyarrow").to_pandas()
+    pdf = pdf.sort_values(["query_id", "adc_q", id_col])
+    pdf = pdf.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
+    return pdf[["query_id", "rank", id_col, "adc_q"]]

@@ -82,3 +82,48 @@ class TestPqEncode:
                                             pa.list_(pa.float32()))})
         with pytest.raises(ValueError, match="divisible"):
             pq_encode(ray.data.from_arrow(t), n_sub=4)
+
+
+class TestPqAdcTopk:
+    def test_matches_bruteforce(self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import pq_adc_topk
+        rng = np.random.default_rng(9)
+        t = _emb_table(rng, n=120)
+        got = pq_adc_topk(ray.data.from_arrow(t).repartition(4),
+                          query_ids=[0, 1, 2], k=10)
+        # brute: ADC = sum_s lut[q, s, code_s] over brute codes
+        V = np.stack(t["embedding"].to_pandas().to_numpy()) \
+            .astype(np.float64)
+        Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        Cq, w = Vq[:8], 16
+        codes = brute_pq(t)[["code_0", "code_1", "code_2",
+                             "code_3"]].to_numpy()
+        rows = []
+        for q in (0, 1, 2):
+            adc = np.zeros(len(V), np.int64)
+            for s in range(4):
+                lut = np.array([int(((Vq[q, s*w:(s+1)*w]
+                                      - Cq[j, s*w:(s+1)*w]) ** 2).sum())
+                                for j in range(8)], np.int64)
+                adc += lut[codes[:, s]]
+            o = np.lexsort((np.arange(len(V)), adc))[:10]
+            for r, v in enumerate(o):
+                rows.append((q, r, int(v), int(adc[v])))
+        exp = pd.DataFrame(rows, columns=["query_id", "rank",
+                                          "vec_id", "adc_q"])
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                      check_dtype=False)
+
+    def test_query_finds_itself_first_when_zero_error(self, ray_session):
+        # a seed codeword (vec_id < 8) encodes with zero reconstruction
+        # error, so querying BY it puts itself at ADC 0, rank 0
+        from searchenginesimple_ray.pipelines.similarity import pq_adc_topk
+        t = _emb_table(np.random.default_rng(12), n=50)
+        got = pq_adc_topk(ray.data.from_arrow(t), query_ids=[2], k=5)
+        assert got.loc[0, "vec_id"] == 2 and got.loc[0, "adc_q"] == 0
+
+    def test_missing_query_id_refused(self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import pq_adc_topk
+        t = _emb_table(np.random.default_rng(1), n=20)
+        with pytest.raises(ValueError, match="not all present"):
+            pq_adc_topk(ray.data.from_arrow(t), query_ids=[999])
