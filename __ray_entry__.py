@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PQ asymmetric-distance top-k scan over the code table
         # (pipelines/similarity.pq_adc_topk)
         "pq_adc_topk": d.q_pq_adc_topk,
+        # winnowing fingerprints, MOSS scheme, md5-parity values
+        # (stages/winnow.winnow_fingerprints)
+        "winnow_fingerprints": d.q_winnow_fingerprints,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -2235,5 +2238,45 @@ SELECT CAST(qid AS BIGINT) AS query_id,
 FROM adc
 QUALIFY rank < 10
 ORDER BY query_id, rank
+""",
+        # winnowing (simple rule): per doc, 3-word-gram md5 hashes;
+        # each full 4-window selects its min, rightmost pos on ties
+        # (= max pos among rows equal to the window min); md5 low half
+        # mapped to signed BIGINT exactly as the engine does
+        "winnow_fingerprints": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(words[i+1 : i+3], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(range(CAST(greatest(len(words) - 2, 0)
+                                            AS BIGINT))) AS i) t
+), h AS (
+  SELECT doc_id, pos,
+         CAST(CASE WHEN md5_number_lower(gram) > 9223372036854775807
+              THEN CAST(md5_number_lower(gram) AS HUGEINT)
+                   - 18446744073709551616
+              ELSE CAST(md5_number_lower(gram) AS HUGEINT) END
+              AS BIGINT) AS hv
+  FROM g
+), m AS (
+  SELECT doc_id, pos AS wend,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minh,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn
+  FROM h
+), sel AS (
+  SELECT m.doc_id, max(h.pos) AS pos, m.minh AS fp
+  FROM m JOIN h ON h.doc_id = m.doc_id
+       AND h.pos BETWEEN m.wend - 3 AND m.wend AND h.hv = m.minh
+  WHERE m.wn = 4
+  GROUP BY m.doc_id, m.wend, m.minh
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+FROM sel ORDER BY doc_id, pos
 """,
     }

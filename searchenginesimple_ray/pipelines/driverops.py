@@ -1410,3 +1410,18 @@ def q_pq_adc_topk(sf_dir: str) -> pd.DataFrame:
     from .similarity import pq_adc_topk
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return pq_adc_topk(emb, query_ids=[0, 1, 2], k=10)
+
+
+def q_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, pos, fp): winnowing fingerprint sets (Schleimer et al.
+    2003, MOSS) — 3-word grams, window 4, rightmost-minimal selection;
+    fp = DuckDB-parity signed md5 low half, so VALUES are
+    oracle-checked (stages/winnow.winnow_fingerprints)."""
+    from ..stages.winnow import winnow_fingerprints
+    pdf = winnow_fingerprints(_read_documents(sf_dir), n=3, w=4) \
+        .to_pandas()
+    if "doc_id" not in pdf.columns:     # all-empty: schema dropped
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "pos": pd.Series([], dtype=np.int64),
+                             "fp": pd.Series([], dtype=np.int64)})
+    return pdf.sort_values(["doc_id", "pos"]).reset_index(drop=True)

@@ -1,0 +1,112 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+2003) — the position-robust fingerprint set MOSS uses: hash every
+word ``n``-gram, slide a ``w``-wide window over the hash sequence and
+select each window's minimum (rightmost position on ties).  The
+guarantee: any shared run of ``w + n - 1`` words between two documents
+yields at least one IDENTICAL selected fingerprint, at a density of
+~2/(w+1) — the local, overlap-detecting alternative to the global
+simhash fingerprint the engine already ships
+(``functions/simhash.py``; reference analogue
+``/root/reference/include/Page/Page.hpp:94`` is whole-doc only).
+
+Gram hash = the low half of MD5 over the gram text, mapped to signed
+int64 exactly like DuckDB's ``md5_number_lower`` — the one public
+64-bit hash both numpy-side Python and ANSI SQL can compute
+bit-identically, which is what makes the fingerprint VALUES (not just
+their positions) ★-oracle-checkable.
+
+100-TB shape: a pure streaming map — each batch hashes its unique
+grams once (dict-bounded, the ``_flat_token_hashes`` pattern), runs a
+vectorized ``w``-shift min-reduce over the flat hash array (no per-doc
+loop), and emits (doc_id, pos, fp) rows.  No shuffle; downstream
+overlap joins group on ``fp`` exactly like the dup_spans candidate
+stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .textstages import _ASCII_NONWS
+
+
+def _md5_low64(s: str) -> int:
+    """Signed int64 view of DuckDB ``md5_number_lower`` (little-endian
+    uint64 of MD5 digest bytes 8..16), verified bit-identical."""
+    v = struct.unpack("<q", hashlib.md5(s.encode()).digest()[8:16])[0]
+    return v
+
+
+def winnow_fingerprints(ds: ray.data.Dataset, n: int = 3, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        batch_size: int = 4096) -> ray.data.Dataset:
+    """(doc_id, pos, fp): winnowing fingerprint set per document —
+    ``pos`` is the word-gram index (0-based) of each selected
+    fingerprint, ``fp`` its signed-int64 md5 gram hash.  Docs with
+    fewer than ``n + w - 1`` words have no full window and emit no
+    rows (the paper's domain)."""
+
+    def fps(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        words = [_ASCII_NONWS.findall(t) if t else [] for t in texts]
+        counts = np.fromiter((len(x) for x in words), np.int64,
+                             len(words))
+        n_grams = np.maximum(counts - n + 1, 0)
+        # flat gram-hash array with per-doc row ids (md5 once per
+        # UNIQUE gram text in the batch)
+        gcache: dict = {}
+        flat = np.empty(int(n_grams.sum()), np.int64)
+        rows = np.repeat(np.arange(len(words), dtype=np.int64), n_grams)
+        o = 0
+        for d, wl in enumerate(words):
+            for i in range(int(n_grams[d])):
+                g = " ".join(wl[i:i + n])
+                h = gcache.get(g)
+                if h is None:
+                    h = _md5_low64(g)
+                    gcache[g] = h
+                flat[o] = h
+                o += 1
+        m = flat.size - w + 1
+        if m <= 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        # stack of w shifted views, offset 0 = the window's RIGHT edge:
+        # np.argmin picks the FIRST minimal row = smallest offset =
+        # rightmost minimal position (the paper's tie rule)
+        stack = np.stack([flat[w - 1 - j: flat.size - j]
+                          for j in range(w)])           # (w, m)
+        off = np.argmin(stack, axis=0)
+        minh = stack[off, np.arange(m)]
+        wend = np.arange(w - 1, flat.size)              # window right edge
+        ok = rows[wend] == rows[wend - w + 1]           # window inside doc
+        sel = wend[ok] - off[ok]
+        fp = minh[ok]
+        r = rows[sel]
+        # gram index within the doc + dedup of repeated selections
+        bases = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
+        pos = sel - bases[r]
+        order = np.lexsort((pos, r))
+        r, pos, fp = r[order], pos[order], fp[order]
+        first = np.ones(len(r), bool)
+        first[1:] = (r[1:] != r[:-1]) | (pos[1:] != pos[:-1])
+        r, pos, fp = r[first], pos[first], fp[first]
+        return pa.table({id_col: pa.array(ids[r], pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "fp": pa.array(fp, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fps, batch_format="pyarrow", batch_size=batch_size)
+
+
+__all__ = ["winnow_fingerprints"]

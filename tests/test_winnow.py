@@ -1,0 +1,95 @@
+"""winnow_fingerprints (stages/winnow.py): simple-rule winnowing —
+brute-force reference, the paper's overlap guarantee, md5 parity."""
+
+import hashlib
+import struct
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from searchenginesimple_ray.stages.winnow import (_md5_low64,
+                                                  winnow_fingerprints)
+
+
+def brute_winnow(text: str, n=3, w=4):
+    """Per-doc simple winnowing (paper Fig. 5): rightmost minimal."""
+    import re
+    words = re.findall(r"[^ \t\n\r\f\v]+", text or "")
+    grams = [" ".join(words[i:i + n])
+             for i in range(max(len(words) - n + 1, 0))]
+    hs = [_md5_low64(g) for g in grams]
+    sel = set()
+    for j in range(w - 1, len(hs)):
+        win = hs[j - w + 1: j + 1]
+        mn = min(win)
+        # rightmost minimal position
+        p = j - list(reversed(win)).index(mn)
+        sel.add((p, hs[p]))
+    return sorted(sel)
+
+
+def _run(texts, **kw):
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(df).repartition(4)
+    pdf = winnow_fingerprints(ds, **kw).to_pandas()
+    if "doc_id" not in pdf.columns:
+        return pdf
+    return pdf.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+class TestWinnow:
+    def test_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(7)
+        vocab = [f"v{i}" for i in range(12)]   # small vocab -> repeats
+        texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 40))))
+                 for _ in range(80)]
+        got = _run(texts)
+        rows = []
+        for d, t in enumerate(texts):
+            for p, f in brute_winnow(t):
+                rows.append((d, p, f))
+        exp = pd.DataFrame(rows, columns=["doc_id", "pos", "fp"])
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_overlap_guarantee(self, ray_session):
+        # any shared run of w + n - 1 = 6 words must share >= 1
+        # selected fingerprint value between the two docs
+        rng = np.random.default_rng(3)
+        shared = " ".join(f"s{i}" for i in range(6))
+        a = "x1 x2 x3 " + shared + " y1 y2 y3 y4"
+        b = "z9 z8 " + shared + " q5 q6"
+        got = _run([a, b])
+        fa = set(got[got["doc_id"] == 0]["fp"])
+        fb = set(got[got["doc_id"] == 1]["fp"])
+        assert fa & fb
+
+    def test_short_docs_emit_nothing(self, ray_session):
+        # < n + w - 1 = 6 words -> no full window
+        got = _run(["one two three four five", "", "a b"])
+        assert len(got) == 0
+
+    def test_md5_parity_with_duckdb(self, ray_session):
+        con = duckdb.connect()
+        for s in ["alpha beta gamma", "", "x"]:
+            v = con.execute(
+                "SELECT CAST(CASE WHEN md5_number_lower(?) > "
+                "9223372036854775807 THEN CAST(md5_number_lower(?) AS "
+                "HUGEINT) - 18446744073709551616 ELSE "
+                "CAST(md5_number_lower(?) AS HUGEINT) END AS BIGINT)",
+                [s, s, s]).fetchone()[0]
+            assert v == _md5_low64(s)
+
+    def test_density_bound(self, ray_session):
+        # expected selection density ~2/(w+1); assert a sane loose band
+        rng = np.random.default_rng(5)
+        text = " ".join(f"u{int(x)}" for x in rng.integers(0, 10_000, 5000))
+        got = _run([text], n=3, w=4)
+        n_grams = 5000 - 2
+        density = len(got) / n_grams
+        assert 0.2 < density < 0.6
