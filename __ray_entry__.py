@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing fingerprints, MOSS scheme, md5-parity values
         # (stages/winnow.winnow_fingerprints)
         "winnow_fingerprints": d.q_winnow_fingerprints,
+        # MOSS overlap report over the fingerprints (stages/winnow.
+        # winnow_overlap_pairs)
+        "winnow_overlap": d.q_winnow_overlap,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -249,7 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk", "value_histogram", "bigram_surprisal",
         "rolling_anomaly", "bpe_encode", "segment_dedup",
         "stratified_sample", "source_overlap", "pq_encode",
-        "pq_adc_topk", "winnow_fingerprints",
+        "pq_adc_topk", "winnow_fingerprints", "winnow_overlap",
         # round-3 tail the round-3 driver run never reached
         "cooc_pairs", "label_centroids", "rollup", "curation_keep",
         "retention", "lm_surprisal", "bpe_pair_counts", "bpe_merges",
@@ -2308,5 +2311,50 @@ WITH w AS (
 )
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
 FROM sel ORDER BY doc_id, pos
+""",
+        # MOSS overlap: same winnow CTE, distinct (doc, fp), pairs
+        # through fingerprints shared by 2..32 docs, pair count >= 2
+        "winnow_overlap": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(words[i+1 : i+3], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(range(CAST(greatest(len(words) - 2, 0)
+                                            AS BIGINT))) AS i) t
+), h AS (
+  SELECT doc_id, pos,
+         CAST(CASE WHEN md5_number_lower(gram) > 9223372036854775807
+              THEN CAST(md5_number_lower(gram) AS HUGEINT)
+                   - 18446744073709551616
+              ELSE CAST(md5_number_lower(gram) AS HUGEINT) END
+              AS BIGINT) AS hv
+  FROM g
+), m AS (
+  SELECT doc_id, pos AS wend,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minh,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wn
+  FROM h
+), sel AS (
+  SELECT DISTINCT m.doc_id, m.minh AS fp
+  FROM m JOIN h ON h.doc_id = m.doc_id
+       AND h.pos BETWEEN m.wend - 3 AND m.wend AND h.hv = m.minh
+  WHERE m.wn = 4
+), ok AS (
+  SELECT fp FROM sel GROUP BY fp
+  HAVING count(*) BETWEEN 2 AND 32
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN ok ON ok.fp = a.fp
+)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2
+ORDER BY doc_a, doc_b
 """,
     }

@@ -1425,3 +1425,13 @@ def q_winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
                              "pos": pd.Series([], dtype=np.int64),
                              "fp": pd.Series([], dtype=np.int64)})
     return pdf.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def q_winnow_overlap(sf_dir: str) -> pd.DataFrame:
+    """(doc_a, doc_b, n_shared): MOSS overlap report — doc pairs
+    sharing >= 2 distinct winnowing fingerprints, boilerplate
+    fingerprints (> 32 docs) suppressed (stages/winnow.
+    winnow_overlap_pairs)."""
+    from ..stages.winnow import winnow_overlap_pairs
+    return winnow_overlap_pairs(_read_documents(sf_dir), n=3, w=4,
+                                min_shared=2, max_docs_per_fp=32)

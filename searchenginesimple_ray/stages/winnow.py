@@ -109,4 +109,75 @@ def winnow_fingerprints(ds: ray.data.Dataset, n: int = 3, w: int = 4,
         fps, batch_format="pyarrow", batch_size=batch_size)
 
 
-__all__ = ["winnow_fingerprints"]
+def winnow_overlap_pairs(ds: ray.data.Dataset, n: int = 3, w: int = 4,
+                         min_shared: int = 2, max_docs_per_fp: int = 32,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> "pd.DataFrame":
+    """(doc_a, doc_b, n_shared): the MOSS overlap report — document
+    pairs sharing >= ``min_shared`` DISTINCT selected fingerprint
+    values.  Fingerprints selected by more than ``max_docs_per_fp``
+    distinct docs are boilerplate and are DROPPED before pairing (the
+    paper's common-code suppression; mirrored in the SQL oracle), which
+    also bounds the per-fingerprint pair expansion at scale.
+
+    Scale shape: the fingerprint map is the streaming
+    ``winnow_fingerprints`` pass; pairing groups 16 B (fp, doc) rows by
+    fingerprint value and expands within the capped groups only; pair
+    counts combine via one native groupby-sum, bounded by pairs that
+    actually share content."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    fp = winnow_fingerprints(ds, n=n, w=w, id_col=id_col,
+                             text_col=text_col)
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        f = t["fp"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, f))
+        d, f = d[o], f[o]
+        first = np.ones(len(d), bool)
+        first[1:] = (f[1:] != f[:-1]) | (d[1:] != d[:-1])
+        return pa.table({"fp": pa.array(f[first], pa.int64()),
+                         id_col: pa.array(d[first], pa.int64())})
+
+    def expand(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        out_a, out_b = [], []
+        for _, grp in g.groupby("fp", sort=False):
+            docs = np.unique(grp[id_col].to_numpy())
+            if len(docs) < 2 or len(docs) > max_docs_per_fp:
+                continue
+            ia, ib = np.triu_indices(len(docs), k=1)
+            out_a.append(docs[ia]); out_b.append(docs[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "n_partial": pd.Series([], dtype=np.int64)})
+        a, b = np.concatenate(out_a), np.concatenate(out_b)
+        out = pd.DataFrame({"doc_a": a, "doc_b": b}) \
+            .groupby(["doc_a", "doc_b"], sort=False).size() \
+            .reset_index(name="n_partial")
+        out["n_partial"] = out["n_partial"].astype(np.int64)
+        return out
+
+    # bucket by fp so each expansion task sees whole fingerprint groups
+    bucketed = fp.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "bucket", pc.bit_wise_and(t["fp"], np.int64(63))),
+            batch_format="pyarrow")
+    part = bucketed.groupby("bucket").map_groups(
+        expand, batch_format="pandas").to_pandas()
+    if not len(part) or "doc_a" not in part.columns:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "n_shared": pd.Series([], dtype=np.int64)})
+    out = part.groupby(["doc_a", "doc_b"], as_index=False)["n_partial"] \
+        .sum().rename(columns={"n_partial": "n_shared"})
+    out = out[out["n_shared"] >= min_shared]
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+__all__ = ["winnow_fingerprints", "winnow_overlap_pairs"]

@@ -93,3 +93,57 @@ class TestWinnow:
         n_grams = 5000 - 2
         density = len(got) / n_grams
         assert 0.2 < density < 0.6
+
+
+class TestWinnowOverlap:
+    def test_plagiarised_pair_found(self, ray_session):
+        from searchenginesimple_ray.stages.winnow import \
+            winnow_overlap_pairs
+        rng = np.random.default_rng(8)
+        shared = " ".join(f"c{i}" for i in range(15))   # long shared run
+        texts = [
+            "intro words here " + shared + " outro alpha beta gamma",
+            "different opening " + shared + " and another ending text",
+        ] + [" ".join(f"r{int(x)}" for x in rng.integers(0, 9999, 30))
+             for _ in range(20)]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts),
+                                               dtype=np.int64),
+                           "text": texts})
+        got = winnow_overlap_pairs(ray.data.from_pandas(df)
+                                   .repartition(4))
+        assert ((got["doc_a"] == 0) & (got["doc_b"] == 1)).any()
+
+    def test_matches_oracle_sql(self, ray_session):
+        from searchenginesimple_ray.stages.winnow import \
+            winnow_overlap_pairs
+        rng = np.random.default_rng(13)
+        vocab = [f"v{i}" for i in range(15)]
+        texts = [" ".join(rng.choice(vocab,
+                                     size=int(rng.integers(6, 40))))
+                 for _ in range(100)]
+        df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                           "text": texts})
+        got = winnow_overlap_pairs(ray.data.from_pandas(df)
+                                   .repartition(4))
+        con = duckdb.connect()
+        con.register("documents", df)
+        import __ray_entry__ as e
+        exp = con.execute(e.oracle_sql()["winnow_overlap"]).df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True),
+                                      check_dtype=False)
+
+    def test_boilerplate_fp_suppressed(self, ray_session):
+        from searchenginesimple_ray.stages.winnow import \
+            winnow_overlap_pairs
+        # one 6-word run shared by MANY docs -> fp capped away
+        shared = " ".join(f"b{i}" for i in range(6))
+        texts = [shared + f" filler{i} pad{i} word{i} more{i}"
+                 for i in range(40)]
+        df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                           "text": texts})
+        got = winnow_overlap_pairs(ray.data.from_pandas(df),
+                                   max_docs_per_fp=8)
+        # the shared fp covers 40 > 8 docs; per-doc unique fillers
+        # share nothing, so no pair survives
+        assert len(got) == 0
