@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MOSS overlap report over the fingerprints (stages/winnow.
         # winnow_overlap_pairs)
         "winnow_overlap": d.q_winnow_overlap,
+        # connected components of the similarity graph — the dedup
+        # cluster primitive first-class (stages/dedup.
+        # components_min_rep_arrays)
+        "graph_components": d.q_graph_components,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -253,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_anomaly", "bpe_encode", "segment_dedup",
         "stratified_sample", "source_overlap", "pq_encode",
         "pq_adc_topk", "winnow_fingerprints", "winnow_overlap",
+        "graph_components",
         # round-3 tail the round-3 driver run never reached
         "cooc_pairs", "label_centroids", "rollup", "curation_keep",
         "retention", "lm_surprisal", "bpe_pair_counts", "bpe_merges",
@@ -2356,5 +2361,40 @@ WITH w AS (
 SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
 FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2
 ORDER BY doc_a, doc_b
+""",
+        # connected components: min reachable vec_id via recursive
+        # label propagation; same quantized edge rule as pagerank
+        "graph_components": """
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1024 + 0.5)) AS qv
+  FROM embeddings
+), nq AS (
+  SELECT vec_id, qv,
+         CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                               CAST(qv AS DOUBLE[])) AS BIGINT) AS qn
+  FROM q
+), pr AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                               CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dp,
+         a.qn AS na, b.qn AS nb
+  FROM nq a JOIN nq b ON a.vec_id < b.vec_id
+), e AS (
+  SELECT src, dst FROM pr
+  WHERE na > 0 AND nb > 0 AND dp >= 0
+    AND 25 * dp * dp >= 4 * na * nb
+), und AS (
+  SELECT src AS u, dst AS v FROM e
+  UNION ALL SELECT dst, src FROM e
+), cc AS (
+  SELECT vec_id AS v, vec_id AS lbl FROM q
+  UNION
+  SELECT und.v, cc.lbl FROM cc JOIN und ON und.u = cc.v
+)
+SELECT CAST(v AS BIGINT) AS node_id,
+       CAST(min(lbl) AS BIGINT) AS component_id
+FROM cc GROUP BY v ORDER BY v
 """,
     }

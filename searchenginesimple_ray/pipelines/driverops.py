@@ -1435,3 +1435,29 @@ def q_winnow_overlap(sf_dir: str) -> pd.DataFrame:
     from ..stages.winnow import winnow_overlap_pairs
     return winnow_overlap_pairs(_read_documents(sf_dir), n=3, w=4,
                                 min_shared=2, max_docs_per_fp=32)
+
+
+def q_graph_components(sf_dir: str) -> pd.DataFrame:
+    """(node_id, component_id): connected components of the undirected
+    cosine>=2/5 embedding-similarity graph (component id = min vec_id
+    reachable; isolated vectors are their own component).  Exposes the
+    engine's distributed CC primitive (stages/dedup.
+    components_min_rep_arrays — min-hooking + pointer doubling, the
+    kernel behind every dedup cluster resolution) as a first-class
+    operator; edge rule shared bit-identically with pagerank."""
+    from ..stages.dedup import (components_min_rep_arrays,
+                                embedding_pairs_quantized)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    all_ids = np.sort(ds.select_columns(["vec_id"]).to_pandas()
+                      ["vec_id"].to_numpy(np.int64))
+    edges = embedding_pairs_quantized(ds, "vec_id", "embedding",
+                                      threshold_num=2, threshold_den=5)
+    comp = all_ids.copy()                      # default: own component
+    if len(edges):
+        ids, rep = components_min_rep_arrays(edges)
+        pos = np.searchsorted(all_ids, ids)
+        comp[pos] = rep
+    return pd.DataFrame({"node_id": all_ids,
+                         "component_id": comp.astype(np.int64)})
