@@ -202,7 +202,14 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("bigram_surprisal", d.q_bigram_surprisal),
                      ("rolling_anomaly", d.q_rolling_anomaly),
                      ("bpe_encode", d.q_bpe_encode),
-                     ("segment_dedup", d.q_segment_dedup)]:
+                     ("segment_dedup", d.q_segment_dedup),
+                     ("stratified_sample", d.q_stratified_sample),
+                     ("source_overlap", d.q_source_overlap),
+                     ("pq_encode", d.q_pq_encode),
+                     ("pq_adc_topk", d.q_pq_adc_topk),
+                     ("winnow_fingerprints", d.q_winnow_fingerprints),
+                     ("winnow_overlap", d.q_winnow_overlap),
+                     ("graph_components", d.q_graph_components)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)
