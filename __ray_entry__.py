@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cluster primitive first-class (stages/dedup.
         # components_min_rep_arrays)
         "graph_components": d.q_graph_components,
+        # IVFADC: coarse lists + residual PQ + probed ADC scan
+        # (pipelines/similarity.ivfpq_topk)
+        "ivfpq_topk": d.q_ivfpq_topk,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -257,7 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_anomaly", "bpe_encode", "segment_dedup",
         "stratified_sample", "source_overlap", "pq_encode",
         "pq_adc_topk", "winnow_fingerprints", "winnow_overlap",
-        "graph_components",
+        "graph_components", "ivfpq_topk",
         # round-3 tail the round-3 driver run never reached
         "cooc_pairs", "label_centroids", "rollup", "curation_keep",
         "retention", "lm_surprisal", "bpe_pair_counts", "bpe_merges",
@@ -2396,5 +2399,81 @@ WITH RECURSIVE q AS (
 SELECT CAST(v AS BIGINT) AS node_id,
        CAST(min(lbl) AS BIGINT) AS component_id
 FROM cc GROUP BY v ORDER BY v
+""",
+        # IVFADC: coarse assign (ids<8 centroids), residual codebook =
+        # residuals of carriers 8..15, PQ codes over residuals, query
+        # probes its 2 nearest lists, ADC through per-list LUTs — all
+        # BIGINT, every tie broken by the lowest id
+        "ivfpq_topk": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))
+             AS qe
+  FROM embeddings),
+cc AS (SELECT vec_id AS cid, qe AS qc FROM q WHERE vec_id < 8),
+ca AS (
+  SELECT q.vec_id, cc.cid,
+         list_sum(list_transform(list_zip(q.qe, cc.qc),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM q CROSS JOIN cc),
+coarse AS (
+  SELECT vec_id, cid FROM ca
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cid) = 1),
+resid AS (
+  SELECT q.vec_id, coarse.cid,
+         list_transform(list_zip(q.qe, cc.qc),
+                        p -> p[1] - p[2]) AS rv
+  FROM q JOIN coarse ON coarse.vec_id = q.vec_id
+       JOIN cc ON cc.cid = coarse.cid),
+cb AS (
+  SELECT vec_id - 8 AS code, rv AS cv FROM resid
+  WHERE vec_id >= 8 AND vec_id < 16),
+pd AS (
+  SELECT r.vec_id, cb.code, s.s AS sub,
+         list_sum(list_transform(
+             list_zip(r.rv[s.s*16+1 : s.s*16+16],
+                      cb.cv[s.s*16+1 : s.s*16+16]),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM resid r CROSS JOIN cb
+       CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+codes AS (
+  SELECT vec_id, sub, code FROM pd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, code) = 1),
+qp AS (
+  SELECT vec_id AS qid, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS pr
+  FROM ca WHERE vec_id < 3 QUALIFY pr <= 2),
+qres AS (
+  SELECT qp.qid, qp.cid,
+         list_transform(list_zip(q.qe, cc.qc),
+                        p -> p[1] - p[2]) AS rv
+  FROM qp JOIN q ON q.vec_id = qp.qid JOIN cc ON cc.cid = qp.cid),
+lut AS (
+  SELECT qr.qid, qr.cid, cb.code, s.s AS sub,
+         list_sum(list_transform(
+             list_zip(qr.rv[s.s*16+1 : s.s*16+16],
+                      cb.cv[s.s*16+1 : s.s*16+16]),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS ld
+  FROM qres qr CROSS JOIN cb
+       CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+adc AS (
+  SELECT l.qid, c.vec_id, sum(l.ld) AS adc_q
+  FROM coarse c
+       JOIN lut l ON l.cid = c.cid
+       JOIN codes k ON k.vec_id = c.vec_id AND k.sub = l.sub
+                    AND k.code = l.code
+  GROUP BY l.qid, c.vec_id)
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY adc_q, vec_id) - 1
+            AS BIGINT) AS rank,
+       vec_id, CAST(adc_q AS BIGINT) AS adc_q
+FROM adc
+QUALIFY rank < 10
+ORDER BY query_id, rank
 """,
     }

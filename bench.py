@@ -209,7 +209,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("pq_adc_topk", d.q_pq_adc_topk),
                      ("winnow_fingerprints", d.q_winnow_fingerprints),
                      ("winnow_overlap", d.q_winnow_overlap),
-                     ("graph_components", d.q_graph_components)]:
+                     ("graph_components", d.q_graph_components),
+                     ("ivfpq_topk", d.q_ivfpq_topk)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

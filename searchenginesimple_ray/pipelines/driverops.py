@@ -1461,3 +1461,13 @@ def q_graph_components(sf_dir: str) -> pd.DataFrame:
         comp[pos] = rep
     return pd.DataFrame({"node_id": all_ids,
                          "component_id": comp.astype(np.int64)})
+
+
+def q_ivfpq_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, vec_id, adc_q): IVFADC top-10 — coarse
+    quantizer (8 lists, kmeans_assign seed rule) + shared residual PQ
+    codebook + per-probed-list ADC, nprobe=2; fully integer-exact
+    (pipelines/similarity.ivfpq_topk — the production ANN layout)."""
+    from .similarity import ivfpq_topk
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivfpq_topk(emb, query_ids=[0, 1, 2], k=10)

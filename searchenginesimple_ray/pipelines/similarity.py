@@ -711,3 +711,144 @@ def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
         .reset_index(drop=True)
     pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
     return pdf[["query_id", "rank", id_col, "adc_q"]]
+
+
+def ivfpq_topk(ds: "ray.data.Dataset", query_ids: list[int],
+               k: int = 10, n_coarse: int = 8, n_sub: int = 4,
+               n_codes: int = 8, nprobe: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> pd.DataFrame:
+    """(query_id, rank, vec_id, adc_q): IVFADC — the production ANN
+    layout (Jégou et al. 2011 §IV): a coarse quantizer partitions the
+    corpus (the IVF lists), each vector stores only the PQ codes of
+    its RESIDUAL from its coarse centroid, and a query scans just the
+    ``nprobe`` nearest lists with a per-list residual lookup table.
+
+    Deterministic, fully integer-exact variant so ranks are
+    SQL-oracle-checkable with no float boundary anywhere:
+
+    - coarse centroids = quantized vectors ``id < n_coarse`` (the
+      ``kmeans_assign`` seed rule); assignment by int64 squared-L2,
+      ties to the lowest centroid.
+    - shared residual codebook = the residuals of vectors
+      ``n_coarse <= id < n_coarse + n_codes`` w.r.t. their own coarse
+      assignment (a real pipeline swaps in k-means-trained codebooks;
+      the layout, probe and scan are identical).
+    - a query probes its ``nprobe`` nearest coarse centroids and
+      scores each probed list through the per-(query, list) subspace
+      LUT over its OWN residual; candidates outside probed lists are
+      never touched — the I/O shape that makes 100-TB ANN feasible
+      (probed lists ~ nprobe/n_coarse of the corpus; with codes
+      written as the parquet partition key the scan prunes at the
+      read, exactly as ``ivf_topk`` demonstrates with float IVF).
+
+    Scale shape: centroids + codebook + probe sets + LUTs ship via
+    ``ray.put`` once (n_coarse x dim + n_codes x dim +
+    nq x nprobe x n_sub x n_codes ints); each batch coarse-assigns,
+    residual-encodes (``_pq_codes``) and emits <= nq x k candidate
+    rows; one exact integer driver cut."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    need = n_coarse + n_codes
+    seed = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: b.filter(
+            pc.less(b[id_col], need)), batch_format="pyarrow") \
+        .to_pandas()
+    if id_col not in seed.columns or len(seed) != need or \
+            not np.array_equal(np.sort(seed[id_col].to_numpy()),
+                               np.arange(need)):
+        raise ValueError(
+            f"expected seed vectors with ids 0..{need - 1}")
+    seed = seed.sort_values(id_col)
+    Sq = np.floor(np.stack(seed[vec_col].to_numpy())
+                  .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    dim = Sq.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    Cc = Sq[:n_coarse]                              # coarse centroids
+    carriers = Sq[n_coarse:need]
+    # coarse-assign the codebook carriers, then take their residuals
+    cassign, _ = _pq_codes(carriers, Cc, 1)         # n_sub=1: whole-vec
+    Cr = carriers - Cc[cassign[:, 0]]               # shared codebook
+
+    qset = sorted(set(int(q) for q in query_ids))
+    qdf = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            b[id_col], value_set=pa.array(qset, pa.int64()))),
+            batch_format="pyarrow").to_pandas()
+    if id_col not in qdf.columns or len(qdf) != len(qset):
+        raise ValueError(f"query ids {qset} not all present")
+    qdf = qdf.sort_values(id_col)
+    qids = qdf[id_col].to_numpy(np.int64)
+    Qq = np.floor(np.stack(qdf[vec_col].to_numpy())
+                  .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    nq = len(qids)
+    w = dim // n_sub
+    # probe sets: nprobe nearest coarse centroids per query (ties ->
+    # lowest centroid id, the lexsort order)
+    qc, _ = _pq_codes(Qq, Cc, 1)
+    cd = np.empty((nq, n_coarse), np.int64)
+    for j in range(n_coarse):
+        diff = Qq - Cc[j]
+        cd[:, j] = np.einsum("ij,ij->i", diff, diff)
+    probes = np.argsort(cd, axis=1, kind="stable")[:, :nprobe]
+    # per-(query, probed list) residual LUTs
+    lut = np.empty((nq, nprobe, n_sub, n_codes), np.int64)
+    for qi in range(nq):
+        for pi in range(nprobe):
+            rq = Qq[qi] - Cc[probes[qi, pi]]
+            for s in range(n_sub):
+                Rs = rq[s * w:(s + 1) * w]
+                Cs = Cr[:, s * w:(s + 1) * w]
+                diff = Cs - Rs
+                lut[qi, pi, s] = np.einsum("ij,ij->i", diff, diff)
+    state_ref = ray.put((qids, probes, lut, Cc, Cr))
+
+    def scan(batch: pa.Table, ref=None) -> pa.Table:
+        qids_w, probes_w, lut_w, Cc_w, Cr_w = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        V = _vec_matrix(batch, vec_col).astype(np.float64)
+        Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
+        coarse, _ = _pq_codes(Vq, Cc_w, 1)
+        coarse = coarse[:, 0]
+        res = Vq - Cc_w[coarse]
+        codes, _ = _pq_codes(res, Cr_w, n_sub)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(qids_w)):
+            for pi in range(probes_w.shape[1]):
+                m = coarse == probes_w[qi, pi]
+                if not m.any():
+                    continue
+                cids = ids[m]
+                adc = np.zeros(len(cids), np.int64)
+                for s in range(n_sub):
+                    adc += lut_w[qi, pi, s][codes[m, s]]
+                kk = min(k, len(cids))
+                o = np.lexsort((cids, adc))[:kk]
+                out_q.append(np.full(kk, qids_w[qi], np.int64))
+                out_v.append(cids[o].astype(np.int64))
+                out_d.append(adc[o])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "adc_q": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_v)),
+            "adc_q": pa.array(np.concatenate(out_d))})
+
+    pdf = ds.select_columns([id_col, vec_col]).map_batches(
+        functools.partial(scan, ref=state_ref),
+        batch_format="pyarrow").to_pandas()
+    if id_col not in pdf.columns:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "adc_q": pd.Series([], dtype=np.int64)})
+    pdf = pdf.sort_values(["query_id", "adc_q", id_col])
+    pdf = pdf.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount().astype(np.int64)
+    return pdf[["query_id", "rank", id_col, "adc_q"]]

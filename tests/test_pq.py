@@ -127,3 +127,74 @@ class TestPqAdcTopk:
         t = _emb_table(np.random.default_rng(1), n=20)
         with pytest.raises(ValueError, match="not all present"):
             pq_adc_topk(ray.data.from_arrow(t), query_ids=[999])
+
+
+def brute_ivfpq(t: pa.Table, qid: int, k=10, n_coarse=8, n_sub=4,
+                n_codes=8, nprobe=2):
+    V = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    Vq = np.floor(V * 1e6 + 0.5).astype(np.int64)
+    S = Vq[order]
+    Cc = S[:n_coarse]
+    w = V.shape[1] // n_sub
+
+    def coarse_of(v):
+        d = [int(((v - Cc[j]) ** 2).sum()) for j in range(n_coarse)]
+        return int(np.argmin(d)), d
+
+    carriers = S[n_coarse:n_coarse + n_codes]
+    Cr = np.stack([c - Cc[coarse_of(c)[0]] for c in carriers])
+
+    def codes_of(r):
+        return [int(np.argmin([int(((r[s*w:(s+1)*w]
+                                     - Cr[j, s*w:(s+1)*w]) ** 2).sum())
+                               for j in range(n_codes)]))
+                for s in range(n_sub)]
+
+    qv = Vq[ids.tolist().index(qid)]
+    _, qd = coarse_of(qv)
+    probes = np.argsort(np.array(qd), kind="stable")[:nprobe]
+    cand = []
+    for i in range(len(ids)):
+        c, _ = coarse_of(Vq[i])
+        if c not in probes:
+            continue
+        r = Vq[i] - Cc[c]
+        cs = codes_of(r)
+        rq = qv - Cc[c]
+        adc = sum(int(((rq[s*w:(s+1)*w]
+                        - Cr[cs[s], s*w:(s+1)*w]) ** 2).sum())
+                  for s in range(n_sub))
+        cand.append((adc, int(ids[i])))
+    cand.sort()
+    return [(r, v, a) for r, (a, v) in enumerate(cand[:k])]
+
+
+class TestIvfPqTopk:
+    def test_matches_bruteforce(self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import ivfpq_topk
+        t = _emb_table(np.random.default_rng(17), n=140)
+        got = ivfpq_topk(ray.data.from_arrow(t).repartition(4),
+                         query_ids=[0, 1, 2], k=10)
+        for q in (0, 1, 2):
+            g = got[got["query_id"] == q]
+            exp = brute_ivfpq(t, q)
+            assert list(zip(g["rank"], g["vec_id"], g["adc_q"])) == exp
+
+    def test_candidates_only_from_probed_lists(self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import (
+            ivfpq_topk, kmeans_assign)
+        t = _emb_table(np.random.default_rng(19), n=100)
+        ds = ray.data.from_arrow(t)
+        got = ivfpq_topk(ds, query_ids=[1], k=100, nprobe=1)
+        km = kmeans_assign(ds).to_pandas().set_index("vec_id")
+        q_cluster = int(km.loc[1, "cluster_id"])
+        for v in got["vec_id"]:
+            assert int(km.loc[int(v), "cluster_id"]) == q_cluster
+
+    def test_seed_guard(self, ray_session):
+        from searchenginesimple_ray.pipelines.similarity import ivfpq_topk
+        t = _emb_table(np.random.default_rng(2), n=10)   # < 16 seeds
+        with pytest.raises(ValueError, match="seed vectors"):
+            ivfpq_topk(ray.data.from_arrow(t), query_ids=[0])
