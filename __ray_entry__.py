@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVFADC: coarse lists + residual PQ + probed ADC scan
         # (pipelines/similarity.ivfpq_topk)
         "ivfpq_topk": d.q_ivfpq_topk,
+        # per-conversation rollup over the derived transcripts
+        "conv_stats": d.q_conv_stats,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -260,7 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_anomaly", "bpe_encode", "segment_dedup",
         "stratified_sample", "source_overlap", "pq_encode",
         "pq_adc_topk", "winnow_fingerprints", "winnow_overlap",
-        "graph_components", "ivfpq_topk",
+        "graph_components", "ivfpq_topk", "conv_stats",
         # round-3 tail the round-3 driver run never reached
         "cooc_pairs", "label_centroids", "rollup", "curation_keep",
         "retention", "lm_surprisal", "bpe_pair_counts", "bpe_merges",
@@ -2279,6 +2281,26 @@ SELECT CAST(qid AS BIGINT) AS query_id,
 FROM adc
 QUALIFY rank < 10
 ORDER BY query_id, rank
+""",
+        # per-conversation rollup: conv/turn derivation shared with
+        # every ts_* oracle; role = turn_idx parity
+        "conv_stats": """
+WITH t AS (
+  SELECT source AS conv_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+             AS turn_idx,
+         text
+  FROM documents
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE turn_idx % 2 = 0) AS BIGINT)
+           AS n_user,
+       CAST(count(*) FILTER (WHERE turn_idx % 2 = 1) AS BIGINT)
+           AS n_assistant,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn_idx
+FROM t GROUP BY conv_id ORDER BY conv_id
 """,
         # winnowing (simple rule): per doc, 3-word-gram md5 hashes;
         # each full 4-window selects its min, rightmost pos on ties

@@ -1471,3 +1471,41 @@ def q_ivfpq_topk(sf_dir: str) -> pd.DataFrame:
     from .similarity import ivfpq_topk
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ivfpq_topk(emb, query_ids=[0, 1, 2], k=10)
+
+
+def q_conv_stats(sf_dir: str) -> pd.DataFrame:
+    """(conv_id, n_turns, n_user, n_assistant, sum_chars, max_turn_idx):
+    per-conversation rollup over the derived transcripts — the
+    conversation-health table an agent-transcript pipeline reports
+    (turn balance, size) before indexing.  Distributive aggregates
+    only: per-batch Arrow group_by partials, one tiny conv-bounded
+    combine; role = turn_idx parity (the derivation's own rule)."""
+    import pyarrow.compute as pc
+    ts_dir = derive_transcripts(sf_dir)
+    ds = ray.data.read_parquet(ts_dir,
+                               columns=["conv_id", "turn_idx", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        user = (ti % 2 == 0).astype(np.int64)
+        tt = pa.table({"conv_id": t["conv_id"],
+                       "n": pa.array(np.ones(len(ti), np.int64)),
+                       "u": pa.array(user),
+                       "a": pa.array(1 - user),
+                       "c": pa.array(chars),
+                       "m": pa.array(ti)})
+        return tt.group_by("conv_id").aggregate(
+            [("n", "sum"), ("u", "sum"), ("a", "sum"),
+             ("c", "sum"), ("m", "max")])
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pdf.groupby("conv_id", as_index=False).agg(
+        n_turns=("n_sum", "sum"), n_user=("u_sum", "sum"),
+        n_assistant=("a_sum", "sum"), sum_chars=("c_sum", "sum"),
+        max_turn_idx=("m_max", "max"))
+    for c in ["n_turns", "n_user", "n_assistant", "sum_chars",
+              "max_turn_idx"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("conv_id").reset_index(drop=True)

@@ -779,3 +779,23 @@ class TestQuantizeEmbeddings:
         q = np.floor(x / scale * 127 + 0.5)
         err = np.abs(x - q * scale / 127)
         assert (err <= scale / 254 + 1e-12).all()
+
+
+class TestConvStats:
+    def test_matches_oracle_on_testdata(self, ray_session):
+        import __ray_entry__ as e
+        from searchenginesimple_ray.pipelines.driverops import \
+            q_conv_stats
+        got = q_conv_stats("/root/testdata/sf0.001")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        exp = con.execute(e.oracle_sql()["conv_stats"]).df()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+        # invariants: turn balance and parity rule
+        assert (got["n_user"] + got["n_assistant"]
+                == got["n_turns"]).all()
+        assert (got["max_turn_idx"] == got["n_turns"] - 1).all()
+        assert (got["n_user"] - got["n_assistant"]).isin([0, 1]).all()
