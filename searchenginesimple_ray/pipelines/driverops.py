@@ -1487,8 +1487,11 @@ def q_conv_stats(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         ti = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # null text contributes 0 chars (SQL sum(length(text)) skips
+        # NULLs); a bare astype would cast the NaN to garbage
+        chars = pc.coalesce(pc.utf8_length(t["text"]),
+                            pa.scalar(0, pa.int32())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         user = (ti % 2 == 0).astype(np.int64)
         tt = pa.table({"conv_id": t["conv_id"],
                        "n": pa.array(np.ones(len(ti), np.int64)),
@@ -1501,7 +1504,8 @@ def q_conv_stats(sf_dir: str) -> pd.DataFrame:
              ("c", "sum"), ("m", "max")])
 
     pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = pdf.groupby("conv_id", as_index=False).agg(
+    # dropna=False: SQL GROUP BY keeps the NULL conv group
+    out = pdf.groupby("conv_id", as_index=False, dropna=False).agg(
         n_turns=("n_sum", "sum"), n_user=("u_sum", "sum"),
         n_assistant=("a_sum", "sum"), sum_chars=("c_sum", "sum"),
         max_turn_idx=("m_max", "max"))

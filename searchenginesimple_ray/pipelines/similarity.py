@@ -535,6 +535,30 @@ def kmeans_assign(ds: "ray.data.Dataset", n_clusters: int = 8,
         functools.partial(assign, ref=cq_ref), batch_format="pyarrow")
 
 
+def _fetch_seed_matrix(ds: "ray.data.Dataset", id_col: str,
+                       vec_col: str, n: int, what: str) -> np.ndarray:
+    """Quantized (n x dim) int64 matrix of the seed vectors with
+    ``id_col`` exactly 0..n-1 (the shared deterministic seed rule) —
+    guards the empty-schema to_pandas pitfall and duplicate/missing
+    ids with one error message."""
+    import pyarrow.compute as pc
+    seed = ds.select_columns([id_col, vec_col]) \
+        .map_batches(lambda b: b.filter(pc.less(b[id_col], n)),
+                     batch_format="pyarrow").to_pandas()
+    # to_pandas() on a fully-empty dataset drops the column schema
+    if id_col not in seed.columns or len(seed) != n or \
+            not np.array_equal(np.sort(seed[id_col].to_numpy()),
+                               np.arange(n)):
+        ids = (seed[id_col].to_numpy().tolist()
+               if id_col in seed.columns else [])
+        raise ValueError(
+            f"expected {n} seed {what} with ids 0..{n - 1}, "
+            f"found ids {ids}")
+    seed = seed.sort_values(id_col)
+    return np.floor(np.stack(seed[vec_col].to_numpy())
+                    .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
 def pq_encode(ds: "ray.data.Dataset", n_sub: int = 4,
               n_codes: int = 8, id_col: str = "vec_id",
               vec_col: str = "embedding") -> "ray.data.Dataset":
@@ -563,21 +587,11 @@ def pq_encode(ds: "ray.data.Dataset", n_sub: int = 4,
 
     import pyarrow.compute as pc
 
-    cent = ds.select_columns([id_col, vec_col]) \
-        .map_batches(lambda b: b.filter(
-            pc.less(b[id_col], n_codes)), batch_format="pyarrow") \
-        .to_pandas().sort_values(id_col)
-    seed_ids = cent[id_col].to_numpy()
-    if len(cent) != n_codes or \
-            not np.array_equal(seed_ids, np.arange(n_codes)):
-        raise ValueError(
-            f"expected {n_codes} seed codewords with ids "
-            f"0..{n_codes - 1}, found ids {seed_ids.tolist()}")
-    C = np.stack(cent[vec_col].to_numpy()).astype(np.float64)
-    dim = C.shape[1]
+    Cq = _fetch_seed_matrix(ds, id_col, vec_col, n_codes,
+                            "codewords")
+    dim = Cq.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    Cq = np.floor(C * 1e6 + 0.5).astype(np.int64)
     cq_ref = ray.put(Cq)
 
     def encode(batch: pa.Table, ref=None) -> pa.Table:
@@ -639,22 +653,12 @@ def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
     """
     import pyarrow.compute as pc
 
-    cent = ds.select_columns([id_col, vec_col]) \
-        .map_batches(lambda b: b.filter(
-            pc.less(b[id_col], n_codes)), batch_format="pyarrow") \
-        .to_pandas().sort_values(id_col)
-    seed_ids = cent[id_col].to_numpy()
-    if len(cent) != n_codes or \
-            not np.array_equal(seed_ids, np.arange(n_codes)):
-        raise ValueError(
-            f"expected {n_codes} seed codewords with ids "
-            f"0..{n_codes - 1}, found ids {seed_ids.tolist()}")
-    C = np.stack(cent[vec_col].to_numpy()).astype(np.float64)
-    dim = C.shape[1]
+    Cq = _fetch_seed_matrix(ds, id_col, vec_col, n_codes,
+                            "codewords")
+    dim = Cq.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     w = dim // n_sub
-    Cq = np.floor(C * 1e6 + 0.5).astype(np.int64)
 
     qset = set(int(q) for q in query_ids)
     qdf = ds.select_columns([id_col, vec_col]) \
@@ -752,18 +756,7 @@ def ivfpq_topk(ds: "ray.data.Dataset", query_ids: list[int],
     import pyarrow.compute as pc
 
     need = n_coarse + n_codes
-    seed = ds.select_columns([id_col, vec_col]) \
-        .map_batches(lambda b: b.filter(
-            pc.less(b[id_col], need)), batch_format="pyarrow") \
-        .to_pandas()
-    if id_col not in seed.columns or len(seed) != need or \
-            not np.array_equal(np.sort(seed[id_col].to_numpy()),
-                               np.arange(need)):
-        raise ValueError(
-            f"expected seed vectors with ids 0..{need - 1}")
-    seed = seed.sort_values(id_col)
-    Sq = np.floor(np.stack(seed[vec_col].to_numpy())
-                  .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    Sq = _fetch_seed_matrix(ds, id_col, vec_col, need, "vectors")
     dim = Sq.shape[1]
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
@@ -787,8 +780,7 @@ def ivfpq_topk(ds: "ray.data.Dataset", query_ids: list[int],
     nq = len(qids)
     w = dim // n_sub
     # probe sets: nprobe nearest coarse centroids per query (ties ->
-    # lowest centroid id, the lexsort order)
-    qc, _ = _pq_codes(Qq, Cc, 1)
+    # lowest centroid id, via the stable argsort)
     cd = np.empty((nq, n_coarse), np.int64)
     for j in range(n_coarse):
         diff = Qq - Cc[j]

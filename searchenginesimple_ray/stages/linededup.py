@@ -60,7 +60,8 @@ def _segments(batch: pa.Table, id_col: str, text_col: str,
               seg_words: int):
     """Vectorized segment enumeration + hashing for one batch.
 
-    Returns ``(keys int64, doc_idx, seg_idx, words)`` where segment
+    Returns ``(keys int64, doc_idx, seg_idx, words, n_segs)`` where
+    ``n_segs`` is the per-doc segment count and segment
     ``(doc_idx[i], seg_idx[i])`` covers
     ``words[doc_idx[i]][seg_idx[i]*seg_words : (seg_idx[i]+1)*seg_words]``
     and ``keys[i]`` is its FNV-fold hash over fnv1a64 word hashes.
@@ -205,7 +206,6 @@ def segment_dedup(ds: ray.data.Dataset, seg_words: int = 10,
                           batch_format="pyarrow")
 
 
-__all__ = ["segment_dedup"]
 
 
 def source_overlap(ds: ray.data.Dataset, seg_words: int = 10,
@@ -295,3 +295,6 @@ def source_overlap(ds: ray.data.Dataset, seg_words: int = 10,
     out["n_shared"] = out["n_shared"].astype(np.int64)
     out = out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+__all__ = ["segment_dedup", "source_overlap"]

@@ -112,8 +112,11 @@ def lang_histogram(ds: ray.data.Dataset, text_col: str = "text"):
 # --------------------------------------------- repetition / contamination
 
 # RE2's ASCII \S — used where the SQL oracle's whitespace definition
-# must match exactly (Python str.split / \s are Unicode-aware)
-_ASCII_NONWS = re.compile(r"[^ \t\n\r\f\v]+")
+# must match exactly.  RE2's \s is [\t\n\f\r ] — NO vertical tab —
+# so \v must be a WORD character here (verified vs DuckDB
+# string_split_regex); Python str.split / \s are Unicode-aware and
+# also differ.
+_ASCII_NONWS = re.compile(r"[^ \t\n\r\f]+")
 
 
 def _flat_token_hashes(texts: list[str], token_re=None):

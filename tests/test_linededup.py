@@ -17,7 +17,7 @@ def brute_segment_dedup(texts: list, seg_words: int = 10,
                         min_docs: int = 2) -> pd.DataFrame:
     """Independent per-doc Python reference."""
     import re
-    tok = re.compile(r"[^ \t\n\r\f\v]+")
+    tok = re.compile(r"[^ \t\n\r\f]+")
     words = [tok.findall(t) if t else [] for t in texts]
     segs = [[" ".join(w[i:i + seg_words])
              for i in range(0, len(w), seg_words)] for w in words]

@@ -25,9 +25,9 @@ def _brute_gopher(rows, stop, min_tokens=30, max_tokens=100_000,
     out = []
     for did, tx in rows:
         # RE2 ASCII whitespace semantics, matching the SQL oracle
-        toks = re.findall(r"[^ \t\n\r\f\v]+", (tx or "").lower())
+        toks = re.findall(r"[^ \t\n\r\f]+", (tx or "").lower())
         n = len(toks)
-        wc = len(re.sub(r"[ \t\n\r\f\v]", "", tx or ""))
+        wc = len(re.sub(r"[ \t\n\r\f]", "", tx or ""))
         nstop = len(set(toks) & stop)
         bigs = Counter(zip(toks, toks[1:]))
         top2 = max(bigs.values()) if bigs else 0

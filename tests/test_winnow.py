@@ -19,7 +19,7 @@ from searchenginesimple_ray.stages.winnow import (_md5_low64,
 def brute_winnow(text: str, n=3, w=4):
     """Per-doc simple winnowing (paper Fig. 5): rightmost minimal."""
     import re
-    words = re.findall(r"[^ \t\n\r\f\v]+", text or "")
+    words = re.findall(r"[^ \t\n\r\f]+", text or "")
     grams = [" ".join(words[i:i + n])
              for i in range(max(len(words) - n + 1, 0))]
     hs = [_md5_low64(g) for g in grams]
