@@ -898,8 +898,18 @@ def append_index(new_files: list[str], index_dir: str,
     def new_prepped_ds():
         ds = _read_parquet(app_files, columns=["doc_id", "simhash",
                                                "doc_len", "terms", "tfs"])
-        return ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
-                              batch_format="pyarrow")
+        ds = ds.map_batches(apply_drop, fn_kwargs={"drop_ref": drop_ref},
+                            batch_format="pyarrow")
+        # coalesce the delta before the postings exchange: the staged
+        # app buckets split into O(files x 2) tiny blocks, and the
+        # groupby sort spawns a map+reduce task PER BLOCK PAIR — at a
+        # 440k-row delta the 160-block sort was 87% idle scheduling
+        # (11.7 s wall for ~2 s of remote work; measured, see
+        # BASELINE.md round-4 session notes).  ~64k prepped rows per
+        # block keeps the sort dense at any delta size.
+        app_rows = sum(pq.read_metadata(f).num_rows for f in app_files)
+        ncpu = max(int(ray.cluster_resources().get("CPU", 8)), 1)
+        return ds.repartition(max(ncpu, -(-app_rows // 65536)))
 
     def all_prepped_ds():
         ds = _read_parquet(_pq_files(os.path.join(index_dir, "docs_raw")),
