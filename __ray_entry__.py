@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_topk": d.q_ivfpq_topk,
         # per-conversation rollup over the derived transcripts
         "conv_stats": d.q_conv_stats,
+        # hashing-trick feature vectors, md5-parity buckets
+        # (stages/winnow.hashed_features)
+        "hashed_features": d.q_hashed_features,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -263,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample", "source_overlap", "pq_encode",
         "pq_adc_topk", "winnow_fingerprints", "winnow_overlap",
         "graph_components", "ivfpq_topk", "conv_stats",
+        "hashed_features",
         # round-3 tail the round-3 driver run never reached
         "cooc_pairs", "label_centroids", "rollup", "curation_keep",
         "retention", "lm_surprisal", "bpe_pair_counts", "bpe_merges",
@@ -2301,6 +2305,37 @@ SELECT conv_id,
        CAST(sum(length(text)) AS BIGINT) AS sum_chars,
        CAST(max(turn_idx) AS BIGINT) AS max_turn_idx
 FROM t GROUP BY conv_id ORDER BY conv_id
+""",
+        # feature hashing: per word, bucket = floored signed-md5 mod 8
+        # (((h % 8) + 8) % 8 == numpy/python floored %); counts per doc
+        "hashed_features": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(words) AS word FROM w
+), b AS (
+  SELECT doc_id,
+         ((CAST(CASE WHEN md5_number_lower(word) > 9223372036854775807
+                THEN CAST(md5_number_lower(word) AS HUGEINT)
+                     - 18446744073709551616
+                ELSE CAST(md5_number_lower(word) AS HUGEINT) END
+                AS BIGINT) % 8) + 8) % 8 AS bkt
+  FROM tok
+)
+SELECT w.doc_id,
+       CAST(coalesce(sum(CASE WHEN bkt = 0 THEN 1 END), 0) AS BIGINT) AS f_0,
+       CAST(coalesce(sum(CASE WHEN bkt = 1 THEN 1 END), 0) AS BIGINT) AS f_1,
+       CAST(coalesce(sum(CASE WHEN bkt = 2 THEN 1 END), 0) AS BIGINT) AS f_2,
+       CAST(coalesce(sum(CASE WHEN bkt = 3 THEN 1 END), 0) AS BIGINT) AS f_3,
+       CAST(coalesce(sum(CASE WHEN bkt = 4 THEN 1 END), 0) AS BIGINT) AS f_4,
+       CAST(coalesce(sum(CASE WHEN bkt = 5 THEN 1 END), 0) AS BIGINT) AS f_5,
+       CAST(coalesce(sum(CASE WHEN bkt = 6 THEN 1 END), 0) AS BIGINT) AS f_6,
+       CAST(coalesce(sum(CASE WHEN bkt = 7 THEN 1 END), 0) AS BIGINT) AS f_7
+FROM w LEFT JOIN b ON b.doc_id = w.doc_id
+GROUP BY w.doc_id ORDER BY w.doc_id
 """,
         # winnowing (simple rule): per doc, 3-word-gram md5 hashes;
         # each full 4-window selects its min, rightmost pos on ties

@@ -1513,3 +1513,14 @@ def q_conv_stats(sf_dir: str) -> pd.DataFrame:
               "max_turn_idx"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def q_hashed_features(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, f_0..f_7): hashing-trick document count vectors —
+    bucket = floored md5_low64(word) mod 8, md5-parity with the SQL
+    oracle (stages/winnow.hashed_features; the vocabulary-free
+    featurizer of Weinberger et al. 2009)."""
+    from ..stages.winnow import hashed_features
+    pdf = hashed_features(_read_documents(sf_dir), n_buckets=8) \
+        .to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)

@@ -180,4 +180,48 @@ def winnow_overlap_pairs(ds: ray.data.Dataset, n: int = 3, w: int = 4,
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-__all__ = ["winnow_fingerprints", "winnow_overlap_pairs"]
+__all__ = ["winnow_fingerprints", "winnow_overlap_pairs",
+           "hashed_features"]
+
+
+def hashed_features(ds: ray.data.Dataset, n_buckets: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    batch_size: int = 4096) -> ray.data.Dataset:
+    """(doc_id, f_0..f_{n_buckets-1}): hashing-trick document feature
+    vectors (Weinberger et al., "Feature Hashing for Large Scale
+    Multitask Learning", ICML 2009) — each word increments bucket
+    ``md5_low64(word) mod n_buckets`` (floored mod, so the SQL
+    ``((h % n) + n) % n`` matches the signed hash exactly).  The
+    "embedding for free": a fixed-width count vector per doc with no
+    vocabulary table, the featurizer linear probes / n-gram LMs /
+    dedup prefilters run at corpus scale.
+
+    Streaming map: md5 once per unique word per batch, one bincount
+    per doc via the flat (row, bucket) pair array — no shuffle."""
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        words = [_ASCII_NONWS.findall(t) if t else [] for t in texts]
+        counts = np.fromiter((len(x) for x in words), np.int64,
+                             len(words))
+        wcache: dict = {}
+        flat = np.empty(int(counts.sum()), np.int64)
+        o = 0
+        for wl in words:
+            for t in wl:
+                b = wcache.get(t)
+                if b is None:
+                    b = _md5_low64(t) % n_buckets      # python %: floored
+                    wcache[t] = b
+                flat[o] = b
+                o += 1
+        rows = np.repeat(np.arange(len(words), dtype=np.int64), counts)
+        mat = np.zeros((len(words), n_buckets), np.int64)
+        np.add.at(mat, (rows, flat), 1)
+        cols = {id_col: batch[id_col]}
+        for j in range(n_buckets):
+            cols[f"f_{j}"] = pa.array(mat[:, j])
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        feats, batch_format="pyarrow", batch_size=batch_size)

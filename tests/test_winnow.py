@@ -147,3 +147,30 @@ class TestWinnowOverlap:
         # the shared fp covers 40 > 8 docs; per-doc unique fillers
         # share nothing, so no pair survives
         assert len(got) == 0
+
+
+class TestHashedFeatures:
+    def test_matches_brute_and_rowsums(self, ray_session):
+        from searchenginesimple_ray.stages.winnow import (_md5_low64,
+                                                          hashed_features)
+        rng = np.random.default_rng(23)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+                 for _ in range(120)]
+        df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                           "text": texts})
+        got = hashed_features(ray.data.from_pandas(df).repartition(4),
+                              n_buckets=8).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        import re
+        tok = re.compile(r"[^ \t\n\r\f]+")
+        for i, t in enumerate(texts):
+            words = tok.findall(t)
+            exp = np.zeros(8, np.int64)
+            for wd in words:
+                exp[_md5_low64(wd) % 8] += 1
+            assert got.loc[i, [f"f_{j}" for j in range(8)]] \
+                .to_numpy(dtype=np.int64).tolist() == exp.tolist()
+        # row sums = word counts
+        sums = got[[f"f_{j}" for j in range(8)]].sum(axis=1)
+        assert sums.tolist() == [len(tok.findall(t)) for t in texts]
