@@ -246,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hashing-trick feature vectors, md5-parity buckets
         # (stages/winnow.hashed_features)
         "hashed_features": d.q_hashed_features,
+        # per-doc n-gram novelty / originality audit
+        # (stages/winnow.ngram_novelty)
+        "ngram_novelty": d.q_ngram_novelty,
         # BPE tokenizer INFERENCE — rows-only (the merge table comes
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
@@ -266,7 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample", "source_overlap", "pq_encode",
         "pq_adc_topk", "winnow_fingerprints", "winnow_overlap",
         "graph_components", "ivfpq_topk", "conv_stats",
-        "hashed_features",
+        "hashed_features", "ngram_novelty",
         # round-3 tail the round-3 driver run never reached
         "cooc_pairs", "label_centroids", "rollup", "curation_keep",
         "retention", "lm_surprisal", "bpe_pair_counts", "bpe_merges",
@@ -2335,6 +2338,31 @@ SELECT w.doc_id,
        CAST(coalesce(sum(CASE WHEN bkt = 6 THEN 1 END), 0) AS BIGINT) AS f_6,
        CAST(coalesce(sum(CASE WHEN bkt = 7 THEN 1 END), 0) AS BIGINT) AS f_7
 FROM w LEFT JOIN b ON b.doc_id = w.doc_id
+GROUP BY w.doc_id ORDER BY w.doc_id
+""",
+        # novelty: distinct 3-grams per doc; novel = grams whose
+        # distinct-doc count is exactly 1
+        "ngram_novelty": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(words[i+1 : i+3], ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(range(CAST(greatest(len(words) - 2, 0)
+                                            AS BIGINT))) AS i) t
+), dg AS (
+  SELECT DISTINCT doc_id, gram FROM g
+), cnt AS (
+  SELECT gram, count(*) AS c FROM dg GROUP BY gram
+)
+SELECT w.doc_id,
+       CAST(count(dg.gram) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(CASE WHEN cnt.c = 1 THEN 1 END), 0)
+            AS BIGINT) AS n_novel
+FROM w LEFT JOIN dg ON dg.doc_id = w.doc_id
+     LEFT JOIN cnt ON cnt.gram = dg.gram
 GROUP BY w.doc_id ORDER BY w.doc_id
 """,
         # winnowing (simple rule): per doc, 3-word-gram md5 hashes;

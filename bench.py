@@ -212,7 +212,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("graph_components", d.q_graph_components),
                      ("ivfpq_topk", d.q_ivfpq_topk),
                      ("conv_stats", d.q_conv_stats),
-                     ("hashed_features", d.q_hashed_features)]:
+                     ("hashed_features", d.q_hashed_features),
+                     ("ngram_novelty", d.q_ngram_novelty)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

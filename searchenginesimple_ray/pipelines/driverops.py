@@ -1524,3 +1524,11 @@ def q_hashed_features(sf_dir: str) -> pd.DataFrame:
     pdf = hashed_features(_read_documents(sf_dir), n_buckets=8) \
         .to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_grams, n_novel): per-doc distinct 3-grams and how
+    many appear in NO other document — the originality audit
+    (stages/winnow.ngram_novelty; md5-parity gram identity)."""
+    from ..stages.winnow import ngram_novelty
+    return ngram_novelty(_read_documents(sf_dir), n=3)

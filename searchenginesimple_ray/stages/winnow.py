@@ -181,7 +181,7 @@ def winnow_overlap_pairs(ds: ray.data.Dataset, n: int = 3, w: int = 4,
 
 
 __all__ = ["winnow_fingerprints", "winnow_overlap_pairs",
-           "hashed_features"]
+           "hashed_features", "ngram_novelty"]
 
 
 def hashed_features(ds: ray.data.Dataset, n_buckets: int = 8,
@@ -225,3 +225,82 @@ def hashed_features(ds: ray.data.Dataset, n_buckets: int = 8,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         feats, batch_format="pyarrow", batch_size=batch_size)
+
+
+def ngram_novelty(ds: ray.data.Dataset, n: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  batch_size: int = 4096) -> "pd.DataFrame":
+    """(doc_id, n_grams, n_novel): per-document originality audit —
+    how many of a doc's DISTINCT word ``n``-grams appear in no other
+    document (the inverse view of decontaminate/dup_spans: high
+    novelty = original text, low = boilerplate or near-copy).  Gram
+    identity is the md5 low half (DuckDB parity), so the verdict is
+    oracle-exact without a verify pass.
+
+    Scale shape: pass 1 ships per-doc-distinct 8 B gram-hash rows and
+    counts distinct docs per gram with a native groupby; only grams in
+    >= 2 docs (duplicate-rate-bounded) broadcast back, and pass 2 is a
+    streaming membership probe — the decontaminate semi-join shape
+    with the corpus itself as the benchmark."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .dedup import _sorted_member_mask
+
+    def _doc_grams(batch: pa.Table):
+        texts = batch[text_col].to_pylist()
+        words = [_ASCII_NONWS.findall(t) if t else [] for t in texts]
+        counts = np.fromiter((len(x) for x in words), np.int64,
+                             len(words))
+        n_grams = np.maximum(counts - n + 1, 0)
+        gcache: dict = {}
+        flat = np.empty(int(n_grams.sum()), np.int64)
+        o = 0
+        for wl in words:
+            for i in range(max(len(wl) - n + 1, 0)):
+                g = " ".join(wl[i:i + n])
+                h = gcache.get(g)
+                if h is None:
+                    h = _md5_low64(g)
+                    gcache[g] = h
+                flat[o] = h
+                o += 1
+        rows = np.repeat(np.arange(len(words), dtype=np.int64), n_grams)
+        # per-doc distinct
+        order = np.lexsort((flat, rows))
+        f, r = flat[order], rows[order]
+        first = np.ones(len(f), bool)
+        first[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+        return f[first], r[first], len(words)
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        f, _, _ = _doc_grams(batch)
+        return pa.table({"g": pa.array(f, pa.int64())})
+
+    shared_pdf = ds.select_columns([id_col, text_col]) \
+        .map_batches(pass1, batch_format="pyarrow") \
+        .groupby("g").count() \
+        .map_batches(lambda t: t.filter(
+            pc.greater_equal(t["count()"], 2)).select(["g"]),
+            batch_format="pyarrow").to_pandas()
+    shared = (np.sort(shared_pdf["g"].to_numpy())
+              if "g" in shared_pdf.columns else np.empty(0, np.int64))
+    shared_ref = ray.put(shared)
+
+    def pass2(batch: pa.Table, ref=None) -> pa.Table:
+        sh = ray.get(ref)
+        f, r, n_docs = _doc_grams(batch)
+        tot = np.zeros(n_docs, np.int64)
+        nov = np.zeros(n_docs, np.int64)
+        np.add.at(tot, r, 1)
+        if len(f):
+            novel = ~_sorted_member_mask(sh, f)
+            np.add.at(nov, r[novel], 1)
+        return pa.table({id_col: batch[id_col],
+                         "n_grams": pa.array(tot),
+                         "n_novel": pa.array(nov)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        pass2, fn_kwargs={"ref": shared_ref},
+        batch_format="pyarrow", batch_size=batch_size).to_pandas() \
+        .sort_values(id_col).reset_index(drop=True)

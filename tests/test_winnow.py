@@ -174,3 +174,40 @@ class TestHashedFeatures:
         # row sums = word counts
         sums = got[[f"f_{j}" for j in range(8)]].sum(axis=1)
         assert sums.tolist() == [len(tok.findall(t)) for t in texts]
+
+
+class TestNgramNovelty:
+    def test_brute_and_edges(self, ray_session):
+        from searchenginesimple_ray.stages.winnow import ngram_novelty
+        shared = "alpha beta gamma delta"      # 2 shared 3-grams
+        texts = [shared + " unique1 unique2",  # 2 shared + 3 own grams
+                 shared,                       # both grams shared
+                 "totally different words here now",
+                 "ab",                         # < 3 words: no grams
+                 ""]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts),
+                                               dtype=np.int64),
+                           "text": texts})
+        got = ngram_novelty(ray.data.from_pandas(df).repartition(3))
+        # brute force
+        import re
+        tok = re.compile(r"[^ \t\n\r\f]+")
+        grams = [set(" ".join(tok.findall(t)[i:i+3])
+                     for i in range(max(len(tok.findall(t)) - 2, 0)))
+                 for t in texts]
+        for i in range(len(texts)):
+            others = set().union(*(grams[j] for j in range(len(texts))
+                                   if j != i))
+            assert got.loc[i, "n_grams"] == len(grams[i])
+            assert got.loc[i, "n_novel"] == len(grams[i] - others)
+        assert got.loc[3, "n_grams"] == 0 and got.loc[4, "n_grams"] == 0
+
+    def test_within_doc_repeat_still_novel(self, ray_session):
+        from searchenginesimple_ray.stages.winnow import ngram_novelty
+        rep = "x1 x2 x3 x1 x2 x3"   # gram 'x1 x2 x3' twice in ONE doc
+        df = pd.DataFrame({"doc_id": np.array([0, 1], np.int64),
+                           "text": [rep,
+                                    "other stuff entirely here now ok"]})
+        got = ngram_novelty(ray.data.from_pandas(df))
+        # distinct-doc count is 1 -> every gram of doc 0 is novel
+        assert got.loc[0, "n_novel"] == got.loc[0, "n_grams"]
