@@ -19,6 +19,14 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # cap Dataset execution at 3 of the 4 session CPUs: the
+    # session-scoped t1_engine holds 1 CPU (2 x 0.5 scorer actors) for
+    # the whole run, and an UNCAPPED autoscaling actor pool
+    # (concurrency=(1, 4)) can grab all 3 remaining CPUs and starve
+    # its own upstream read task — a rare but observed full-suite
+    # deadlock.  With the cap, every pipeline's pool + read fits.
+    from ray.data._internal.execution.interfaces import ExecutionResources
+    ctx.execution_options.resource_limits = ExecutionResources(cpu=3)
     yield
     ray.shutdown()
 
