@@ -2305,7 +2305,7 @@ SELECT conv_id,
            AS n_user,
        CAST(count(*) FILTER (WHERE turn_idx % 2 = 1) AS BIGINT)
            AS n_assistant,
-       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars,
        CAST(max(turn_idx) AS BIGINT) AS max_turn_idx
 FROM t GROUP BY conv_id ORDER BY conv_id
 """,

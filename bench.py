@@ -293,7 +293,12 @@ def _scale_child(num_cpus: int, corpus_dir: str,
         # the skew fixture has its own floor)
         mult = float(os.environ.get("RAY_GRAFT_SCALE_CORPUS_MULT", "4"))
         sf_eq = n_turns / 6_000_000   # invert the _bench_corpus sizing
-        out["skew_sec"] = run_skew_build(sf_eq / max(mult, 1e-9))[
+        # 2x the headline skew fixture: at 1 CPU the smaller fixture's
+        # ~25 s build leaves fixed job latency (actor pool spin-up,
+        # snapshot publish) a visible fraction of T(1), which is what
+        # a per-NODE workload on a real cluster never looks like —
+        # same W/N >> F argument as the headline corpus sizing above
+        out["skew_sec"] = run_skew_build(2 * sf_eq / max(mult, 1e-9))[
             "skew_build"]
     ray.shutdown()
     return out
@@ -361,20 +366,30 @@ def scaling_main():
 
     n_lo, n_hi = base_n, 4 * base_n
     raw: dict[int, list[float]] = {n_lo: [], n_hi: []}
-    ops: dict[int, dict] = {}
+    # secondaries (append, skew) get the SAME noise policy as the
+    # headline: every trial, interleaved levels, best-per-level — a
+    # single trial on this bursty-steal VM varies 2x and produced the
+    # r4 0.48-vs-0.69 append spread on back-to-back runs
+    ops: dict[int, dict[str, list]] = {
+        n_lo: {"append_sec": [], "skew_sec": []},
+        n_hi: {"append_sec": [], "skew_sec": []}}
     for trial in range(trials):
         for cpus in (n_lo, n_hi):
-            r = one(cpus, with_ops=(trial == 0))
+            r = one(cpus, with_ops=True)
             raw[cpus].append(r["build_sec"])
-            if trial == 0:
-                ops[cpus] = {"append_sec": r.get("append_sec"),
-                             "skew_sec": r.get("skew_sec")}
+            for key in ("append_sec", "skew_sec"):
+                if r.get(key):
+                    ops[cpus][key].append(r[key])
     best_lo, best_hi = min(raw[n_lo]), min(raw[n_hi])
     tn, t4n = n_turns / best_lo, n_turns / best_hi
     eff = t4n / (4 * tn)
 
+    def _best(cpus: int, key: str) -> float | None:
+        vals = ops[cpus][key]
+        return min(vals) if vals else None
+
     def _eff(key: str) -> float | None:
-        lo, hi = ops[n_lo].get(key), ops[n_hi].get(key)
+        lo, hi = _best(n_lo, key), _best(n_hi, key)
         return round(lo / (4 * hi), 4) if lo and hi else None
 
     print(json.dumps({
@@ -389,11 +404,15 @@ def scaling_main():
         f"build_sec_at_{n_hi}": round(best_hi, 2),
         f"raw_trials_at_{n_lo}": [round(x, 2) for x in raw[n_lo]],
         f"raw_trials_at_{n_hi}": [round(x, 2) for x in raw[n_hi]],
-        f"append_sec_at_{n_lo}": ops[n_lo].get("append_sec"),
-        f"append_sec_at_{n_hi}": ops[n_hi].get("append_sec"),
+        f"append_sec_at_{n_lo}": _best(n_lo, "append_sec"),
+        f"append_sec_at_{n_hi}": _best(n_hi, "append_sec"),
+        f"append_trials_at_{n_lo}": ops[n_lo]["append_sec"],
+        f"append_trials_at_{n_hi}": ops[n_hi]["append_sec"],
         "append_scaling_efficiency": _eff("append_sec"),
-        f"skew_build_sec_at_{n_lo}": ops[n_lo].get("skew_sec"),
-        f"skew_build_sec_at_{n_hi}": ops[n_hi].get("skew_sec"),
+        f"skew_build_sec_at_{n_lo}": _best(n_lo, "skew_sec"),
+        f"skew_build_sec_at_{n_hi}": _best(n_hi, "skew_sec"),
+        f"skew_trials_at_{n_lo}": ops[n_lo]["skew_sec"],
+        f"skew_trials_at_{n_hi}": ops[n_hi]["skew_sec"],
         "skew_scaling_efficiency": _eff("skew_sec"),
         "queries": {f"build@{n_lo}cpus": round(best_lo, 2),
                     f"build@{n_hi}cpus": round(best_hi, 2)},

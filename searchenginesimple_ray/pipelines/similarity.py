@@ -653,6 +653,11 @@ def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
     """
     import pyarrow.compute as pc
 
+    if not len(query_ids):                  # nq == 0: empty report
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "adc_q": pd.Series([], dtype=np.int64)})
     Cq = _fetch_seed_matrix(ds, id_col, vec_col, n_codes,
                             "codewords")
     dim = Cq.shape[1]
@@ -701,6 +706,10 @@ def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
             out_q.append(np.full(kk, qids_w[qi], np.int64))
             out_v.append(ids[o].astype(np.int64))
             out_d.append(adc[o])
+        if not out_q:                    # nq == 0 (empty query_ids)
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "adc_q": pa.array([], pa.int64())})
         return pa.table({
             "query_id": pa.array(np.concatenate(out_q)),
             id_col: pa.array(np.concatenate(out_v)),
@@ -710,6 +719,11 @@ def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
     pdf = ds.select_columns([id_col, vec_col]).map_batches(
         functools.partial(scan, ref=state_ref),
         batch_format="pyarrow").to_pandas()
+    if id_col not in pdf.columns:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "adc_q": pd.Series([], dtype=np.int64)})
     pdf = pdf.sort_values(["query_id", "adc_q", id_col])
     pdf = pdf.groupby("query_id", sort=True).head(k) \
         .reset_index(drop=True)
@@ -756,6 +770,11 @@ def ivfpq_topk(ds: "ray.data.Dataset", query_ids: list[int],
     import pyarrow.compute as pc
 
     need = n_coarse + n_codes
+    if not len(query_ids):                  # nq == 0: empty report
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "adc_q": pd.Series([], dtype=np.int64)})
     Sq = _fetch_seed_matrix(ds, id_col, vec_col, need, "vectors")
     dim = Sq.shape[1]
     if dim % n_sub:

@@ -397,7 +397,10 @@ def stratified_sample(ds: ray.data.Dataset, group_col: str,
     driver bound ``token_budget_sample`` documents) and each
     (group, bucket) cell is one bounded in-task lexsort.  No global
     sort, no per-group materialization.  Keys must be unique and
-    non-negative; a null group is its own stratum (sentinel-mapped)."""
+    non-negative; uniqueness is enforced GLOBALLY (all copies of a
+    key share a hash bucket, so the per-bucket check sees them even
+    across strata); a null group is its own stratum
+    (sentinel-mapped)."""
     if not (0 < num <= den):
         raise ValueError(f"fraction must be in (0, 1]: {num}/{den}")
     import pandas as pd
@@ -443,22 +446,30 @@ def stratified_sample(ds: ray.data.Dataset, group_col: str,
                          "bucket": pa.array(h * n_buckets // _M32,
                                             pa.int64())})
 
-    def rank_cell(g: pd.DataFrame, ref=None) -> pd.DataFrame:
+    def rank_bucket(g: pd.DataFrame, ref=None) -> pd.DataFrame:
         g_index_w, bases_w, k_w = ray.get(ref)
-        k = g[key].to_numpy()
-        if len(np.unique(k)) != len(k):
+        # bucket = f(hash(key)), so EVERY copy of a duplicated key —
+        # same stratum or not — lands in this one task: the uniqueness
+        # precondition is enforced globally, not just per cell
+        k_all = g[key].to_numpy()
+        if len(np.unique(k_all)) != len(k_all):
             raise ValueError(
                 f"stratified_sample requires unique '{key}' values")
-        gi = g_index_w[g["_g"].iloc[0]]
         b = int(g["bucket"].iloc[0])
-        o = np.lexsort((k, hash_u32(k, seed)))
-        rank = bases_w[gi, b] + np.arange(len(k), dtype=np.int64)
-        keep = np.zeros(len(k), np.int64)
-        keep[o] = (rank < k_w[gi]).astype(np.int64)
-        return pd.DataFrame({key: k, group_col: g[group_col].to_numpy(),
-                             "keep": keep})
+        outs = []
+        for gv, sub in g.groupby("_g", sort=False):
+            gi = g_index_w[gv]
+            k = sub[key].to_numpy()
+            o = np.lexsort((k, hash_u32(k, seed)))
+            rank = bases_w[gi, b] + np.arange(len(k), dtype=np.int64)
+            keep = np.zeros(len(k), np.int64)
+            keep[o] = (rank < k_w[gi]).astype(np.int64)
+            outs.append(pd.DataFrame(
+                {key: k, group_col: sub[group_col].to_numpy(),
+                 "keep": keep}))
+        return pd.concat(outs, ignore_index=True)
 
     return slim.map_batches(tag, batch_format="pyarrow") \
-        .groupby(["_g", "bucket"]).map_groups(
-            rank_cell, fn_kwargs={"ref": state_ref},
+        .groupby("bucket").map_groups(
+            rank_bucket, fn_kwargs={"ref": state_ref},
             batch_format="pandas")

@@ -198,3 +198,15 @@ class TestIvfPqTopk:
         t = _emb_table(np.random.default_rng(2), n=10)   # < 16 seeds
         with pytest.raises(ValueError, match="seed vectors"):
             ivfpq_topk(ray.data.from_arrow(t), query_ids=[0])
+
+
+class TestPqAdcEmptyQueries:
+    def test_empty_query_ids_empty_typed_result(self, ray_session):
+        # nq=0 previously crashed in np.concatenate([]); now an empty
+        # frame with the full (query_id, rank, vec_id, adc_q) schema
+        from searchenginesimple_ray.pipelines.similarity import pq_adc_topk
+        t = _emb_table(np.random.default_rng(3), n=20)
+        got = pq_adc_topk(ray.data.from_arrow(t), query_ids=[])
+        assert list(got.columns) == ["query_id", "rank", "vec_id",
+                                     "adc_q"]
+        assert len(got) == 0

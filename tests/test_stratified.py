@@ -104,3 +104,15 @@ class TestStratifiedSample:
             {"doc_id": np.array([1], np.int64), "source": ["a"]}))
         with pytest.raises(ValueError, match="fraction"):
             stratified_sample(ds, "source", num=3, den=2)
+
+
+class TestGlobalUniqueness:
+    def test_cross_group_duplicate_keys_refused(self, ray_session):
+        # a key duplicated across two DIFFERENT strata shares a hash
+        # bucket (bucket = f(key)), so the per-bucket check sees both
+        # copies — global enforcement, not just per (group, bucket)
+        df = pd.DataFrame({"doc_id": np.array([1, 1, 2, 3], np.int64),
+                           "source": ["a", "b", "a", "b"]})
+        ds = ray.data.from_pandas(df)
+        with pytest.raises(Exception, match="unique"):
+            stratified_sample(ds, "source", num=1, den=2).to_pandas()

@@ -211,3 +211,62 @@ class TestNgramNovelty:
         got = ngram_novelty(ray.data.from_pandas(df))
         # distinct-doc count is 1 -> every gram of doc 0 is novel
         assert got.loc[0, "n_novel"] == got.loc[0, "n_grams"]
+
+    def test_partitioned_path_matches_broadcast(self, ray_session):
+        # broadcast_limit=0 forces the gram-hash-partitioned semi-join
+        # (the 100-TB path); both paths are exact so outputs must be
+        # identical, including zero-gram and empty docs
+        from searchenginesimple_ray.stages.winnow import ngram_novelty
+        rng = np.random.default_rng(21)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab,
+                                     size=int(rng.integers(0, 25))))
+                 for _ in range(60)] + ["", "ab"]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts),
+                                               dtype=np.int64),
+                           "text": texts})
+        ds = ray.data.from_pandas(df).repartition(4)
+        bcast = ngram_novelty(ds, n=3)
+        part = ngram_novelty(ds, n=3, broadcast_limit=0,
+                             join_partitions=4)
+        pd.testing.assert_frame_equal(
+            part.reset_index(drop=True), bcast.reset_index(drop=True),
+            check_dtype=False)
+
+    def test_fnv1a64_hash_fn_same_counts(self, ray_session):
+        # production hash swap: novelty verdicts depend only on gram
+        # IDENTITY, so counts match md5 exactly (no collisions at
+        # this size); fingerprint VALUES are allowed to differ
+        from searchenginesimple_ray.stages.winnow import ngram_novelty
+        texts = ["alpha beta gamma delta unique1",
+                 "alpha beta gamma delta",
+                 "totally different words here now"]
+        df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                           "text": texts})
+        ds = ray.data.from_pandas(df)
+        md5 = ngram_novelty(ds)
+        fnv = ngram_novelty(ds, hash_fn="fnv1a64")
+        pd.testing.assert_frame_equal(fnv, md5, check_dtype=False)
+        with pytest.raises(ValueError, match="hash_fn"):
+            ngram_novelty(ds, hash_fn="xxh3")
+
+    def test_fnv1a64_fingerprint_guarantee_holds(self, ray_session):
+        # winnowing SELECTS different positions under a different hash
+        # (the min is hash-value-dependent), but the paper's guarantee
+        # is hash-agnostic: a shared w+n-1-word run still yields an
+        # identical fingerprint, so the overlap pair survives the swap
+        from searchenginesimple_ray.stages.winnow import (
+            winnow_fingerprints, winnow_overlap_pairs)
+        rng = np.random.default_rng(31)
+        shared = " ".join(f"s{i}" for i in range(12))
+        texts = ["head words " + shared + " tail here",
+                 "other head " + shared + " other tail words",
+                 " ".join(f"r{int(x)}" for x in
+                          rng.integers(0, 999, 25))]
+        df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                           "text": texts})
+        ds = ray.data.from_pandas(df)
+        fp = winnow_fingerprints(ds, hash_fn="fnv1a64").to_pandas()
+        assert len(fp) and (fp["pos"] >= 0).all()
+        prs = winnow_overlap_pairs(ds, hash_fn="fnv1a64")
+        assert ((prs["doc_a"] == 0) & (prs["doc_b"] == 1)).any()
