@@ -253,6 +253,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # from the iterative trainer; encode kernel pytest-gated
         # against an independent reference, stages/bpe.bpe_encode)
         "bpe_encode": d.q_bpe_encode,
+        # per-node triangle counts over the similarity graph —
+        # degree-oriented wedge-close (stages/graph.triangle_count)
+        "triangle_count": d.q_triangle_count,
+        # language x source wide count matrix (stages/relops.
+        # pivot_counts)
+        "lang_pivot": d.q_lang_pivot,
+        # exact global rank() without a global sort — value-bucketed
+        # Blelloch selection (stages/relops.global_rank)
+        "event_rank": d.q_event_rank,
+        # exact per-group median without per-group sort/materialize
+        # (stages/relops.group_median)
+        "event_type_median": d.q_event_type_median,
+        # exact anti semi-join through a Bloom prefilter
+        # (stages/relops.bloom_semi_join)
+        "bloom_user_filter": d.q_bloom_user_filter,
     }
     # The grading driver evaluates a prefix of this dict (50 entries in
     # round 3).  Order entries so the ones never yet driver-checked run
@@ -261,7 +276,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round's local tools/check_entry.py run — see STATUS.md) sit at
     # the tail.  Pure reorder: same keys, same callables.
     front = [
-        # new this round (round 4)
+        # new this round (round 5)
+        "triangle_count", "lang_pivot", "event_rank",
+        "event_type_median", "bloom_user_filter",
+        # new in round 4
         "sft_pairs", "conv_assemble", "rolling_window", "tpch_q3",
         "kmeans_assign", "snapshot_diff", "typo_pairs", "collocations",
         "doc_tfidf_topk", "value_histogram", "bigram_surprisal",
@@ -2484,6 +2502,87 @@ WITH RECURSIVE q AS (
 SELECT CAST(v AS BIGINT) AS node_id,
        CAST(min(lbl) AS BIGINT) AS component_id
 FROM cc GROUP BY v ORDER BY v
+""",
+        # per-node triangle counts: same quantized edge CTE as
+        # pagerank/graph_components; canonical src<dst edges make the
+        # 3-way self-join count each triangle exactly once
+        "triangle_count": """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1024 + 0.5)) AS qv
+  FROM embeddings
+), nq AS (
+  SELECT vec_id, qv,
+         CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+                               CAST(qv AS DOUBLE[])) AS BIGINT) AS qn
+  FROM q
+), pr AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                               CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dp,
+         a.qn AS na, b.qn AS nb
+  FROM nq a JOIN nq b ON a.vec_id < b.vec_id
+), e AS (
+  SELECT src, dst FROM pr
+  WHERE na > 0 AND nb > 0 AND dp >= 0
+    AND 25 * dp * dp >= 4 * na * nb
+), tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), corner AS (
+  SELECT a AS node_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT CAST(q.vec_id AS BIGINT) AS node_id,
+       CAST(coalesce(t.n, 0) AS BIGINT) AS n_triangles
+FROM q LEFT JOIN (SELECT node_id, count(*) AS n
+                  FROM corner GROUP BY node_id) t
+  ON t.node_id = q.vec_id
+ORDER BY node_id
+""",
+        # language x source pivot: fixed declared lang columns + other
+        "lang_pivot": """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zh,
+       CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM documents GROUP BY source ORDER BY source
+""",
+        # exact global rank over event values (ties share a rank)
+        "event_rank": """
+SELECT event_id,
+       CAST(rank() OVER (ORDER BY value) AS BIGINT) AS value_rank
+FROM events ORDER BY event_id
+""",
+        # exact per-group discrete median of event values
+        "event_type_median": """
+SELECT event_type AS "group",
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(value, 0.5) AS DOUBLE) AS median
+FROM events GROUP BY event_type ORDER BY "group"
+""",
+        # anti semi-join: events of users never flagged (any purchase
+        # with value > 95 flags the user)
+        "bloom_user_filter": """
+SELECT event_id, user_id FROM events
+WHERE user_id NOT IN (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 95.0)
+ORDER BY event_id
 """,
         # IVFADC: coarse assign (ids<8 centroids), residual codebook =
         # residuals of carriers 8..15, PQ codes over residuals, query

@@ -213,7 +213,12 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("ivfpq_topk", d.q_ivfpq_topk),
                      ("conv_stats", d.q_conv_stats),
                      ("hashed_features", d.q_hashed_features),
-                     ("ngram_novelty", d.q_ngram_novelty)]:
+                     ("ngram_novelty", d.q_ngram_novelty),
+                     ("triangle_count", d.q_triangle_count),
+                     ("lang_pivot", d.q_lang_pivot),
+                     ("event_rank", d.q_event_rank),
+                     ("event_type_median", d.q_event_type_median),
+                     ("bloom_user_filter", d.q_bloom_user_filter)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

@@ -1532,3 +1532,95 @@ def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
     (stages/winnow.ngram_novelty; md5-parity gram identity)."""
     from ..stages.winnow import ngram_novelty
     return ngram_novelty(_read_documents(sf_dir), n=3)
+
+
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """(node_id, n_triangles): per-node triangle membership counts
+    over the undirected cosine>=2/5 embedding-similarity graph (edge
+    rule bit-shared with pagerank/graph_components, so the graph is
+    SQL-identical).  Exposes the degree-oriented wedge-close counter
+    (stages/graph.triangle_count — Suri & Vassilvitskii WWW'11 shape:
+    degree stamps and the wedge-closing probe are hash-partitioned
+    joins, never a node-table broadcast)."""
+    from ..stages.dedup import embedding_pairs_quantized
+    from ..stages.graph import triangle_count
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    all_ids = np.sort(ds.select_columns(["vec_id"]).to_pandas()
+                      ["vec_id"].to_numpy(np.int64))
+    edges = embedding_pairs_quantized(ds, "vec_id", "embedding",
+                                      threshold_num=2, threshold_den=5)
+    if not len(edges):
+        return pd.DataFrame({"node_id": all_ids,
+                             "n_triangles": np.zeros(len(all_ids),
+                                                     np.int64)})
+    eds = ray.data.from_pandas(
+        edges[["src", "dst"]].astype(np.int64)).repartition(4)
+    return triangle_count(eds, all_nodes=all_ids, join_partitions=8)
+
+
+def q_lang_pivot(sf_dir: str) -> pd.DataFrame:
+    """(source, n_de, n_en, n_es, n_fr, n_zh, n_other, n_total):
+    language x source count matrix over documents — the per-source
+    language-mix report every multilingual curation recipe starts
+    from (stages/relops.pivot_counts: per-batch Arrow combiner, one
+    native (row, col) groupby, report-sized driver widening)."""
+    from ..stages.relops import pivot_counts
+    return pivot_counts(
+        _read_documents(sf_dir).select_columns(["source", "lang"]),
+        "source", "lang", ["de", "en", "es", "fr", "zh"])
+
+
+def q_event_rank(sf_dir: str) -> pd.DataFrame:
+    """(event_id, value_rank): exact SQL rank() OVER (ORDER BY value)
+    for every event WITHOUT a global sort — value-range-bucketed
+    Blelloch selection (stages/relops.global_rank: per-bucket counts,
+    O(B) driver prefix, one narrow exchange; ties share a bucket so
+    tie ranks are exact)."""
+    from ..stages.relops import global_rank
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    return global_rank(ev, "event_id", "value").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_type_median(sf_dir: str) -> pd.DataFrame:
+    """(group, n, median): exact per-event-type quantile_disc(0.5)
+    over event values — grouped selection without sorting or
+    materializing any group (stages/relops.group_median: (group,
+    value-bucket) cell counts, driver O(groups x B) target walk,
+    pass-2 touches only target cells)."""
+    from ..stages.relops import group_median
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return group_median(ev, "event_type", "value")
+
+
+def q_bloom_user_filter(sf_dir: str) -> pd.DataFrame:
+    """(event_id, user_id): events whose user is NOT flagged — flagged
+    users are those with any purchase of value > 95.  Exact ANTI
+    semi-join through a Bloom prefilter (stages/relops.
+    bloom_semi_join): the flagged-key Bloom broadcasts at fixed
+    num_bits/8 bytes regardless of key count, bloom-negative rows
+    skip the exchange entirely, and only bloom-positive candidates
+    enter the hash-partitioned verify join — exactness restored by
+    the verify, scan volume bounded by the FP rate."""
+    import pyarrow.compute as pc
+
+    from ..stages.relops import bloom_semi_join
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"])
+
+    def flagged(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["event_type"], "purchase"),
+                    pc.greater(t["value"], 95.0))
+        return pa.table({"user_id": t.filter(m)["user_id"]})
+
+    flagged_keys = ev.map_batches(flagged, batch_format="pyarrow")
+    kept = bloom_semi_join(
+        ev.select_columns(["event_id", "user_id"]), flagged_keys,
+        on="user_id", anti=True, num_bits=1 << 16, join_partitions=8)
+    return kept.to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)

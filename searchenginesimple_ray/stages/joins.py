@@ -75,11 +75,49 @@ def shuffle_join(left: ray.data.Dataset, right: ray.data.Dataset,
         on = (on,)
     if right_on is not None and isinstance(right_on, str):
         right_on = (right_on,)
+    # cap partitions at 2x the cluster CPU count: Ray's hash-join
+    # aggregator pool HANGS when far more aggregators than CPUs are
+    # requested on a small cluster (observed: 32 partitions on a
+    # 4-CPU session never completes; 8 finishes instantly).  On a
+    # real cluster the requested value stands.
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or None
+    except Exception:
+        cpus = None
+    if cpus:
+        num_partitions = max(1, min(num_partitions, 2 * cpus))
     return left.join(right, join_type, num_partitions=num_partitions,
                      on=tuple(on), right_on=right_on)
 
 
-__all__ = ["broadcast_join", "shuffle_join", "BROADCAST_MAX_ROWS"]
+def drop_empty_blocks(ds: ray.data.Dataset):
+    """Scrub SCHEMA-LESS empty blocks from a dataset.
+
+    Ray 2.49's hash ``Dataset.join`` emits one block per hash
+    partition, and an EMPTY partition's block has no schema at all.
+    Map stages skip empty blocks (the UDF never sees them), so these
+    blocks survive any number of ``map_batches`` and then crash the
+    NEXT join or acero consumer with ``No match or multiple matches
+    for key field reference`` — the key column genuinely isn't there.
+    Observed whenever a join's key space doesn't cover every hash
+    partition (skewed or small inputs).
+
+    Rebuilds the (materialized) dataset from its non-empty block refs
+    — zero-copy, no exchange.  Returns ``None`` when every block is
+    empty (caller supplies its own typed empty result)."""
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
+__all__ = ["broadcast_join", "shuffle_join", "drop_empty_blocks",
+           "BROADCAST_MAX_ROWS"]
 
 
 def pricing_summary(lineitem: ray.data.Dataset,

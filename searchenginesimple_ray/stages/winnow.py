@@ -385,6 +385,10 @@ def ngram_novelty(ds: ray.data.Dataset, n: int = 3,
                              np.zeros(n_docs, np.int64))})
 
     def match_partial(batch: pa.Table) -> pa.Table:
+        if id_col not in batch.column_names:   # schema-less empty
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_matched": pa.array([], pa.int64())})
         ids, cnt = np.unique(
             batch[id_col].to_numpy(zero_copy_only=False),
             return_counts=True)

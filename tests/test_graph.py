@@ -167,3 +167,88 @@ class TestGraphComponents:
         # component minima are members of their own component
         mins = set(got["component_id"])
         assert mins <= set(got["node_id"])
+
+
+class TestTriangleCount:
+    def _random_edges(self, seed, n=40, m=160):
+        rng = np.random.default_rng(seed)
+        es = set()
+        for _ in range(m):
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                es.add((min(int(a), int(b)), max(int(a), int(b))))
+        return sorted(es), n
+
+    def _brute(self, edges, n):
+        import itertools
+        es = set(edges)
+        cnt = np.zeros(n, np.int64)
+        for a, b, c in itertools.combinations(range(n), 3):
+            if (a, b) in es and (b, c) in es and (a, c) in es:
+                cnt[a] += 1; cnt[b] += 1; cnt[c] += 1
+        return cnt
+
+    def test_matches_bruteforce(self, ray_session):
+        from searchenginesimple_ray.stages.graph import triangle_count
+        edges, n = self._random_edges(7)
+        df = pd.DataFrame(
+            {"src": np.array([e[0] for e in edges], np.int64),
+             "dst": np.array([e[1] for e in edges], np.int64)})
+        got = triangle_count(ray.data.from_pandas(df).repartition(4),
+                             all_nodes=np.arange(n),
+                             join_partitions=4)
+        exp = pd.DataFrame({"node_id": np.arange(n, dtype=np.int64),
+                            "n_triangles": self._brute(edges, n)})
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_partitioning_invariant(self, ray_session):
+        # same counts under different repartitioning / bucket counts
+        from searchenginesimple_ray.stages.graph import triangle_count
+        edges, n = self._random_edges(19, n=30, m=120)
+        df = pd.DataFrame(
+            {"src": np.array([e[0] for e in edges], np.int64),
+             "dst": np.array([e[1] for e in edges], np.int64)})
+        a = triangle_count(ray.data.from_pandas(df).repartition(1),
+                           all_nodes=np.arange(n), join_partitions=2,
+                           wedge_buckets=4)
+        b = triangle_count(ray.data.from_pandas(df).repartition(6),
+                           all_nodes=np.arange(n), join_partitions=8,
+                           wedge_buckets=64)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_hub_and_empty(self, ray_session):
+        from searchenginesimple_ray.stages.graph import triangle_count
+        # star graph: hub 0 with leaves — no triangles at all
+        n = 12
+        df = pd.DataFrame(
+            {"src": np.zeros(n - 1, np.int64),
+             "dst": np.arange(1, n, dtype=np.int64)})
+        got = triangle_count(ray.data.from_pandas(df),
+                             all_nodes=np.arange(n))
+        assert got["n_triangles"].sum() == 0 and len(got) == n
+        # closing one leaf pair creates exactly one triangle
+        df2 = pd.concat([df, pd.DataFrame({"src": [1], "dst": [2]})],
+                        ignore_index=True)
+        got2 = triangle_count(ray.data.from_pandas(df2),
+                              all_nodes=np.arange(n))
+        assert got2["n_triangles"].tolist() == [1, 1, 1] + [0] * (n - 3)
+        # empty edge set
+        e0 = triangle_count(ray.data.from_pandas(pd.DataFrame(
+            {"src": pd.Series([], dtype=np.int64),
+             "dst": pd.Series([], dtype=np.int64)})),
+            all_nodes=np.arange(3))
+        assert e0["n_triangles"].tolist() == [0, 0, 0]
+
+    def test_matches_oracle_sql(self, ray_session):
+        # full entry path vs the registered DuckDB oracle at tiny sf
+        import duckdb
+        import __ray_entry__ as e
+        sf = "/root/testdata/sf0.001"
+        got = e.queries()["triangle_count"](sf)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+        exp = con.execute(e.oracle_sql()["triangle_count"]).df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True),
+                                      check_dtype=False)

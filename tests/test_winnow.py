@@ -270,3 +270,17 @@ class TestNgramNovelty:
         assert len(fp) and (fp["pos"] >= 0).all()
         prs = winnow_overlap_pairs(ds, hash_fn="fnv1a64")
         assert ((prs["doc_a"] == 0) & (prs["doc_b"] == 1)).any()
+
+    def test_partitioned_tiny_skewed_input(self, ray_session):
+        # tiny corpus + many join partitions: exercises the two Ray
+        # join quirks (schema-less empty partition blocks; aggregator
+        # pool hang when partitions >> CPUs — capped in shuffle_join)
+        from searchenginesimple_ray.stages.winnow import ngram_novelty
+        df = pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["alpha beta gamma delta",
+                     "alpha beta gamma delta", "x y z"]})
+        got = ngram_novelty(ray.data.from_pandas(df),
+                            broadcast_limit=0, join_partitions=32)
+        assert got["n_novel"].tolist() == [0, 0, 1]
+        assert got["n_grams"].tolist() == [2, 2, 1]
