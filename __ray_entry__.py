@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact anti semi-join through a Bloom prefilter
         # (stages/relops.bloom_semi_join)
         "bloom_user_filter": d.q_bloom_user_filter,
+        # per-group rank() without per-group sort (stages/relops.
+        # group_rank)
+        "event_type_rank": d.q_event_type_rank,
     }
     # The grading driver evaluates a prefix of this dict (50 entries in
     # round 3).  Order entries so the ones never yet driver-checked run
@@ -278,7 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new this round (round 5)
         "triangle_count", "lang_pivot", "event_rank",
-        "event_type_median", "bloom_user_filter",
+        "event_type_median", "bloom_user_filter", "event_type_rank",
         # new in round 4
         "sft_pairs", "conv_assemble", "rolling_window", "tpch_q3",
         "kmeans_assign", "snapshot_diff", "typo_pairs", "collocations",
@@ -2561,6 +2564,13 @@ SELECT source,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
        CAST(count(*) AS BIGINT) AS n_total
 FROM documents GROUP BY source ORDER BY source
+""",
+        # per-group exact rank over event values
+        "event_type_rank": """
+SELECT event_id, event_type,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY value)
+            AS BIGINT) AS value_rank
+FROM events ORDER BY event_id
 """,
         # exact global rank over event values (ties share a rank)
         "event_rank": """

@@ -218,7 +218,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("lang_pivot", d.q_lang_pivot),
                      ("event_rank", d.q_event_rank),
                      ("event_type_median", d.q_event_type_median),
-                     ("bloom_user_filter", d.q_bloom_user_filter)]:
+                     ("bloom_user_filter", d.q_bloom_user_filter),
+                     ("event_type_rank", d.q_event_type_rank)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

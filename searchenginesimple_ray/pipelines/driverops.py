@@ -1624,3 +1624,16 @@ def q_bloom_user_filter(sf_dir: str) -> pd.DataFrame:
         on="user_id", anti=True, num_bits=1 << 16, join_partitions=8)
     return kept.to_pandas().sort_values("event_id") \
         .reset_index(drop=True)
+
+
+def q_event_type_rank(sf_dir: str) -> pd.DataFrame:
+    """(event_id, event_type, value_rank): exact SQL rank() OVER
+    (PARTITION BY event_type ORDER BY value) — the windowed sibling
+    of event_rank (stages/relops.group_rank: (group, value-bucket)
+    cell counts, per-group driver prefixes, one narrow exchange)."""
+    from ..stages.relops import group_rank
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"])
+    return group_rank(ev, "event_id", "event_type", "value") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)

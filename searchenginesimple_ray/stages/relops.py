@@ -329,4 +329,72 @@ def group_median(ds: ray.data.Dataset, group_col: str, value_col: str,
 
 
 __all__ = ["pivot_counts", "global_rank", "bloom_semi_join",
-           "group_median"]
+           "group_median", "group_rank"]
+
+
+def group_rank(ds: ray.data.Dataset, id_col: str, group_col: str,
+               value_col: str, n_buckets: int = 256) -> ray.data.Dataset:
+    """(id, group, value_rank): SQL ``rank() OVER (PARTITION BY group
+    ORDER BY value)`` — within each group, 1 + the number of group
+    rows with a strictly smaller value — without sorting or
+    materializing any group (the windowed sibling of ``global_rank``,
+    sharing ``group_median``'s (group, value-bucket) cell machinery).
+
+    Pass 1 reduces to per-cell counts (groups x B ints on the driver,
+    turned into per-group exclusive prefixes); pass 2 shuffles the
+    narrow rows once by (group, bucket) and ranks each cell with one
+    vectorized searchsorted seeded by its group-prefix.  Equal values
+    share a bucket, so tie ranks are exact across the whole group.
+    NULL groups rank together under the empty-string sentinel; NULL
+    values are refused."""
+    narrow = ds.select_columns([id_col, group_col, value_col])
+    bounds = narrow.aggregate(
+        ray.data.aggregate.Min(value_col),
+        ray.data.aggregate.Max(value_col))
+    lo, hi = bounds[f"min({value_col})"], bounds[f"max({value_col})"]
+    if lo is None:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            "value_rank": pa.array([], pa.int64())}))
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / n_buckets or 1.0
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if np.isnan(v).any():
+            raise ValueError("group_rank: NULL/NaN values")
+        b = np.clip(((v - lo) / width).astype(np.int64), 0,
+                    n_buckets - 1)
+        g = t[group_col].to_pandas().fillna("").to_numpy(object)
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         "g": pa.array(g, pa.string()),
+                         "v": pa.array(v), "bucket": pa.array(b)})
+
+    keyed = narrow.map_batches(with_bucket,
+                               batch_format="pyarrow").materialize()
+    cells = keyed.groupby(["g", "bucket"]).count().to_pandas()
+    groups = np.sort(cells["g"].unique())
+    gi = {g: i for i, g in enumerate(groups)}
+    mat = np.zeros((len(groups), n_buckets), np.int64)
+    mat[cells["g"].map(gi).to_numpy(np.int64),
+        cells["bucket"].to_numpy(np.int64)] = \
+        cells["count()"].to_numpy(np.int64)
+    base = np.cumsum(mat, axis=1) - mat       # exclusive prefix
+    state_ref = ray.put((gi, base))
+
+    def kernel(g: pd.DataFrame, ref=None) -> pa.Table:
+        gi_w, base_w = ray.get(ref)
+        row = gi_w[g["g"].iloc[0]]
+        b = int(g["bucket"].iloc[0])
+        v = g["v"].to_numpy(np.float64)
+        sv = np.sort(v)
+        rank = base_w[row, b] + np.searchsorted(sv, v, side="left") + 1
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(np.int64)),
+            group_col: pa.array(g["g"].to_numpy(object), pa.string()),
+            "value_rank": pa.array(rank.astype(np.int64))})
+
+    return keyed.groupby(["g", "bucket"]).map_groups(
+        kernel, fn_kwargs={"ref": state_ref}, batch_format="pandas")

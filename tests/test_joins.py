@@ -80,3 +80,45 @@ class TestNationRevenue:
         want = want[cols].sort_values(cols).reset_index(drop=True)
         assert len(want) > 0
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestJoinRobustness:
+    def test_drop_empty_blocks_scrubs_join_empties(self, ray_session):
+        # a join's empty hash partitions emit SCHEMA-LESS blocks;
+        # chaining a second join over them crashes acero — scrubbed
+        # output must chain cleanly and lose no rows
+        import numpy as np
+        import pyarrow as pa
+
+        import ray
+        from searchenginesimple_ray.stages.joins import (
+            drop_empty_blocks, shuffle_join)
+        from ray.data.block import BlockAccessor
+        left = ray.data.from_arrow(pa.table(
+            {"k": pa.array([0] * 5, pa.int64()),
+             "x": pa.array(np.arange(5), pa.int64())}))
+        right = ray.data.from_arrow(pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "y": pa.array([7], pa.int64())}))
+        j1 = shuffle_join(left, right, on="k",
+                          num_partitions=8).materialize()
+        clean = drop_empty_blocks(j1)
+        assert clean is not None and clean.count() == 5
+        for bundle in clean.iter_internal_ref_bundles():
+            for ref, _meta in bundle.blocks:
+                acc = BlockAccessor.for_block(ray.get(ref))
+                assert list(acc.schema().names) == ["k", "x", "y"]
+        # second join over the scrubbed output works
+        r2 = ray.data.from_arrow(pa.table(
+            {"y": pa.array([7], pa.int64()),
+             "z": pa.array([1], pa.int64())}))
+        out = shuffle_join(clean, r2, on="y",
+                           num_partitions=8).materialize()
+        assert out.count() == 5
+        # all-empty dataset -> None
+        none_ds = drop_empty_blocks(
+            shuffle_join(left, ray.data.from_arrow(pa.table(
+                {"k": pa.array([99], pa.int64()),
+                 "y": pa.array([1], pa.int64())})), on="k",
+                num_partitions=4))
+        assert none_ds is None

@@ -215,3 +215,32 @@ class TestBloomSemiJoin:
                                       exp.reset_index(drop=True),
                                       check_dtype=False)
 
+
+
+class TestGroupRank:
+    def test_matches_windowed_rank_oracle(self, ray_session):
+        from searchenginesimple_ray.stages.relops import group_rank
+        df = _events(seed=29)
+        got = group_rank(ray.data.from_pandas(df).repartition(5),
+                         "event_id", "event_type", "value") \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.sql(
+            "SELECT event_id, event_type, CAST(rank() OVER "
+            "(PARTITION BY event_type ORDER BY value) AS BIGINT) "
+            "value_rank FROM events ORDER BY event_id").df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_ties_and_null_group(self, ray_session):
+        from searchenginesimple_ray.stages.relops import group_rank
+        df = pd.DataFrame({
+            "event_id": np.arange(6, dtype=np.int64),
+            "g": pd.array(["a", "a", "a", None, None, "a"],
+                          dtype="string"),
+            "v": [5.0, 5.0, 1.0, 2.0, 2.0, 9.0]})
+        got = group_rank(ray.data.from_pandas(df), "event_id", "g",
+                         "v", n_buckets=4).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert got["value_rank"].tolist() == [2, 2, 1, 1, 1, 4]
+        assert got.loc[3, "g"] == ""       # NULL group sentinel
