@@ -2547,9 +2547,11 @@ FROM q LEFT JOIN (SELECT node_id, count(*) AS n
   ON t.node_id = q.vec_id
 ORDER BY node_id
 """,
-        # language x source pivot: fixed declared lang columns + other
+        # language x source pivot: fixed declared lang columns + other.
+        # NULL semantics pinned to the op's: NULL source groups under
+        # '', NULL lang counts as other
         "lang_pivot": """
-SELECT source,
+SELECT coalesce(source, '') AS source,
        CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
            AS n_de,
        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
@@ -2560,15 +2562,19 @@ SELECT source,
            AS n_fr,
        CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
            AS n_zh,
-       CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+       CAST(sum(CASE WHEN lang IS NULL
+                     OR lang NOT IN ('de','en','es','fr','zh')
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
        CAST(count(*) AS BIGINT) AS n_total
-FROM documents GROUP BY source ORDER BY source
+FROM documents GROUP BY coalesce(source, '')
+ORDER BY coalesce(source, '')
 """,
-        # per-group exact rank over event values
+        # per-group exact rank over event values (NULL group pinned to
+        # the op's '' sentinel)
         "event_type_rank": """
-SELECT event_id, event_type,
-       CAST(rank() OVER (PARTITION BY event_type ORDER BY value)
+SELECT event_id, coalesce(event_type, '') AS event_type,
+       CAST(rank() OVER (PARTITION BY coalesce(event_type, '')
+                         ORDER BY value)
             AS BIGINT) AS value_rank
 FROM events ORDER BY event_id
 """,
@@ -2578,12 +2584,13 @@ SELECT event_id,
        CAST(rank() OVER (ORDER BY value) AS BIGINT) AS value_rank
 FROM events ORDER BY event_id
 """,
-        # exact per-group discrete median of event values
+        # exact per-group discrete median of event values (NULL group
+        # pinned to the op's '' sentinel)
         "event_type_median": """
-SELECT event_type AS "group",
+SELECT coalesce(event_type, '') AS "group",
        CAST(count(*) AS BIGINT) AS n,
        CAST(quantile_disc(value, 0.5) AS DOUBLE) AS median
-FROM events GROUP BY event_type ORDER BY "group"
+FROM events GROUP BY coalesce(event_type, '') ORDER BY "group"
 """,
         # anti semi-join: events of users never flagged (any purchase
         # with value > 95 flags the user)

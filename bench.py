@@ -351,8 +351,8 @@ def scaling_main():
     scale_mult = float(os.environ.get("RAY_GRAFT_SCALE_CORPUS_MULT", "4"))
     corpus_dir, n_turns = _bench_corpus(sf * scale_mult)
 
-    # the append/skew secondary rows run once per level (first trial):
-    # same 10%-delta corpus at both levels
+    # the append/skew secondary rows run on EVERY trial at both
+    # levels (best-of-N below): same 10%-delta corpus throughout
     n_extra = max(20, int(600_000 * sf * scale_mult) // 10)
     from searchenginesimple_ray.sources.transcripts import \
         generate_transcripts

@@ -631,6 +631,14 @@ def _pq_codes(Vq: np.ndarray, Cq: np.ndarray, n_sub: int):
     return codes, dists
 
 
+def _empty_topk_frame(id_col: str) -> pd.DataFrame:
+    """Typed empty (query_id, rank, id_col, adc_q) report — shared by
+    every empty-query / empty-scan path of the PQ top-k ops."""
+    return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                         "rank": pd.Series([], dtype=np.int64),
+                         id_col: pd.Series([], dtype=np.int64),
+                         "adc_q": pd.Series([], dtype=np.int64)})
+
 def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
                 k: int = 10, n_sub: int = 4, n_codes: int = 8,
                 id_col: str = "vec_id", vec_col: str = "embedding"
@@ -654,10 +662,7 @@ def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
     import pyarrow.compute as pc
 
     if not len(query_ids):                  # nq == 0: empty report
-        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                             "rank": pd.Series([], dtype=np.int64),
-                             id_col: pd.Series([], dtype=np.int64),
-                             "adc_q": pd.Series([], dtype=np.int64)})
+        return _empty_topk_frame(id_col)
     Cq = _fetch_seed_matrix(ds, id_col, vec_col, n_codes,
                             "codewords")
     dim = Cq.shape[1]
@@ -720,10 +725,7 @@ def pq_adc_topk(ds: "ray.data.Dataset", query_ids: list[int],
         functools.partial(scan, ref=state_ref),
         batch_format="pyarrow").to_pandas()
     if id_col not in pdf.columns:
-        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                             "rank": pd.Series([], dtype=np.int64),
-                             id_col: pd.Series([], dtype=np.int64),
-                             "adc_q": pd.Series([], dtype=np.int64)})
+        return _empty_topk_frame(id_col)
     pdf = pdf.sort_values(["query_id", "adc_q", id_col])
     pdf = pdf.groupby("query_id", sort=True).head(k) \
         .reset_index(drop=True)
@@ -771,10 +773,7 @@ def ivfpq_topk(ds: "ray.data.Dataset", query_ids: list[int],
 
     need = n_coarse + n_codes
     if not len(query_ids):                  # nq == 0: empty report
-        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                             "rank": pd.Series([], dtype=np.int64),
-                             id_col: pd.Series([], dtype=np.int64),
-                             "adc_q": pd.Series([], dtype=np.int64)})
+        return _empty_topk_frame(id_col)
     Sq = _fetch_seed_matrix(ds, id_col, vec_col, need, "vectors")
     dim = Sq.shape[1]
     if dim % n_sub:
@@ -854,10 +853,7 @@ def ivfpq_topk(ds: "ray.data.Dataset", query_ids: list[int],
         functools.partial(scan, ref=state_ref),
         batch_format="pyarrow").to_pandas()
     if id_col not in pdf.columns:
-        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                             "rank": pd.Series([], dtype=np.int64),
-                             id_col: pd.Series([], dtype=np.int64),
-                             "adc_q": pd.Series([], dtype=np.int64)})
+        return _empty_topk_frame(id_col)
     pdf = pdf.sort_values(["query_id", "adc_q", id_col])
     pdf = pdf.groupby("query_id", sort=True).head(k) \
         .reset_index(drop=True)

@@ -405,8 +405,18 @@ def triangle_count(edges: ray.data.Dataset,
          "n_triangles": np.int64(0)})
     if len(cpdf) and "node" in cpdf.columns:
         scol = [c for c in cpdf.columns if c != "node"][0]
-        pos = np.searchsorted(out["node_id"].to_numpy(),
-                              cpdf["node"].to_numpy(np.int64))
+        idx = out["node_id"].to_numpy()
+        nodes = cpdf["node"].to_numpy(np.int64)
+        pos = np.searchsorted(idx, nodes)
+        if (pos >= len(idx)).any() or (idx[np.minimum(
+                pos, len(idx) - 1)] != nodes).any():
+            missing = nodes[(pos >= len(idx))
+                            | (idx[np.minimum(pos, len(idx) - 1)]
+                               != nodes)]
+            raise ValueError(
+                "triangle_count: corner nodes missing from all_nodes "
+                f"(e.g. {missing[:3].tolist()}) — a blind scatter "
+                "would credit the wrong node")
         vals = out["n_triangles"].to_numpy(np.int64).copy()
         vals[pos] = cpdf[scol].to_numpy(np.int64)
         out["n_triangles"] = vals

@@ -68,6 +68,33 @@ def pivot_counts(ds: ray.data.Dataset, row_col: str, col_col: str,
     return out.reset_index(drop=True)
 
 
+
+def _value_bounds(narrow: ray.data.Dataset, value_col: str,
+                  n_buckets: int):
+    """Global (lo, bucket_width) of a value column, or None when the
+    dataset is empty — the shared pass-0 of every bucket-cell op."""
+    bounds = narrow.aggregate(
+        ray.data.aggregate.Min(value_col),
+        ray.data.aggregate.Max(value_col))
+    lo, hi = bounds[f"min({value_col})"], bounds[f"max({value_col})"]
+    if lo is None:
+        return None
+    lo, hi = float(lo), float(hi)
+    return lo, (hi - lo) / n_buckets or 1.0
+
+
+def _bucket_arr(v: np.ndarray, lo: float, width: float,
+                n_buckets: int, opname: str) -> np.ndarray:
+    """Fixed-width value-range bucket ids; equal values always share a
+    bucket (pure function of the value), which is what makes tie
+    ranks / quantile cells exact.  NaN refused — SQL NULL ordering is
+    dialect-dependent."""
+    if np.isnan(v).any():
+        raise ValueError(f"{opname}: NULL/NaN values")
+    return np.clip(((v - lo) / width).astype(np.int64), 0,
+                   n_buckets - 1)
+
+
 def global_rank(ds: ray.data.Dataset, id_col: str, value_col: str,
                 n_buckets: int = 256) -> ray.data.Dataset:
     """(id, value_rank): SQL ``rank() OVER (ORDER BY value)`` — for
@@ -88,26 +115,19 @@ def global_rank(ds: ray.data.Dataset, id_col: str, value_col: str,
     sampled (KLL) boundaries — same two passes.  NULL values are
     refused (SQL rank order with NULLs is dialect-dependent)."""
     narrow = ds.select_columns([id_col, value_col])
-    bounds = narrow.aggregate(
-        ray.data.aggregate.Min(value_col),
-        ray.data.aggregate.Max(value_col),
-        ray.data.aggregate.Count())
-    lo, hi = bounds[f"min({value_col})"], bounds[f"max({value_col})"]
-    if lo is None:
+    bw = _value_bounds(narrow, value_col, n_buckets)
+    if bw is None:
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),
             "value_rank": pa.array([], pa.int64())}))
-    lo, hi = float(lo), float(hi)
-    width = (hi - lo) / n_buckets or 1.0
+    lo, width = bw
 
     def with_bucket(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False)
-        if np.isnan(v).any():
-            raise ValueError("global_rank: NULL/NaN values")
-        b = np.clip(((v - lo) / width).astype(np.int64), 0,
-                    n_buckets - 1)
+        v = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = _bucket_arr(v, lo, width, n_buckets, "global_rank")
         return pa.table({id_col: t[id_col].cast(pa.int64()),
-                         "v": pa.array(v.astype(np.float64)),
+                         "v": pa.array(v),
                          "bucket": pa.array(b)})
 
     keyed = narrow.map_batches(with_bucket,
@@ -262,25 +282,20 @@ def group_median(ds: ray.data.Dataset, group_col: str, value_col: str,
     the cell's sorted values.  Groups may be arbitrarily LARGE (a
     group never materializes in one task — only one value-range cell
     of it does); NULL groups rank under the empty string."""
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"quantile must be in (0, 1]: {q_num}/{q_den}")
     narrow = ds.select_columns([group_col, value_col])
-    bounds = narrow.aggregate(
-        ray.data.aggregate.Min(value_col),
-        ray.data.aggregate.Max(value_col))
-    lo, hi = bounds[f"min({value_col})"], bounds[f"max({value_col})"]
-    if lo is None:
+    bw = _value_bounds(narrow, value_col, n_buckets)
+    if bw is None:
         return pd.DataFrame({"group": pd.Series([], dtype=object),
                              "n": pd.Series([], dtype=np.int64),
                              "median": pd.Series([], dtype=np.float64)})
-    lo, hi = float(lo), float(hi)
-    width = (hi - lo) / n_buckets or 1.0
+    lo, width = bw
 
     def with_bucket(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        if np.isnan(v).any():
-            raise ValueError("group_median: NULL/NaN values")
-        b = np.clip(((v - lo) / width).astype(np.int64), 0,
-                    n_buckets - 1)
+        b = _bucket_arr(v, lo, width, n_buckets, "group_median")
         g = t[group_col].to_pandas().fillna("").to_numpy(object)
         return pa.table({"g": pa.array(g, pa.string()),
                          "v": pa.array(v), "bucket": pa.array(b)})
@@ -294,8 +309,6 @@ def group_median(ds: ray.data.Dataset, group_col: str, value_col: str,
     mat[cells["g"].map(gi).to_numpy(np.int64),
         cells["bucket"].to_numpy(np.int64)] = \
         cells["count()"].to_numpy(np.int64)
-    if not (0 < q_num <= q_den):
-        raise ValueError(f"quantile must be in (0, 1]: {q_num}/{q_den}")
     n_g = mat.sum(axis=1)
     target = -(-(q_num * n_g) // q_den) - 1   # ceil(q*n) - 1, 0-based
     csum = np.cumsum(mat, axis=1)
@@ -348,25 +361,18 @@ def group_rank(ds: ray.data.Dataset, id_col: str, group_col: str,
     NULL groups rank together under the empty-string sentinel; NULL
     values are refused."""
     narrow = ds.select_columns([id_col, group_col, value_col])
-    bounds = narrow.aggregate(
-        ray.data.aggregate.Min(value_col),
-        ray.data.aggregate.Max(value_col))
-    lo, hi = bounds[f"min({value_col})"], bounds[f"max({value_col})"]
-    if lo is None:
+    bw = _value_bounds(narrow, value_col, n_buckets)
+    if bw is None:
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),
             group_col: pa.array([], pa.string()),
             "value_rank": pa.array([], pa.int64())}))
-    lo, hi = float(lo), float(hi)
-    width = (hi - lo) / n_buckets or 1.0
+    lo, width = bw
 
     def with_bucket(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        if np.isnan(v).any():
-            raise ValueError("group_rank: NULL/NaN values")
-        b = np.clip(((v - lo) / width).astype(np.int64), 0,
-                    n_buckets - 1)
+        b = _bucket_arr(v, lo, width, n_buckets, "group_rank")
         g = t[group_col].to_pandas().fillna("").to_numpy(object)
         return pa.table({id_col: t[id_col].cast(pa.int64()),
                          "g": pa.array(g, pa.string()),

@@ -389,6 +389,10 @@ def ngram_novelty(ds: ray.data.Dataset, n: int = 3,
     # n_novel = n_grams - |doc's grams ∩ shared|; the intersection is
     # an inner join on g (both sides exchange bucketed on hash(g)),
     # reduced to per-doc counts before anything leaves the tasks.
+    # Per-doc totals derive from the SAME materialized (doc, g) rows
+    # (one groupby-count of 16 B rows) plus an ids-only projection for
+    # zero-gram docs — the text is tokenized and md5'd exactly ONCE on
+    # this path (the md5 loop dominates, not the narrow exchanges).
     from .joins import shuffle_join
 
     def dg_rows(batch: pa.Table) -> pa.Table:
@@ -396,15 +400,6 @@ def ngram_novelty(ds: ray.data.Dataset, n: int = 3,
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table({id_col: pa.array(ids[r], pa.int64()),
                          "g": pa.array(f, pa.int64())})
-
-    def tot_rows(batch: pa.Table) -> pa.Table:
-        _, r, n_docs = _doc_grams(batch)
-        tot = np.zeros(n_docs, np.int64)
-        np.add.at(tot, r, 1)
-        return pa.table({id_col: batch[id_col],
-                         "n_grams": pa.array(tot),
-                         "n_matched": pa.array(
-                             np.zeros(n_docs, np.int64))})
 
     def match_partial(batch: pa.Table) -> pa.Table:
         if id_col not in batch.column_names:   # schema-less empty
@@ -419,15 +414,29 @@ def ngram_novelty(ds: ray.data.Dataset, n: int = 3,
                              np.zeros(len(ids), np.int64)),
                          "n_matched": pa.array(cnt.astype(np.int64))})
 
+    def tot_from_counts(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col],
+                         "n_grams": pc.cast(t["count()"], pa.int64()),
+                         "n_matched": pa.array(
+                             np.zeros(len(t), np.int64))})
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(len(t), np.int64)
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         "n_grams": pa.array(z),
+                         "n_matched": pa.array(z)})
+
     slim = ds.select_columns([id_col, text_col])
     dg = slim.map_batches(dg_rows, batch_format="pyarrow",
-                          batch_size=batch_size)
-    totals = slim.map_batches(tot_rows, batch_format="pyarrow",
-                              batch_size=batch_size)
+                          batch_size=batch_size).materialize()
+    totals = dg.groupby(id_col).count() \
+        .map_batches(tot_from_counts, batch_format="pyarrow")
+    zeros_ds = slim.select_columns([id_col]) \
+        .map_batches(zero_rows, batch_format="pyarrow")
     matched = shuffle_join(dg, shared_ds, on="g",
                            num_partitions=join_partitions) \
         .map_batches(match_partial, batch_format="pyarrow")
-    comb = totals.union(matched).groupby(id_col) \
+    comb = totals.union(zeros_ds, matched).groupby(id_col) \
         .sum(["n_grams", "n_matched"])
 
     def final(t: pa.Table) -> pa.Table:

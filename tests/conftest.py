@@ -29,8 +29,8 @@ def ray_session():
         from ray.data._internal.execution.interfaces import (
             ExecutionResources)
         ctx.execution_options.resource_limits = ExecutionResources(cpu=3)
-    except (ImportError, TypeError):      # degrade to uncapped execution
-        pass
+    except (ImportError, TypeError, AttributeError):
+        pass                              # degrade to uncapped execution
     yield
     ray.shutdown()
 

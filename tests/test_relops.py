@@ -244,3 +244,42 @@ class TestGroupRank:
             .sort_values("event_id").reset_index(drop=True)
         assert got["value_rank"].tolist() == [2, 2, 1, 1, 1, 4]
         assert got.loc[3, "g"] == ""       # NULL group sentinel
+
+
+class TestNullOracleAlignment:
+    """The ops' NULL conventions (NULL group -> '' sentinel, NULL
+    pivot value -> other) are pinned INTO the registered oracle SQL;
+    fixtures here contain actual NULLs so a drift fails loudly."""
+
+    def test_lang_pivot_nulls(self, ray_session):
+        import __ray_entry__ as e
+        docs = pd.DataFrame({
+            "source": pd.array(["a", None, "a", "b"], dtype="string"),
+            "lang": pd.array(["en", "en", None, "xx"], dtype="string")})
+        got = pivot_counts(ray.data.from_pandas(docs), "source",
+                           "lang", ["de", "en", "es", "fr", "zh"])
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(e.oracle_sql()["lang_pivot"]).df()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_group_ops_null_group(self, ray_session):
+        import __ray_entry__ as e
+        from searchenginesimple_ray.stages.relops import group_rank
+        ev = pd.DataFrame({
+            "event_id": np.arange(6, dtype=np.int64),
+            "event_type": pd.array(["a", "a", None, None, "b", "a"],
+                                   dtype="string"),
+            "value": [3.0, 1.0, 5.0, 2.0, 4.0, 1.0]})
+        con = duckdb.connect()
+        con.register("events", ev)
+        gm = group_median(ray.data.from_pandas(ev), "event_type",
+                          "value")
+        em = con.execute(e.oracle_sql()["event_type_median"]).df()
+        pd.testing.assert_frame_equal(gm, em, check_dtype=False)
+        gr = group_rank(ray.data.from_pandas(ev), "event_id",
+                        "event_type", "value").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True) \
+            .rename(columns={"event_type": "event_type"})
+        er = con.execute(e.oracle_sql()["event_type_rank"]).df()
+        pd.testing.assert_frame_equal(gr, er, check_dtype=False)
