@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-group rank() without per-group sort (stages/relops.
         # group_rank)
         "event_type_rank": d.q_event_type_rank,
+        # dense_rank / row_number without a global sort
+        # (stages/relops.global_order)
+        "event_dense_rank": d.q_event_dense_rank,
+        "event_row_number": d.q_event_row_number,
     }
     # The grading driver evaluates a prefix of this dict (50 entries in
     # round 3).  Order entries so the ones never yet driver-checked run
@@ -282,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round (round 5)
         "triangle_count", "lang_pivot", "event_rank",
         "event_type_median", "bloom_user_filter", "event_type_rank",
+        "event_dense_rank", "event_row_number",
         # new in round 4
         "sft_pairs", "conv_assemble", "rolling_window", "tpch_q3",
         "kmeans_assign", "snapshot_diff", "typo_pairs", "collocations",
@@ -2576,6 +2581,20 @@ SELECT event_id, coalesce(event_type, '') AS event_type,
        CAST(rank() OVER (PARTITION BY coalesce(event_type, '')
                          ORDER BY value)
             AS BIGINT) AS value_rank
+FROM events ORDER BY event_id
+""",
+        # dense rank: 1 + distinct smaller values
+        "event_dense_rank": """
+SELECT event_id,
+       CAST(dense_rank() OVER (ORDER BY value) AS BIGINT)
+           AS dense_rank
+FROM events ORDER BY event_id
+""",
+        # row_number under the deterministic (value, event_id) order
+        "event_row_number": """
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT)
+           AS row_num
 FROM events ORDER BY event_id
 """,
         # exact global rank over event values (ties share a rank)

@@ -219,7 +219,9 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("event_rank", d.q_event_rank),
                      ("event_type_median", d.q_event_type_median),
                      ("bloom_user_filter", d.q_bloom_user_filter),
-                     ("event_type_rank", d.q_event_type_rank)]:
+                     ("event_type_rank", d.q_event_type_rank),
+                     ("event_dense_rank", d.q_event_dense_rank),
+                     ("event_row_number", d.q_event_row_number)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

@@ -1637,3 +1637,28 @@ def q_event_type_rank(sf_dir: str) -> pd.DataFrame:
         columns=["event_id", "event_type", "value"])
     return group_rank(ev, "event_id", "event_type", "value") \
         .to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_dense_rank(sf_dir: str) -> pd.DataFrame:
+    """(event_id, dense_rank): exact SQL dense_rank() OVER (ORDER BY
+    value) — 1 + distinct smaller values, no gaps after ties
+    (stages/relops.global_order: the DISTINCT-prefix variant of the
+    bucket-selection machinery)."""
+    from ..stages.relops import global_order
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    return global_order(ev, "event_id", "value",
+                        method="dense_rank").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_row_number(sf_dir: str) -> pd.DataFrame:
+    """(event_id, row_num): exact SQL row_number() OVER (ORDER BY
+    value, event_id) — a deterministic total order without a global
+    sort (stages/relops.global_order)."""
+    from ..stages.relops import global_order
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "value"])
+    return global_order(ev, "event_id", "value",
+                        method="row_number").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)

@@ -342,7 +342,7 @@ def group_median(ds: ray.data.Dataset, group_col: str, value_col: str,
 
 
 __all__ = ["pivot_counts", "global_rank", "bloom_semi_join",
-           "group_median", "group_rank"]
+           "group_median", "group_rank", "global_order"]
 
 
 def group_rank(ds: ray.data.Dataset, id_col: str, group_col: str,
@@ -404,3 +404,79 @@ def group_rank(ds: ray.data.Dataset, id_col: str, group_col: str,
 
     return keyed.groupby(["g", "bucket"]).map_groups(
         kernel, fn_kwargs={"ref": state_ref}, batch_format="pandas")
+
+
+def global_order(ds: ray.data.Dataset, id_col: str, value_col: str,
+                 method: str = "row_number",
+                 n_buckets: int = 256) -> ray.data.Dataset:
+    """The other two SQL value-order windows, same two-pass bucket
+    machinery as ``global_rank``:
+
+    - ``method="dense_rank"`` -> (id, dense_rank): 1 + the number of
+      DISTINCT values strictly smaller (no rank gaps after ties).
+    - ``method="row_number"`` -> (id, row_num): position under the
+      deterministic total order ``(value, id)`` — SQL
+      ``row_number() OVER (ORDER BY value, id)``.
+
+    Pass 1 reduces each value-range bucket to (n_rows, n_distinct)
+    (B-row driver table, O(B) exclusive prefixes — dense ranks need
+    the DISTINCT prefix, row numbers the row prefix); pass 2 ranks
+    within each bucket with one vectorized unique/lexsort.  Equal
+    values share a bucket, so both orders are exact corpus-wide."""
+    if method not in ("dense_rank", "row_number"):
+        raise ValueError(f"unknown method {method!r}")
+    out_col = "dense_rank" if method == "dense_rank" else "row_num"
+    narrow = ds.select_columns([id_col, value_col])
+    bw = _value_bounds(narrow, value_col, n_buckets)
+    if bw is None:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            out_col: pa.array([], pa.int64())}))
+    lo, width = bw
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = _bucket_arr(v, lo, width, n_buckets, "global_order")
+        return pa.table({id_col: t[id_col].cast(pa.int64()),
+                         "v": pa.array(v), "bucket": pa.array(b)})
+
+    keyed = narrow.map_batches(with_bucket,
+                               batch_format="pyarrow").materialize()
+
+    def stats(g: pd.DataFrame) -> pa.Table:
+        v = g["v"].to_numpy(np.float64)
+        return pa.table({
+            "bucket": pa.array([int(g["bucket"].iloc[0])], pa.int64()),
+            "n_rows": pa.array([len(v)], pa.int64()),
+            "n_distinct": pa.array([len(np.unique(v))], pa.int64())})
+
+    st = keyed.groupby("bucket").map_groups(
+        stats, batch_format="pandas").to_pandas()
+    rows = np.zeros(n_buckets, np.int64)
+    dist = np.zeros(n_buckets, np.int64)
+    bi = st["bucket"].to_numpy(np.int64)
+    rows[bi] = st["n_rows"].to_numpy(np.int64)
+    dist[bi] = st["n_distinct"].to_numpy(np.int64)
+    base_rows = np.concatenate(([0], np.cumsum(rows)))[:-1]
+    base_dist = np.concatenate(([0], np.cumsum(dist)))[:-1]
+    base_ref = ray.put((base_rows, base_dist))
+
+    def kernel(g: pd.DataFrame, ref=None) -> pa.Table:
+        br, bd = ray.get(ref)
+        b = int(g["bucket"].iloc[0])
+        v = g["v"].to_numpy(np.float64)
+        ids = g[id_col].to_numpy(np.int64)
+        if method == "dense_rank":
+            uniq = np.unique(v)
+            out = bd[b] + np.searchsorted(uniq, v) + 1
+        else:
+            o = np.lexsort((ids, v))
+            inv = np.empty(len(o), np.int64)
+            inv[o] = np.arange(len(o), dtype=np.int64)
+            out = br[b] + inv + 1
+        return pa.table({id_col: pa.array(ids),
+                         out_col: pa.array(out.astype(np.int64))})
+
+    return keyed.groupby("bucket").map_groups(
+        kernel, fn_kwargs={"ref": base_ref}, batch_format="pandas")

@@ -283,3 +283,50 @@ class TestNullOracleAlignment:
             .rename(columns={"event_type": "event_type"})
         er = con.execute(e.oracle_sql()["event_type_rank"]).df()
         pd.testing.assert_frame_equal(gr, er, check_dtype=False)
+
+
+class TestGlobalOrder:
+    def test_dense_rank_and_row_number_match_oracles(self, ray_session):
+        from searchenginesimple_ray.stages.relops import global_order
+        df = _events(seed=37, n=3000)
+        # force heavy ties too
+        df.loc[:500, "value"] = np.round(df.loc[:500, "value"], 0)
+        con = duckdb.connect()
+        con.register("events", df)
+        dr = global_order(ray.data.from_pandas(df).repartition(5),
+                          "event_id", "value", method="dense_rank",
+                          n_buckets=32).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = con.sql(
+            "SELECT event_id, CAST(dense_rank() OVER (ORDER BY value)"
+            " AS BIGINT) dense_rank FROM events ORDER BY event_id").df()
+        pd.testing.assert_frame_equal(dr, exp, check_dtype=False)
+        rn = global_order(ray.data.from_pandas(df).repartition(5),
+                          "event_id", "value", method="row_number",
+                          n_buckets=32).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp2 = con.sql(
+            "SELECT event_id, CAST(row_number() OVER (ORDER BY value,"
+            " event_id) AS BIGINT) row_num FROM events"
+            " ORDER BY event_id").df()
+        pd.testing.assert_frame_equal(rn, exp2, check_dtype=False)
+
+    def test_edges(self, ray_session):
+        from searchenginesimple_ray.stages.relops import global_order
+        with pytest.raises(ValueError, match="method"):
+            global_order(ray.data.from_pandas(_events(n=5)),
+                         "event_id", "value", method="percent_rank")
+        e = global_order(ray.data.from_pandas(pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64),
+             "value": pd.Series([], dtype=np.float64)})),
+            "event_id", "value").to_pandas()
+        assert len(e) == 0
+        const = pd.DataFrame({"event_id": np.arange(4, dtype=np.int64),
+                              "value": np.full(4, 1.5)})
+        dr = global_order(ray.data.from_pandas(const), "event_id",
+                          "value", method="dense_rank").to_pandas()
+        assert sorted(dr["dense_rank"]) == [1, 1, 1, 1]
+        rn = global_order(ray.data.from_pandas(const), "event_id",
+                          "value", method="row_number").to_pandas() \
+            .sort_values("event_id")
+        assert rn["row_num"].tolist() == [1, 2, 3, 4]
