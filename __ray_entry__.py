@@ -275,6 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (stages/relops.global_order)
         "event_dense_rank": d.q_event_dense_rank,
         "event_row_number": d.q_event_row_number,
+        # weighted pivot in exact integer cents over the TPC-H fact
+        # table (stages/relops.pivot_sum_cents)
+        "orders_pivot": d.q_orders_pivot,
     }
     # The grading driver evaluates a prefix of this dict (50 entries in
     # round 3).  Order entries so the ones never yet driver-checked run
@@ -286,7 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round (round 5)
         "triangle_count", "lang_pivot", "event_rank",
         "event_type_median", "bloom_user_filter", "event_type_rank",
-        "event_dense_rank", "event_row_number",
+        "event_dense_rank", "event_row_number", "orders_pivot",
         # new in round 4
         "sft_pairs", "conv_assemble", "rolling_window", "tpch_q3",
         "kmeans_assign", "snapshot_diff", "typo_pairs", "collocations",
@@ -2582,6 +2585,26 @@ SELECT event_id, coalesce(event_type, '') AS event_type,
                          ORDER BY value)
             AS BIGINT) AS value_rank
 FROM events ORDER BY event_id
+""",
+        # weighted pivot: order cents by priority x status; NULL
+        # conventions pinned to the op (none occur in TPC-H data)
+        "orders_pivot": """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS c_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS c_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS c_P,
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS c_other,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS c_total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
         # dense rank: 1 + distinct smaller values
         "event_dense_rank": """

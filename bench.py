@@ -221,7 +221,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("bloom_user_filter", d.q_bloom_user_filter),
                      ("event_type_rank", d.q_event_type_rank),
                      ("event_dense_rank", d.q_event_dense_rank),
-                     ("event_row_number", d.q_event_row_number)]:
+                     ("event_row_number", d.q_event_row_number),
+                     ("orders_pivot", d.q_orders_pivot)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

@@ -1662,3 +1662,16 @@ def q_event_row_number(sf_dir: str) -> pd.DataFrame:
     return global_order(ev, "event_id", "value",
                         method="row_number").to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
+
+
+def q_orders_pivot(sf_dir: str) -> pd.DataFrame:
+    """(o_orderpriority, c_F, c_O, c_P, c_other, c_total): order value
+    by priority x status — a weighted wide rollup over the TPC-H fact
+    table in exact integer cents (stages/relops.pivot_sum_cents; the
+    floor(x*100+0.5) money rule shared with nation_revenue)."""
+    from ..stages.relops import pivot_sum_cents
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    return pivot_sum_cents(orders, "o_orderpriority", "o_orderstatus",
+                           ["F", "O", "P"], "o_totalprice")

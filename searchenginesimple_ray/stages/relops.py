@@ -342,7 +342,8 @@ def group_median(ds: ray.data.Dataset, group_col: str, value_col: str,
 
 
 __all__ = ["pivot_counts", "global_rank", "bloom_semi_join",
-           "group_median", "group_rank", "global_order"]
+           "group_median", "group_rank", "global_order",
+           "pivot_sum_cents"]
 
 
 def group_rank(ds: ray.data.Dataset, id_col: str, group_col: str,
@@ -480,3 +481,57 @@ def global_order(ds: ray.data.Dataset, id_col: str, value_col: str,
 
     return keyed.groupby("bucket").map_groups(
         kernel, fn_kwargs={"ref": base_ref}, batch_format="pandas")
+
+
+def pivot_sum_cents(ds: ray.data.Dataset, row_col: str, col_col: str,
+                    col_values: list[str], val_col: str,
+                    other_name: str = "other") -> pd.DataFrame:
+    """Weighted pivot: like ``pivot_counts`` but each cell is the SUM
+    of ``val_col`` in integer cents (``floor(x * 100 + 0.5)`` per row
+    — the repo's exact-money rule shared with nation_revenue /
+    pricing_summary, so the wide table is bit-stable under any
+    partitioning and SQL-checkable with no float boundary).  Output
+    columns ``c_<v>`` per declared column value, ``c_<other_name>``,
+    and ``c_total``; NULL row values group under ''; NULL column
+    values fold into other; NULL vals count as 0 cents (SQL
+    ``sum(coalesce(...))``).
+
+    Same 100-TB shape as ``pivot_counts``: per-batch Arrow combiner
+    -> native (row, col) groupby-sum -> report-sized widening."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t[row_col].to_pandas().fillna("").to_numpy(object)
+        c = t[col_col].to_pandas().fillna("").to_numpy(object)
+        x = t[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(np.nan_to_num(x) * 100.0 + 0.5) \
+            .astype(np.int64)
+        pdf = pd.DataFrame({"r": r, "c": c, "cnt": cents})
+        pdf["c"] = np.where(pdf["c"].isin(col_values), pdf["c"],
+                            "\x00other")
+        agg = pdf.groupby(["r", "c"], sort=False)["cnt"].sum() \
+            .reset_index()
+        agg["cnt"] = agg["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    comb = ds.select_columns([row_col, col_col, val_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["r", "c"]).sum("cnt").to_pandas()
+    cols = [f"c_{v}" for v in col_values] + [f"c_{other_name}"]
+    if not len(comb) or "r" not in comb.columns:
+        out = pd.DataFrame({row_col: pd.Series([], dtype=object)})
+        for c in cols + ["c_total"]:
+            out[c] = pd.Series([], dtype=np.int64)
+        return out
+    rows = np.sort(comb["r"].unique())
+    mat = np.zeros((len(rows), len(cols)), np.int64)
+    ci = {v: i for i, v in enumerate(col_values)}
+    ri = np.searchsorted(rows, comb["r"].to_numpy(object))
+    cj = np.array([ci.get(c, len(cols) - 1)
+                   for c in comb["c"].to_numpy(object)], np.int64)
+    np.add.at(mat, (ri, cj), comb["sum(cnt)"].to_numpy(np.int64))
+    out = pd.DataFrame({row_col: rows})
+    for j, c in enumerate(cols):
+        out[c] = mat[:, j]
+    out["c_total"] = mat.sum(axis=1)
+    return out.reset_index(drop=True)

@@ -330,3 +330,29 @@ class TestGlobalOrder:
                           "value", method="row_number").to_pandas() \
             .sort_values("event_id")
         assert rn["row_num"].tolist() == [1, 2, 3, 4]
+
+
+class TestPivotSumCents:
+    def test_matches_oracle_and_entry(self, ray_session):
+        import __ray_entry__ as e
+        from searchenginesimple_ray.stages.relops import pivot_sum_cents
+        got = e.queries()["orders_pivot"]("/root/testdata/sf0.001")
+        con = duckdb.connect()
+        con.sql("CREATE VIEW orders AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/orders.parquet')")
+        exp = con.execute(e.oracle_sql()["orders_pivot"]).df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True),
+                                      check_dtype=False)
+        # cent rule is IEEE-consistent on both sides: the double
+        # nearest 1.005 is 1.00499...9, so floor(x*100 + 0.5) = 100
+        # in numpy AND DuckDB (no decimal re-rounding); NULL counts 0
+        df = pd.DataFrame({
+            "r": ["a", "a", "b"],
+            "c": pd.array(["x", None, "x"], dtype="string"),
+            "v": [1.005, 2.0, None]})
+        out = pivot_sum_cents(ray.data.from_pandas(df), "r", "c",
+                              ["x"], "v")
+        assert out.loc[out["r"] == "a", "c_x"].iloc[0] == 100
+        assert out.loc[out["r"] == "a", "c_other"].iloc[0] == 200
+        assert out.loc[out["r"] == "b", "c_x"].iloc[0] == 0
