@@ -222,7 +222,8 @@ def run_ops_suite(sf_dir: str) -> dict:
                      ("event_type_rank", d.q_event_type_rank),
                      ("event_dense_rank", d.q_event_dense_rank),
                      ("event_row_number", d.q_event_row_number),
-                     ("orders_pivot", d.q_orders_pivot)]:
+                     ("orders_pivot", d.q_orders_pivot),
+                     ("dup_cluster_hist", d.q_dup_cluster_hist)]:
         t0 = time.perf_counter()
         fn(sf_dir)
         out[name] = round(time.perf_counter() - t0, 3)

@@ -1675,3 +1675,13 @@ def q_orders_pivot(sf_dir: str) -> pd.DataFrame:
         columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
     return pivot_sum_cents(orders, "o_orderpriority", "o_orderstatus",
                            ["F", "O", "P"], "o_totalprice")
+
+
+def q_dup_cluster_hist(sf_dir: str) -> pd.DataFrame:
+    """(cluster_size, n_clusters): exact-duplicate cluster-size
+    histogram over documents — the dedup health report
+    (stages/relops.dup_cluster_hist; 128-bit md5 cluster identity,
+    bucket-resolved, text never exchanged)."""
+    from ..stages.relops import dup_cluster_hist
+    return dup_cluster_hist(
+        _read_documents(sf_dir).select_columns(["text"]))

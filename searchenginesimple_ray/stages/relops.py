@@ -343,7 +343,7 @@ def group_median(ds: ray.data.Dataset, group_col: str, value_col: str,
 
 __all__ = ["pivot_counts", "global_rank", "bloom_semi_join",
            "group_median", "group_rank", "global_order",
-           "pivot_sum_cents"]
+           "pivot_sum_cents", "dup_cluster_hist"]
 
 
 def group_rank(ds: ray.data.Dataset, id_col: str, group_col: str,
@@ -535,3 +535,66 @@ def pivot_sum_cents(ds: ray.data.Dataset, row_col: str, col_col: str,
         out[c] = mat[:, j]
     out["c_total"] = mat.sum(axis=1)
     return out.reset_index(drop=True)
+
+
+def dup_cluster_hist(ds: ray.data.Dataset, text_col: str = "text",
+                     n_buckets: int = 256) -> pd.DataFrame:
+    """(cluster_size, n_clusters): the exact-duplicate cluster-size
+    histogram — how many distinct texts occur once, twice, ... — the
+    one-line dedup health report run before and after a curation pass
+    (reference analogue: none; the counting inverse of
+    ``stages/dedup.exact_dedup_first``).
+
+    Scale shape: each batch hashes its unique texts once to a 128-bit
+    md5 (collision-equivalent to grouping by the text itself; NULL
+    text gets its own sentinel cluster) and ships 16 B (h_lo, h_hi)
+    rows; clusters resolve inside hash buckets (bucket = f(h_lo), so
+    every copy of a text lands in one bucket task) into per-bucket
+    (size, n) partials; a size-keyed groupby-sum reduces those to the
+    histogram — the driver holds only the (distinct sizes)-row
+    report.  Text never enters an exchange."""
+    import hashlib
+    import struct
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        cache: dict = {}
+        lo = np.empty(len(texts), np.int64)
+        hi = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            k = "\x00null" if s is None else s
+            h = cache.get(k)
+            if h is None:
+                d = hashlib.md5(k.encode()).digest()
+                h = struct.unpack("<qq", d)
+                cache[k] = h
+            lo[i], hi[i] = h
+        return pa.table({
+            "h_lo": pa.array(lo), "h_hi": pa.array(hi),
+            "bucket": pa.array((lo & (n_buckets - 1)).astype(np.int64))})
+
+    def bucket_sizes(g: pd.DataFrame) -> pa.Table:
+        lo = g["h_lo"].to_numpy(np.int64)
+        hi = g["h_hi"].to_numpy(np.int64)
+        o = np.lexsort((hi, lo))
+        lo, hi = lo[o], hi[o]
+        first = np.ones(len(lo), bool)
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        sizes = np.diff(np.append(np.flatnonzero(first), len(lo)))
+        uniq, cnt = np.unique(sizes, return_counts=True)
+        return pa.table({"cluster_size": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = ds.select_columns([text_col]) \
+        .map_batches(hash_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_sizes,
+                                      batch_format="pandas") \
+        .groupby("cluster_size").sum("n").to_pandas()
+    if not len(hist) or "cluster_size" not in hist.columns:
+        return pd.DataFrame(
+            {"cluster_size": pd.Series([], dtype=np.int64),
+             "n_clusters": pd.Series([], dtype=np.int64)})
+    out = pd.DataFrame({
+        "cluster_size": hist["cluster_size"].to_numpy(np.int64),
+        "n_clusters": hist["sum(n)"].to_numpy(np.int64)})
+    return out.sort_values("cluster_size").reset_index(drop=True)

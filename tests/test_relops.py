@@ -356,3 +356,29 @@ class TestPivotSumCents:
         assert out.loc[out["r"] == "a", "c_x"].iloc[0] == 100
         assert out.loc[out["r"] == "a", "c_other"].iloc[0] == 200
         assert out.loc[out["r"] == "b", "c_x"].iloc[0] == 0
+
+
+class TestDupClusterHist:
+    def test_matches_oracle_with_duplicates(self, ray_session):
+        import __ray_entry__ as e
+        from searchenginesimple_ray.stages.relops import dup_cluster_hist
+        rng = np.random.default_rng(41)
+        base = [f"text number {i}" for i in range(30)]
+        texts = list(rng.choice(base, 200)) + [None, None, "solo"]
+        df = pd.DataFrame({"text": pd.array(texts, dtype="string")})
+        got = dup_cluster_hist(ray.data.from_pandas(df).repartition(4))
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(e.oracle_sql()["dup_cluster_hist"]).df()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True),
+                                      check_dtype=False)
+        # totals reconcile: sum(size * n_clusters) == row count
+        assert int((got["cluster_size"] * got["n_clusters"]).sum()) \
+            == len(df)
+
+    def test_empty(self, ray_session):
+        from searchenginesimple_ray.stages.relops import dup_cluster_hist
+        out = dup_cluster_hist(ray.data.from_pandas(pd.DataFrame(
+            {"text": pd.Series([], dtype="string")})))
+        assert len(out) == 0
